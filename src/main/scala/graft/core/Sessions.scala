@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are chosen for a 1000-executor cluster mindset tested on
+  * `local[32]`: AQE on (runtime coalesce + skew-join handling),
+  * shuffle partitions sized to the local core count rather than the
+  * 200 default, UTC session time zone (the reference stores KST
+  * wall-clock timestamps by *adding* 9h explicitly — see
+  * `/root/reference/Talent_Opportunity_Platform/log_screen.py:299` —
+  * never by changing the session zone).
+  */
+object Sessions {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

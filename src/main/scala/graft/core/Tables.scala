@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the TESTDATA star schema (see /root/repo/TESTDATA.md).
+  *
+  * Mirrors the reference's tiered-table loads (S1 in SURVEY.md §2.1:
+  * full-table warehouse scans,
+  * `Talent_Opportunity_Platform/Keyword.py:128-153`) as plain parquet
+  * scans so Catalyst gets vectorized reads, predicate pushdown and
+  * column pruning for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` text (the
+    * reference's pushdown-query scan surface, S2) runs against them.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

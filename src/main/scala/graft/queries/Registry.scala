@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.ops.DocAssembly
+
+/** The engine's declared query inventory — the t2 oracle surface.
+  *
+  * Contract (see /root/repo/SparkEntry + Verify): every entry in
+  * [[queries]] is a `(SparkSession, sfDir) => DataFrame`; entries with
+  * a matching key in [[oracleSql]] are hash-compared against DuckDB
+  * running that SQL over the same parquet tables. Column names are
+  * aliased identically on both sides.
+  *
+  * Determinism rules used throughout (SURVEY.md §7 "What's hard"):
+  * aggregate doubles through exact DECIMAL arithmetic and cast the
+  * result to double; pin listagg order with sort_array; tie-break
+  * window ranks on a unique key.
+  */
+object Registry {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- exact-decimal aggregation helpers -------------------------------
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def dsum(c: org.apache.spark.sql.Column) = sum(dec(c)).cast("double")
+
+  // =======================================================================
+  // Aggregations (SURVEY §2.5)
+  // =======================================================================
+
+  /** A-family: grouped pricing summary (partial-agg friendly; at scale
+    * this is one shuffle on two low-cardinality keys).
+    */
+  val q1PricingSummary: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("sum_disc_price"),
+      sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+        * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+      count(lit(1)).as("count_order"))
+  }
+
+  val q1PricingSummarySql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  /** J1: inner equi-join + grouped revenue (shuffle join on orderkey;
+    * AQE handles skew at scale).
+    */
+  val q2RevenueJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-07-01"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q2RevenueJoinSql: String = """
+    SELECT o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1995-07-01'
+    GROUP BY o_orderpriority"""
+
+  /** P1/P3/P5-style projection + filter — both predicates and the
+    * 3-column ReadSchema reach the parquet scan (pushdown-verified in
+    * PlanSpec).
+    */
+  val q3FilterProject: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_quantity") < 25)
+      .select("l_orderkey", "l_extendedprice", "l_shipdate")
+
+  val q3FilterProjectSql: String = """
+    SELECT l_orderkey, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 25"""
+
+  /** EP2 flagship — see [[graft.ops.DocAssembly]]. */
+  val q4DocAssembly: Q = (s, dir) => DocAssembly.docs(s, dir)
+
+  /** W2: rank-per-group window, deterministic via unique tie-break. */
+  val q5TopkWindow: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  val q5TopkWindowSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3"""
+
+  /** A1: deterministic listagg(distinct) — sort_array pins the order
+    * Redshift leaves unspecified (`Elastic_indexing.py:135,144`).
+    */
+  val q6ListaggDistinct: Q = (s, dir) =>
+    t(s, dir, "orders").groupBy("o_custkey").agg(
+      array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"),
+      count(lit(1)).as("n_orders"))
+
+  val q6ListaggDistinctSql: String = """
+    SELECT o_custkey,
+      array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey"""
+
+  // =======================================================================
+  // Registry
+  // =======================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary"  -> q1PricingSummary,
+    "q2_revenue_join"     -> q2RevenueJoin,
+    "q3_filter_project"   -> q3FilterProject,
+    "q4_doc_assembly"     -> q4DocAssembly,
+    "q5_topk_window"      -> q5TopkWindow,
+    "q6_listagg_distinct" -> q6ListaggDistinct,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"  -> q1PricingSummarySql,
+    "q2_revenue_join"     -> q2RevenueJoinSql,
+    "q3_filter_project"   -> q3FilterProjectSql,
+    "q4_doc_assembly"     -> DocAssembly.docsOracle,
+    "q5_topk_window"      -> q5TopkWindowSql,
+    "q6_listagg_distinct" -> q6ListaggDistinctSql,
+  )
+}
