@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loader for the TESTDATA star schema (see /root/repo/TESTDATA.md).
   *
@@ -15,8 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // TESTDATA's events.ts is parquet TIMESTAMP(NANOS), which Spark's
+    // vectorized reader rejects. Sessions set
+    // spark.sql.legacy.parquet.nanosAsLong, so it arrives as a long of
+    // epoch nanos; integer-divide (not /, which would go through double
+    // and lose precision above 2^53) down to micros.
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` text (the
     * reference's pushdown-query scan surface, S2) runs against them.

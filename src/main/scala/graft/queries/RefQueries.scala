@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.EventNormalize
+
+/** Reference-surface operators beyond the round-1 six — each entry maps
+  * a SURVEY.md §2 row onto TESTDATA with a DuckDB oracle.
+  *
+  * Determinism: money through long cents, lists pinned with
+  * sort_array, top-1 pinned with ORDER BY on a unique key.
+  */
+object RefQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** EP3 — SQL-text normalization (S2/S5/P1/F1/F4/F5/F7/F13/F14). */
+  val q7EventNormalize: Q = (s, dir) => EventNormalize.normalize(s, dir)
+
+  /** J3 — left-semi join: customers that have at least one order.
+    * At scale: semi-join shuffles only the distinct keys of the right
+    * side; no payload columns cross the wire.
+    */
+  val q8SemiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  val q8SemiJoinSql: String = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  /** Anti join — customers with no orders (SURVEY §2.4 notes these come
+    * free from Catalyst even though the reference never used one).
+    */
+  val q9AntiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  val q9AntiJoinSql: String = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  /** A6 — the monitoring count matrix (`index_counts.ipynb`): one row
+    * per date, one column per event type. Explicit pivot value list =
+    * no extra distinct-values job; single shuffle on the date key.
+    */
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  val q10PivotCounts: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("event_date"))
+      .pivot("event_type", eventTypes)
+      .count()
+      .na.fill(0, eventTypes)
+
+  val q10PivotCountsSql: String = """
+    SELECT strftime(ts, '%Y%m%d') AS event_date,
+      count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+      count(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+      count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+      count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events GROUP BY 1"""
+
+  /** K7/F3/F5/F6 — the retention predicate: KST(+9h) date string versus
+    * a cutoff, exactly the reference's
+    * `to_char(platform_dt + interval '9 hours','yyyyMMdd') < cutoff`
+    * (`BkupRs.py:246`). On a date-partitioned layout this prunes
+    * partitions instead of scanning.
+    */
+  val q11RetentionCutoff: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("kst_date",
+        date_format(col("ts") + expr("INTERVAL 9 HOURS"), "yyyyMMdd"))
+      .filter(col("kst_date") < "20240115")
+      .select("event_id", "user_id", "kst_date")
+
+  val q11RetentionCutoffSql: String = """
+    SELECT event_id, user_id, strftime(ts + INTERVAL 9 HOUR, '%Y%m%d') AS kst_date
+    FROM events
+    WHERE strftime(ts + INTERVAL 9 HOUR, '%Y%m%d') < '20240115'"""
+
+  /** P9/O7 — backup projection: constant bkup_dt column + `*`
+    * (`BkupRs.py:234-238`).
+    */
+  val q12BackupProjection: Q = (s, dir) =>
+    t(s, dir, "nation").select(lit("20240131").as("bkup_dt"), col("*"))
+
+  val q12BackupProjectionSql: String =
+    "SELECT '20240131' AS bkup_dt, * FROM nation"
+
+  /** F4 — timestamp reconstruction from string parts, the reference's
+    * `to_timestamp(substr(..)||'-'||substr(..)…)` with a sentinel
+    * default (`log_screen.py:292`).
+    */
+  val q13TimestampParse: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("raw", coalesce(
+        date_format(col("ts"), "yyyyMMdd HH:mm:ss"), lit("99991231 00:00:00")))
+      .select(col("event_id"),
+        to_timestamp(concat(
+          substring(col("raw"), 1, 4), lit("-"),
+          substring(col("raw"), 5, 2), lit("-"),
+          substring(col("raw"), 7, 2), lit(" "),
+          substring(col("raw"), 10, 8))).as("parsed_ts"))
+
+  val q13TimestampParseSql: String = """
+    WITH r AS (SELECT event_id,
+                      coalesce(strftime(ts, '%Y%m%d %H:%M:%S'), '99991231 00:00:00') AS raw
+               FROM events)
+    SELECT event_id,
+           strptime(substr(raw,1,4) || '-' || substr(raw,5,2) || '-' ||
+                    substr(raw,7,2) || ' ' || substr(raw,10,8),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_ts
+    FROM r"""
+
+  /** P7 — multi-field contains search (`openai_elasticsearch.py:160-198`
+    * `query_string` over several fields).
+    */
+  val q14TextSearch: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val terms = Seq("spark", "shuffle")
+    val pred = terms.map(w => col("text").contains(w)).reduce(_ || _) ||
+      col("source") === "src7"
+    d.filter(pred).select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val q14TextSearchSql: String = """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE text LIKE '%spark%' OR text LIKE '%shuffle%' OR source = 'src7'"""
+
+  /** Nested-document assembly — the ES `nested` field model
+    * (`openai_elasticsearch.py:51-54`): per-customer array of order
+    * sub-documents. sort_array pins the list order the reference's
+    * driver-side dict build left to arrival order.
+    */
+  val q15NestedDocs: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        struct(col("o_orderkey").as("okey"),
+               cents(col("o_totalprice")).as("price_cents")).as("o"))
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o"))).as("nested_orders"),
+           count(lit(1)).as("n_orders"))
+
+  val q15NestedDocsSql: String = """
+    SELECT o_custkey,
+           list_sort(list(struct_pack(
+             okey := o_orderkey,
+             price_cents := CAST(round(o_totalprice*100) AS BIGINT)))) AS nested_orders,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey"""
+
+  /** W3/W4 — deterministic top-1 (the reference's "latest index by
+    * reverse sort, take head", `log_screen.py:122-127`).
+    */
+  val q16Top1Sorted: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(1)
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+
+  val q16Top1SortedSql: String = """
+    SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1"""
+
+  val queries: Map[String, Q] = Map(
+    "q7_event_normalize"   -> q7EventNormalize,
+    "q8_semi_join"         -> q8SemiJoin,
+    "q9_anti_join"         -> q9AntiJoin,
+    "q10_pivot_counts"     -> q10PivotCounts,
+    "q11_retention_cutoff" -> q11RetentionCutoff,
+    "q12_backup_projection"-> q12BackupProjection,
+    "q13_timestamp_parse"  -> q13TimestampParse,
+    "q14_text_search"      -> q14TextSearch,
+    "q15_nested_docs"      -> q15NestedDocs,
+    "q16_top1_sorted"      -> q16Top1Sorted,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q7_event_normalize"   -> EventNormalize.oracle,
+    "q8_semi_join"         -> q8SemiJoinSql,
+    "q9_anti_join"         -> q9AntiJoinSql,
+    "q10_pivot_counts"     -> q10PivotCountsSql,
+    "q11_retention_cutoff" -> q11RetentionCutoffSql,
+    "q12_backup_projection"-> q12BackupProjectionSql,
+    "q13_timestamp_parse"  -> q13TimestampParseSql,
+    "q14_text_search"      -> q14TextSearchSql,
+    "q15_nested_docs"      -> q15NestedDocsSql,
+    "q16_top1_sorted"      -> q16Top1SortedSql,
+  )
+}
