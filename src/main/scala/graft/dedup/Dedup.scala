@@ -1,0 +1,233 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Document deduplication suite over the `documents` table — the
+  * training-data-pipeline operators a 100 TB corpus clean needs.
+  *
+  * All hashing is md5-based so every query is reproducible in the
+  * DuckDB oracle (both engines agree on md5 hex); minhash "values" are
+  * lexicographic minima of md5 strings, which makes MinHash's
+  * permutation trick engine-neutral.
+  *
+  * Scale notes (100 TB): every operator here is a map stage plus at
+  * most one shuffle keyed on doc/band/shingle — no driver-side state.
+  * The shingle self-join (d5) is the one quadratic risk: frequent
+  * shingles blow up the pair space, so a production run would drop
+  * shingles above a document-frequency cap before the join (the
+  * standard stop-shingle prefilter); the LSH banding path (d3) is the
+  * intended route at full scale.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalized text → word tokens → distinct word-3-gram shingles.
+    * `greatest(n-2, 1)` keeps sub-3-token docs alive with a short
+    * shingle instead of Spark's descending `sequence(1, 0)` surprise.
+    */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens",
+        expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .withColumn("shingles",
+        expr("""array_distinct(transform(sequence(1, greatest(size(tokens)-2, 1)),
+                j -> concat_ws(' ', slice(tokens, j, 3))))"""))
+
+  /** DuckDB equivalents of the two derived columns above. */
+  private val oracleTokens =
+    "str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')"
+  private val oracleShingles =
+    """list_distinct(list_transform(range(1, greatest(len(tokens)-2, 1)+1),
+       j -> array_to_string(tokens[j:j+2], ' ')))"""
+
+  // =========================================================================
+  // d1 — exact dedup: hash-groupBy on normalized content
+  // =========================================================================
+
+  /** One shuffle on the 128-bit content hash; the canonical survivor is
+    * min(doc_id). At 100 TB this is the cheapest dedup pass and runs
+    * first to shrink the corpus for the fuzzy passes.
+    */
+  val d1ExactDedup: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(regexp_replace(lower(trim(col("text"))), " +", " "))
+        .as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val d1ExactDedupSql: String = """
+    SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1"""
+
+  // =========================================================================
+  // d2 — MinHash signatures (16 hashes = 4 bands × 4 rows)
+  // =========================================================================
+
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+
+  private def mhCol(i: Int): String = f"mh$i%02d"
+
+  /** doc_id + 16 minhash columns. Pure per-row map stage: no shuffle. */
+  def signatures(s: SparkSession, dir: String): DataFrame = {
+    val mhs = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(shingles, x -> md5(concat('$i:', x))))")
+        .as(mhCol(i))
+    }
+    withShingles(Tables.load(s, dir, "documents"))
+      .select(col("doc_id") +: mhs: _*)
+  }
+
+  val d2MinhashSignature: Q = (s, dir) => signatures(s, dir)
+
+  /** Shared oracle CTE producing the same signature table in DuckDB. */
+  private val signatureCte: String = {
+    val mhs = (0 until NumHashes).map { i =>
+      s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min') AS ${mhCol(i)}"
+    }.mkString(",\n             ")
+    s"""t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    sh_t AS (SELECT doc_id, $oracleShingles AS sh FROM t),
+    sig AS (SELECT doc_id,
+             $mhs
+            FROM sh_t)"""
+  }
+
+  val d2MinhashSignatureSql: String = s"WITH $signatureCte SELECT * FROM sig"
+
+  // =========================================================================
+  // d3 — LSH banding: candidate near-dup pairs
+  // =========================================================================
+
+  /** Docs sharing any of the 4 band hashes become candidate pairs.
+    * One shuffle on (band_idx, band_hash); the distinct pair set is the
+    * candidate list a verifier (d5's Jaccard) would re-score. Band
+    * buckets are tiny relative to the corpus, so the self-join inside a
+    * bucket is bounded — the whole point of banding at scale.
+    */
+  val d3LshPairs: Q = (s, dir) => {
+    val sig = signatures(s, dir)
+    val bandCols = (0 until NumBands).map { b =>
+      md5(concat_ws("|", (0 until BandSize).map(r => col(mhCol(b * BandSize + r))): _*))
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val d3LshPairsSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => mhCol(b * BandSize + r))
+      s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH $signatureCte,
+    bands AS (
+      $bandSelects)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id"""
+  }
+
+  // =========================================================================
+  // d4 — SimHash (32-bit) fingerprints
+  // =========================================================================
+
+  /** Majority vote per bit over the token hash stream; token repeats
+    * weight the vote, as in the original SimHash. Per-row map stage.
+    */
+  val d4Simhash: Q = (s, dir) => {
+    val bitSum = (0 until 32).map { b =>
+      s"(case when 2*size(filter(hs, h -> shiftright(h, $b) % 2 = 1)) > size(hs) then ${1L << b} else 0 end)"
+    }.mkString(" + ")
+    withShingles(Tables.load(s, dir, "documents"))
+      .withColumn("hs",
+        expr("transform(tokens, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"))
+      .select(col("doc_id"), expr(s"cast($bitSum as bigint)").as("simhash"))
+  }
+
+  val d4SimhashSql: String = {
+    val bitSum = (0 until 32).map { b =>
+      s"(case when 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) then ${1L << b} else 0 end)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    h AS (SELECT doc_id,
+            list_transform(tokens, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+          FROM t)
+    SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM h"""
+  }
+
+  // =========================================================================
+  // d5 — n-gram Jaccard verification pairs
+  // =========================================================================
+
+  /** Exact Jaccard over distinct 3-gram shingles for pairs sharing at
+    * least one shingle within a language block. The shingle self-join
+    * only materializes co-occurring pairs (sparse), then per-doc
+    * shingle counts are broadcast back in. jaccard is an
+    * integer/integer division — bit-exact vs the oracle.
+    */
+  val d5NgramJaccard: Q = (s, dir) => {
+    val docs = withShingles(Tables.load(s, dir, "documents"))
+    val sh = docs.select(col("doc_id"), col("lang"),
+      explode(col("shingles")).as("sh"))
+    val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
+    val shared = sh.as("x")
+      .join(sh.as("y"),
+        col("x.lang") === col("y.lang") && col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") / (col("ca.nsh") + col("cb.nsh") - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  val d5NgramJaccardSql: String = s"""
+    WITH t AS (SELECT doc_id, lang, $oracleTokens AS tokens FROM documents),
+    s AS (SELECT doc_id, lang, $oracleShingles AS sh FROM t),
+    e AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+    shared AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+      FROM e x JOIN e y ON x.lang = y.lang AND x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, len(sh) AS nsh FROM s)
+    SELECT doc_a, doc_b,
+           shared / (ca.nsh + cb.nsh - shared) AS jaccard
+    FROM shared
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE shared / (ca.nsh + cb.nsh - shared) >= 0.5"""
+
+  // =========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup"       -> d1ExactDedup,
+    "d2_minhash_signature" -> d2MinhashSignature,
+    "d3_lsh_pairs"         -> d3LshPairs,
+    "d4_simhash"           -> d4Simhash,
+    "d5_ngram_jaccard"     -> d5NgramJaccard,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup"       -> d1ExactDedupSql,
+    "d2_minhash_signature" -> d2MinhashSignatureSql,
+    "d3_lsh_pairs"         -> d3LshPairsSql,
+    "d4_simhash"           -> d4SimhashSql,
+    "d5_ngram_jaccard"     -> d5NgramJaccardSql,
+  )
+}

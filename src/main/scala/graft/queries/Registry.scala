@@ -147,7 +147,7 @@ object Registry {
     "q4_doc_assembly"     -> q4DocAssembly,
     "q5_topk_window"      -> q5TopkWindow,
     "q6_listagg_distinct" -> q6ListaggDistinct,
-  ) ++ RefQueries.queries
+  ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++ graft.sim.Similarity.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -156,5 +156,5 @@ object Registry {
     "q4_doc_assembly"     -> DocAssembly.docsOracle,
     "q5_topk_window"      -> q5TopkWindowSql,
     "q6_listagg_distinct" -> q6ListaggDistinctSql,
-  ) ++ RefQueries.oracleSql
+  ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++ graft.sim.Similarity.oracleSql
 }

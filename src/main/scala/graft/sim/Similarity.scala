@@ -1,0 +1,229 @@
+package graft.sim
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Cross-engine exactness trick: components are quantized to integer
+  * millionths, so dot products and squared norms are exact int64
+  * arithmetic — identical in Spark and DuckDB regardless of summation
+  * order — and the only floating-point step is a final
+  * `dot / sqrt(na*nb)` on identical integers, which is bit-stable.
+  * (Magnitudes: |q| ≤ ~1e6 ⇒ dot ≤ 64·1e12 ≈ 6.4e13 per pair, far
+  * inside int64; na·nb is computed in double to avoid the 1e27
+  * overflow.)
+  *
+  * Scale notes (100 TB): brute force is O(Q·N) and exists as the
+  * correctness baseline; the LSH path buckets vectors with 8
+  * deterministic hyperplanes (256 buckets) so candidate generation is
+  * one shuffle on the bucket id and the per-bucket join is bounded.
+  * At 1000 executors you'd raise the plane count so buckets stay
+  * executor-sized, and pre-partition the corpus by bucket.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val NumPlanes = 8
+  private val Scale = 1000000L
+
+  /** Deterministic ±1 hyperplane matrix derived from md5("p:d") —
+    * reproducible constants, embedded literally in both dialects.
+    */
+  private[sim] val planes: Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val h = md.digest(s"$p:$d".getBytes(StandardCharsets.UTF_8))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** vec_id, label, qv (int64 millionths), n2 (int64 squared norm). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("qv",
+        expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"))
+      .withColumn("n2",
+        expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+
+  private val oracleQuantized: String = s"""
+    q AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(round(x::DOUBLE * $Scale) AS BIGINT)) AS qv
+          FROM embeddings),
+    qn AS (SELECT vec_id, label, qv,
+             list_aggregate(list_transform(qv, x -> x*x), 'sum') AS n2
+           FROM q)"""
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  // =========================================================================
+  // s1 — brute-force cosine top-k (exact ANN baseline)
+  // =========================================================================
+
+  /** Every 50th vector is a "query"; top-5 neighbors by quantized
+    * cosine, ties broken on neighbor id. Broadcast the small query side
+    * — the corpus never shuffles.
+    */
+  val s1CosineTopk: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val scored = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", cosine(col("dot"), col("q_n2"), col("n2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  val s1CosineTopkSql: String = s"""
+    WITH $oracleQuantized,
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM qn
+                WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * n2::DOUBLE) AS cos_sim
+      FROM queries JOIN qn ON query_id <> vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 5"""
+
+  // =========================================================================
+  // s2 — LSH bucket assignment (the scale path's partitioning key)
+  // =========================================================================
+
+  private def sparkBucketExpr: String =
+    (0 until NumPlanes).map { p =>
+      val lit = planes(p).mkString(",")
+      s"(case when aggregate(zip_with(qv, array($lit), (x, w) -> x*w), cast(0 as bigint), (acc, x) -> acc + x) >= 0 then ${1 << p} else 0 end)"
+    }.mkString(" + ")
+
+  private def duckBucketExpr: String =
+    (0 until NumPlanes).map { p =>
+      val lit = planes(p).mkString(",")
+      s"(case when list_aggregate(list_transform(range(1, $Dim + 1), i -> list_extract(qv, i) * list_extract([$lit], i)), 'sum') >= 0 then ${1 << p} else 0 end)"
+    }.mkString(" + ")
+
+  val s2LshBuckets: Q = (s, dir) =>
+    quantized(s, dir)
+      .select(col("vec_id"), expr(s"cast($sparkBucketExpr as int)").as("bucket"))
+
+  val s2LshBucketsSql: String = s"""
+    WITH $oracleQuantized
+    SELECT vec_id, CAST($duckBucketExpr AS INTEGER) AS bucket FROM qn"""
+
+  // =========================================================================
+  // s3 — bucketed ANN: top-3 within the query's LSH bucket
+  // =========================================================================
+
+  /** The approximate variant: candidates = same-bucket vectors only.
+    * One shuffle on bucket id; per-bucket fan-out is N/256 on random
+    * data instead of N.
+    */
+  val s3AnnBucketed: Q = (s, dir) => {
+    val b = quantized(s, dir)
+      .withColumn("bucket", expr(s"cast($sparkBucketExpr as int)"))
+    val queries = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("bucket"))
+    val scored = queries
+      .join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", cosine(col("dot"), col("q_n2"), col("n2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("bucket"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  val s3AnnBucketedSql: String = s"""
+    WITH $oracleQuantized,
+    b AS (SELECT vec_id, qv, n2, CAST($duckBucketExpr AS INTEGER) AS bucket FROM qn),
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2, bucket FROM b
+                WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, q.bucket, vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * n2::DOUBLE) AS cos_sim
+      FROM queries q JOIN b USING (bucket) WHERE query_id <> vec_id),
+    ranked AS (
+      SELECT query_id, bucket, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, bucket, rank, vec_id AS neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 3"""
+
+  // =========================================================================
+  // s4 — embedding near-duplicate pairs (cosine threshold, label-blocked)
+  // =========================================================================
+
+  /** Near-dup pairs within a label block at cosine ≥ 0.4. Label
+    * blocking is the same bounded-candidate idea as d5's language
+    * blocks; at scale the block key would be the LSH bucket instead.
+    */
+  val s4EmbeddingNeardup: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", cosine(col("dot"), col("a.n2"), col("b.n2")))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+  }
+
+  val s4EmbeddingNeardupSql: String = s"""
+    WITH $oracleQuantized,
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(a.qv, i) * list_extract(b.qv, i)), 'sum')::DOUBLE
+               / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos_sim
+      FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4"""
+
+  // =========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "s1_cosine_topk"       -> s1CosineTopk,
+    "s2_lsh_buckets"       -> s2LshBuckets,
+    "s3_ann_bucketed"      -> s3AnnBucketed,
+    "s4_embedding_neardup" -> s4EmbeddingNeardup,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_cosine_topk"       -> s1CosineTopkSql,
+    "s2_lsh_buckets"       -> s2LshBucketsSql,
+    "s3_ann_bucketed"      -> s3AnnBucketedSql,
+    "s4_embedding_neardup" -> s4EmbeddingNeardupSql,
+  )
+}
