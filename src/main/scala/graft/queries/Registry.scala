@@ -147,7 +147,8 @@ object Registry {
     "q4_doc_assembly"     -> q4DocAssembly,
     "q5_topk_window"      -> q5TopkWindow,
     "q6_listagg_distinct" -> q6ListaggDistinct,
-  ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++ graft.sim.Similarity.queries
+  ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++
+    graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -156,5 +157,6 @@ object Registry {
     "q4_doc_assembly"     -> DocAssembly.docsOracle,
     "q5_topk_window"      -> q5TopkWindowSql,
     "q6_listagg_distinct" -> q6ListaggDistinctSql,
-  ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++ graft.sim.Similarity.oracleSql
+  ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++
+    graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql
 }

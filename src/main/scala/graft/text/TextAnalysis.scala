@@ -1,0 +1,179 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over `documents` — the per-document scoring
+  * stages of a training-data pipeline. All pure per-row map stages
+  * (no shuffle), codegen'd, with integer or single-division outputs so
+  * the DuckDB oracle matches bit-exactly.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stopword profiles for the corpus languages. The heuristic is the
+    * classic profile-hit count (an n-gram/profile language identifier à
+    * la Cavnar-Trenkle, reduced to unigram stopwords); prediction is
+    * argmax with a fixed priority order for ties.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai"),
+  )
+
+  private def tokensExpr =
+    "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"
+  private def oracleTokens =
+    "str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')"
+
+  // =========================================================================
+  // t1 — language identification (stopword-profile heuristic)
+  // =========================================================================
+
+  val t1LangId: Q = (s, dir) => {
+    val hitCols = profiles.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(tokens, t -> t in ($inList)))").as(s"${lang}_hits")
+    }
+    // argmax with ties resolved by profile order (alphabetical)
+    val pred = profiles.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (lang, acc) =>
+        val others = profiles.map(_._1).filter(_ != lang)
+          .map(o => col(s"${lang}_hits") >= col(s"${o}_hits")).reduce(_ && _)
+        when(others && col(s"${lang}_hits") > 0, lang).otherwise(acc)
+    }
+    Tables.load(s, dir, "documents")
+      .withColumn("tokens", expr(tokensExpr))
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: hitCols: _*)
+      .withColumn("predicted_lang", pred)
+  }
+
+  val t1LangIdSql: String = {
+    val hits = profiles.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(tokens, t -> t in ($inList))) AS ${lang}_hits"
+    }.mkString(",\n           ")
+    // identical foldRight: first profile in order that is >= all others and > 0
+    val pred = profiles.map(_._1).foldRight("'und'") { case (lang, acc) =>
+      val others = profiles.map(_._1).filter(_ != lang)
+        .map(o => s"${lang}_hits >= ${o}_hits").mkString(" AND ")
+      s"CASE WHEN $others AND ${lang}_hits > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $oracleTokens AS tokens
+                   FROM documents),
+    h AS (SELECT doc_id, labeled_lang,
+           ${hits}
+          FROM t)
+    SELECT *, $pred AS predicted_lang FROM h"""
+  }
+
+  // =========================================================================
+  // t2 — quality scoring (length / punctuation / stopword ratios)
+  // =========================================================================
+
+  val t2QualityScore: Q = (s, dir) => {
+    val en = profiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    Tables.load(s, dir, "documents")
+      .withColumn("tokens", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(col("tokens")).as("n_tokens"),
+        expr("size(regexp_extract_all(text, '[!?,.]', 0))").as("n_punct"),
+        expr(s"size(filter(tokens, t -> t in ($en)))").as("n_stopwords"))
+      .withColumn("avg_token_len",
+        (col("n_chars_measured") - (col("n_tokens") - 1)) / col("n_tokens"))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("n_punct") * 5 > col("n_tokens"), "punct_heavy")
+          .when(col("n_stopwords") * 20 < col("n_tokens"), "low_stopword")
+          .otherwise("ok"))
+  }
+
+  val t2QualityScoreSql: String = {
+    val en = profiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $oracleTokens AS tokens FROM documents),
+    m AS (SELECT doc_id,
+            length(text) AS n_chars_measured,
+            len(tokens) AS n_tokens,
+            len(regexp_extract_all(text, '[!?,.]')) AS n_punct,
+            len(list_filter(tokens, t -> t in ($en))) AS n_stopwords
+          FROM t)
+    SELECT *,
+           (n_chars_measured - (n_tokens - 1)) / n_tokens AS avg_token_len,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_punct * 5 > n_tokens THEN 'punct_heavy'
+                WHEN n_stopwords * 20 < n_tokens THEN 'low_stopword'
+                ELSE 'ok' END AS quality_bucket
+    FROM m"""
+  }
+
+  // =========================================================================
+  // t3 — token counting (whitespace + BPE-ish regex segmentation)
+  // =========================================================================
+
+  private val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  val t3TokenCount: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr(tokensExpr)).as("ws_tokens"),
+        expr(s"size(regexp_extract_all(lower(text), '$bpeishPattern', 0))")
+          .as("bpeish_tokens"),
+        length(col("text")).as("n_chars_measured"))
+
+  val t3TokenCountSql: String = s"""
+    SELECT doc_id,
+           len($oracleTokens) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '$bpeishPattern')) AS bpeish_tokens,
+           length(text) AS n_chars_measured
+    FROM documents"""
+
+  // =========================================================================
+  // t4 — document fingerprinting
+  // =========================================================================
+
+  /** Two content fingerprints: the sorted-distinct-token set hash
+    * (order-insensitive, catches shuffled near-dups) and a prefix hash
+    * (cheap first-pass blocker). Both md5 so the oracle agrees.
+    */
+  val t4Fingerprint: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("tokens", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        md5(expr("concat_ws(' ', sort_array(array_distinct(tokens)))"))
+          .as("tokenset_fp"),
+        md5(expr("substr(regexp_replace(lower(trim(text)), ' +', ' '), 1, 64)"))
+          .as("prefix_fp"))
+
+  val t4FingerprintSql: String = s"""
+    WITH t AS (SELECT doc_id, text, $oracleTokens AS tokens FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS tokenset_fp,
+           md5(substr(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 64)) AS prefix_fp
+    FROM t"""
+
+  // =========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "t1_lang_id"       -> t1LangId,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_token_count"   -> t3TokenCount,
+    "t4_fingerprint"   -> t4Fingerprint,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_lang_id"       -> t1LangIdSql,
+    "t2_quality_score" -> t2QualityScoreSql,
+    "t3_token_count"   -> t3TokenCountSql,
+    "t4_fingerprint"   -> t4FingerprintSql,
+  )
+}
