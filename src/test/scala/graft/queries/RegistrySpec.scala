@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class RegistrySpec extends SparkSpec {
+
+  test("every query has an oracle and every oracle a query") {
+    assert(Registry.queries.keySet == Registry.oracleSql.keySet)
+  }
+
+  test("all registry queries execute on sf0.001") {
+    graft.core.Tables.registerAll(spark, sfDir)
+    Registry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      withClue(s"$name: ") { assert(n >= 0) }
+    }
+  }
+
+  test("queries are deterministic across runs (sample)") {
+    for (name <- Seq("q4_doc_assembly", "q6_listagg_distinct",
+                     "d2_minhash_signature", "s1_cosine_topk")) {
+      val a = Registry.queries(name)(spark, sfDir)
+      val b = Registry.queries(name)(spark, sfDir)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, name)
+    }
+  }
+}
