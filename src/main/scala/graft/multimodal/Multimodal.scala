@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed
+  * metadata, with decode/feature-extract as distributed per-partition
+  * stages. The sandbox has no image/audio codecs, so the decode step is
+  * a STUB — a deterministic fake (length/md5/first-byte features, fixed
+  * "frame" windows) clearly marked below — while everything Spark-side
+  * is real: the binary schema, the partition-parallel `mapPartitions`
+  * decode shape (one codec init per partition, the JVM analog of a
+  * `mapInPandas` batch UDF), frame explosion, and the pushdown-friendly
+  * metadata projection.
+  *
+  * At 100 TB the payload column dominates I/O: metadata-only queries
+  * must prune it at the scan (see [[metadataOnly]] — `payload` never
+  * appears in its ReadSchema), and decode parallelism follows file
+  * splits, not a driver loop.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The corpus with a binary payload column standing in for encoded
+    * media bytes (`text` UTF-8 here; a real pipeline reads
+    * `binaryFile` sources or parquet binary columns the same way).
+    */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          col("source").as("origin"),
+          col("lang").as("language"),
+          col("n_chars").as("declared_len")).as("meta"))
+
+  final case class MediaFeatures(
+      doc_id: Long, byte_len: Int, first_byte: Int,
+      content_md5: String, n_frames: Int)
+
+  /** Decode/feature-extract over partitions. The body inside the
+    * STUB markers is where a codec (JNI image lib, audio decoder)
+    * would run, initialized once per partition; the surrounding
+    * plumbing — typed Dataset in, typed Dataset out, no collect —
+    * is the real contract.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one expensive "codec" init per partition, not per row
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          // ===== STUB decode: deterministic fake features =====
+          // real impl: codec.decode(bytes) -> pixels/samples
+          val md5hex = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(
+            doc_id = id,
+            byte_len = bytes.length,
+            first_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+            content_md5 = md5hex,
+            n_frames = (bytes.length + 255) / 256)
+          // ===== end STUB =====
+        }
+      }
+  }
+
+  /** Frame sampling: one row per fixed-size payload window — the
+    * explode shape a video frame-sampler produces.
+    */
+  def sampleFrames(spark: SparkSession, dir: String, frameBytes: Int = 256): DataFrame =
+    withPayload(spark, dir)
+      .withColumn("n_frames",
+        ((length(col("payload")) + frameBytes - 1) / frameBytes).cast("int"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, n_frames - 1), " +
+          s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+          .as(Seq("frame_idx", "frame_bytes")))
+
+  /** Metadata projection that must never read the payload column. */
+  def metadataOnly(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("meta.origin"), col("meta.language"),
+        col("meta.declared_len"))
+
+  /** m1 — oracle-checked feature extraction (the SQL-expressible subset
+    * of the stub: byte length, md5, first byte, frame count).
+    */
+  val m1MediaFeatures: Q = (s, dir) =>
+    withPayload(s, dir).select(
+      col("doc_id"),
+      length(col("payload")).as("byte_len"),
+      expr("ascii(substring(cast(payload as string), 1, 1))").as("first_byte"),
+      md5(col("payload")).as("content_md5"),
+      expr("cast((length(payload) + 255) div 256 as bigint)").as("n_frames"))
+
+  val m1MediaFeaturesSql: String = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           md5(text) AS content_md5,
+           CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+    FROM documents"""
+
+  val queries: Map[String, Q] = Map("m1_media_features" -> m1MediaFeatures)
+  val oracleSql: Map[String, String] = Map("m1_media_features" -> m1MediaFeaturesSql)
+}

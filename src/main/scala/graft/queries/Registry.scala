@@ -148,7 +148,8 @@ object Registry {
     "q5_topk_window"      -> q5TopkWindow,
     "q6_listagg_distinct" -> q6ListaggDistinct,
   ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++
-    graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries
+    graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
+    graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -158,5 +159,6 @@ object Registry {
     "q5_topk_window"      -> q5TopkWindowSql,
     "q6_listagg_distinct" -> q6ListaggDistinctSql,
   ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++
-    graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql
+    graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
+    graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql
 }

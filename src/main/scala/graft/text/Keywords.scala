@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** T1-T5 — the reference's keyword-extraction pipeline (`Keyword.py`)
+  * rebuilt distributed. The reference collects all rows to the driver
+  * and loops a missing `colleague_praise_keyword` module
+  * (`Keyword.py:23,192-235`) over them with a pynori tokenizer; its
+  * contract survives only as the call site + output schema
+  * `(KYWR_EMP_NO, KYWR_CLLG_VALUA, KYWR_CLLG_VALUA_RANK)`.
+  *
+  * Here: tokenize (T1) → term frequency (T2) → rank per document (T5)
+  * as one declarative plan — explode + two shuffles (doc-term count,
+  * window rank), no driver loop (the reference's T6 anti-pattern
+  * removed). Ranking uses pure integer ordering (tf desc, corpus df
+  * asc, token asc) instead of a float TF-IDF so the DuckDB oracle
+  * matches bit-exactly; swap the orderBy for log-weighted TF-IDF when
+  * cross-engine reproducibility stops mattering.
+  *
+  * The pynori/nori Korean analyzer is not on the sandbox classpath;
+  * [[tokenize]] is the regex stand-in (SURVEY §2.9 T1's fallback),
+  * shaped so a Lucene nori UDF drops in behind the same column
+  * contract.
+  */
+object Keywords {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** T1: `text` → array of (term, tag) structs; tag is a coarse POS
+    * bucket (`pynori_test.py:22-28` smoke shape: list of (term, POS)).
+    */
+  val tokenizeExpr: String =
+    """transform(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '),
+       t -> struct(
+         t AS term,
+         CASE WHEN t rlike '^[0-9]+$' THEN 'SN'
+              WHEN t rlike '^[a-z]+$' THEN 'NNG'
+              ELSE 'SY' END AS tag))"""
+
+  def tokenize(df: DataFrame): DataFrame =
+    df.withColumn("tokens", expr(tokenizeExpr))
+
+  private val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    .map(w => s"'$w'").mkString(", ")
+
+  /** k1 — top-5 keywords per document: tf desc, rarity (corpus df) asc,
+    * token asc. Stopwords dropped (the reference's commented POS
+    * filter, `Keyword.py:99-101`, as a stop-list).
+    */
+  val k1TopKeywords: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
+          .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"),
+        col("rank").as("kywr_rank"))
+  }
+
+  val k1TopKeywordsSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+               t -> t NOT IN ($stop))) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    ranked AS (
+      SELECT doc_id, term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, term) AS kywr_rank
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term AS keyword, tf, df, kywr_rank
+    FROM ranked WHERE kywr_rank <= 5"""
+
+  /** k2 — T3's cosine similarity between document TF vectors, computed
+    * sparsely: dot products via a shared-term join inside source
+    * blocks, norms as integer Σtf². Same int-exact trick as
+    * [[graft.sim.Similarity]].
+    */
+  val k2TfCosinePairs: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("term"))
+    val tf = toks.groupBy("source", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = tf.as("x")
+      .join(tf.as("y"),
+        col("x.source") === col("y.source") && col("x.term") === col("y.term") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+    dots
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .withColumn("cos_sim",
+        col("dot").cast("double") / sqrt(col("na.n2").cast("double") * col("nb.n2").cast("double")))
+      .filter(col("cos_sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("cos_sim"))
+  }
+
+  val k2TfCosinePairsSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT source, doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+    norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+    dots AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, sum(x.tf * y.tf) AS dot
+      FROM tf x JOIN tf y
+        ON x.source = y.source AND x.term = y.term AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cos_sim
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.8"""
+
+  val queries: Map[String, Q] = Map(
+    "k1_top_keywords"    -> k1TopKeywords,
+    "k2_tf_cosine_pairs" -> k2TfCosinePairs,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "k1_top_keywords"    -> k1TopKeywordsSql,
+    "k2_tf_cosine_pairs" -> k2TfCosinePairsSql,
+  )
+}

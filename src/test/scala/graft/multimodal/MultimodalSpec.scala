@@ -1,0 +1,40 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("payload schema carries binary + typed metadata") {
+    val df = Multimodal.withPayload(spark, sfDir)
+    assert(df.schema("payload").dataType.typeName == "binary")
+    assert(df.schema("meta").dataType.typeName == "struct")
+  }
+
+  test("mapPartitions decode stub yields features consistent with SQL path") {
+    val typed = Multimodal.decodeFeatures(spark, sfDir).toDF()
+    val sql = Multimodal.m1MediaFeatures(spark, sfDir)
+    // same md5 + byte_len per doc from both the typed stub and the SQL path
+    val joined = typed.as("a").join(sql.as("b"), "doc_id")
+      .filter(col("a.content_md5") =!= col("b.content_md5") ||
+              col("a.byte_len") =!= col("b.byte_len") ||
+              col("a.n_frames") =!= col("b.n_frames"))
+    assert(joined.isEmpty)
+  }
+
+  test("frame sampling covers every payload byte exactly once") {
+    val frames = Multimodal.sampleFrames(spark, sfDir, frameBytes = 256)
+    val total = frames.select(sum(length(col("frame_bytes")))).collect()(0).getLong(0)
+    val expected = Multimodal.withPayload(spark, sfDir)
+      .select(sum(length(col("payload")))).collect()(0).getLong(0)
+    assert(total == expected)
+  }
+
+  test("metadata-only projection prunes the payload column at the scan") {
+    val df = Multimodal.metadataOnly(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), plan)
+  }
+}
