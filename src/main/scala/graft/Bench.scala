@@ -30,15 +30,22 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // noop sink forces full materialization of every output column —
+    // count() would let Catalyst prune the projections of map-only
+    // queries and under-measure them.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     // Warmup at the smallest SF: pays codegen + JIT once, off the clock.
     val warmDir = "/root/testdata/sf0.001"
     queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
+      try run(fn, sfDir) catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 

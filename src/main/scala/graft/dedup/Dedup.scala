@@ -31,18 +31,24 @@ object Dedup {
     */
   private def withShingles(docs: DataFrame): DataFrame =
     docs
-      .withColumn("tokens",
-        expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
       .withColumn("shingles",
         expr("""array_distinct(transform(sequence(1, greatest(size(tokens)-2, 1)),
-                j -> concat_ws(' ', slice(tokens, j, 3))))"""))
+                j -> concat(element_at(tokens, j), ' ',
+                            coalesce(element_at(tokens, j+1), ''), ' ',
+                            coalesce(element_at(tokens, j+2), ''))))"""))
 
-  /** DuckDB equivalents of the two derived columns above. */
+  /** DuckDB equivalents of the two derived columns above. element_at
+    * past the end is NULL in both engines but Spark's concat NULLs out
+    * while DuckDB's skips — the explicit coalesce makes sub-3-token
+    * docs identical on both sides.
+    */
   private val oracleTokens =
-    "str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')"
+    "str_split_regex(lower(trim(text)), ' +')"
   private val oracleShingles =
     """list_distinct(list_transform(range(1, greatest(len(tokens)-2, 1)+1),
-       j -> array_to_string(tokens[j:j+2], ' ')))"""
+       j -> concat(tokens[j], ' ', coalesce(tokens[j+1], ''), ' ',
+                   coalesce(tokens[j+2], ''))))"""
 
   // =========================================================================
   // d1 — exact dedup: hash-groupBy on normalized content
@@ -71,15 +77,28 @@ object Dedup {
   private val BandSize = 4
   private val NumBands = NumHashes / BandSize
 
+  /** Universal-hash family over one md5 per shingle: the shingle is
+    * hashed once (the expensive part), reduced mod a Mersenne prime,
+    * then the 16 "permutations" are cheap `(m·aᵢ + bᵢ) mod p` mixes —
+    * the standard MinHash construction, ~16× less hashing than
+    * md5-per-seed. All int64 ops stay under 2^47, exact in both
+    * engines.
+    */
+  private val P = 2147483647L // 2^31 - 1
+  private def hashA(i: Int): Long = (7919L * (i + 1)) % 65536L
+  private def hashB(i: Int): Long = (104729L * (i + 1)) % P
+
   private def mhCol(i: Int): String = f"mh$i%02d"
 
   /** doc_id + 16 minhash columns. Pure per-row map stage: no shuffle. */
   def signatures(s: SparkSession, dir: String): DataFrame = {
     val mhs = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(shingles, x -> md5(concat('$i:', x))))")
+      expr(s"array_min(transform(hm, m -> (m * ${hashA(i)} + ${hashB(i)}) % $P))")
         .as(mhCol(i))
     }
     withShingles(Tables.load(s, dir, "documents"))
+      .withColumn("hm",
+        expr(s"transform(shingles, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % $P)"))
       .select(col("doc_id") +: mhs: _*)
   }
 
@@ -88,13 +107,16 @@ object Dedup {
   /** Shared oracle CTE producing the same signature table in DuckDB. */
   private val signatureCte: String = {
     val mhs = (0 until NumHashes).map { i =>
-      s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min') AS ${mhCol(i)}"
+      s"list_aggregate(list_transform(hm, m -> (m * ${hashA(i)} + ${hashB(i)}) % $P), 'min') AS ${mhCol(i)}"
     }.mkString(",\n             ")
     s"""t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
     sh_t AS (SELECT doc_id, $oracleShingles AS sh FROM t),
+    hm_t AS (SELECT doc_id,
+               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hm
+             FROM sh_t),
     sig AS (SELECT doc_id,
              $mhs
-            FROM sh_t)"""
+            FROM hm_t)"""
   }
 
   val d2MinhashSignatureSql: String = s"WITH $signatureCte SELECT * FROM sig"
@@ -114,8 +136,13 @@ object Dedup {
     val bandCols = (0 until NumBands).map { b =>
       md5(concat_ws("|", (0 until BandSize).map(r => col(mhCol(b * BandSize + r))): _*))
     }
+    // persist: both sides of the self-join read the same tiny
+    // (doc, band) frame instead of recomputing the shingle+hash
+    // pipeline twice (cache-manager dedupes identical plans, so
+    // repeated invocations share one entry)
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -127,7 +154,7 @@ object Dedup {
 
   val d3LshPairsSql: String = {
     val bandSelects = (0 until NumBands).map { b =>
-      val cols = (0 until BandSize).map(r => mhCol(b * BandSize + r))
+      val cols = (0 until BandSize).map(r => s"CAST(${mhCol(b * BandSize + r)} AS VARCHAR)")
       s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
     }.mkString("\n      UNION ALL ")
     s"""WITH $signatureCte,
@@ -178,7 +205,10 @@ object Dedup {
     * integer/integer division — bit-exact vs the oracle.
     */
   val d5NgramJaccard: Q = (s, dir) => {
+    // persist: the shingled corpus feeds four plan branches (both
+    // self-join sides + both count joins); one materialization
     val docs = withShingles(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("shingles")).persist()
     val sh = docs.select(col("doc_id"), col("lang"),
       explode(col("shingles")).as("sh"))
     val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))

@@ -3,30 +3,29 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
-import graft.io.IdempotentWriter
 
 /** Dev scratch main for plan/sink debugging. */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(cores = 8, appName = "graft-debug")
-    val sfDir = "/root/testdata/sf0.001"
+    val spark = Sessions.local(cores = 32, appName = "graft-debug")
+    val sfDir = "/root/testdata/sf0.1"
 
-    println("=== q1 executedPlan (post-count) ===")
-    val q1 = graft.queries.Registry.queries("q1_pricing_summary")(spark, sfDir)
-    q1.count()
-    println(q1.queryExecution.executedPlan.toString.take(1500))
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
 
-    println("=== partitionRefresh debug ===")
-    val out = java.nio.file.Files.createTempDirectory("dbg").toString
-    val nation = Tables.load(spark, sfDir, "nation")
-    val d1 = nation.withColumn("dt", lit("20240101"))
-    val d2 = nation.limit(5).withColumn("dt", lit("20240102"))
-    IdempotentWriter.partitionRefresh(d1, s"$out/t", "dt")
-    IdempotentWriter.partitionRefresh(d2, s"$out/t", "dt")
-    val d2b = nation.limit(3).withColumn("dt", lit("20240102"))
-    val written = IdempotentWriter.partitionRefresh(d2b, s"$out/t", "dt")
-    println(s"written=$written")
-    spark.read.parquet(s"$out/t").groupBy("dt").count().show()
+    val ev = Tables.load(spark, sfDir, "events")
+    time("events noop")(ev.write.format("noop").mode("overwrite").save())
+
+    val q7 = graft.ops.EventNormalize.normalize(spark, sfDir)
+    time("q7 select 3 cols noop")(
+      q7.select("event_id", "event_label", "value_bucket")
+        .write.format("noop").mode("overwrite").save())
+    time("q7 no-json noop")(
+      q7.drop("prop_k").write.format("noop").mode("overwrite").save())
+    time("q7 full noop")(q7.write.format("noop").mode("overwrite").save())
+    println(q7.queryExecution.executedPlan.toString.take(600))
     spark.stop()
   }
 }
