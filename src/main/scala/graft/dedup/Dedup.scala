@@ -244,6 +244,46 @@ object Dedup {
     WHERE shared / (ca.nsh + cb.nsh - shared) >= 0.5"""
 
   // =========================================================================
+  // d6 — SimHash hamming near-dup pairs
+  // =========================================================================
+
+  /** Pairs whose 32-bit SimHash differs in ≤ 6 bits, blocked on the
+    * upper 16 bits (the standard SimHash-table trick: near-identical
+    * fingerprints agree on most prefix bits, so blocking bounds the
+    * quadratic join; a full production table uses several bit
+    * rotations as alternate block keys). `bit_count(xor)` is a single
+    * codegen'd instruction per pair.
+    */
+  val d6SimhashHamming: Q = (s, dir) => {
+    val sh = d4Simhash(s, dir)
+      .withColumn("block", expr("shiftright(simhash, 16)"))
+      .persist()
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        expr("bit_count(a.simhash ^ b.simhash)"))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+  }
+
+  val d6SimhashHammingSql: String = {
+    val bitSum = (0 until 32).map { b =>
+      s"(case when 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) then ${1L << b} else 0 end)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    h AS (SELECT doc_id,
+            list_transform(tokens, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+          FROM t),
+    sh AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM h),
+    blocked AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+  }
 
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup"       -> d1ExactDedup,
@@ -251,6 +291,7 @@ object Dedup {
     "d3_lsh_pairs"         -> d3LshPairs,
     "d4_simhash"           -> d4Simhash,
     "d5_ngram_jaccard"     -> d5NgramJaccard,
+    "d6_simhash_hamming"   -> d6SimhashHamming,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -259,5 +300,6 @@ object Dedup {
     "d3_lsh_pairs"         -> d3LshPairsSql,
     "d4_simhash"           -> d4SimhashSql,
     "d5_ngram_jaccard"     -> d5NgramJaccardSql,
+    "d6_simhash_hamming"   -> d6SimhashHammingSql,
   )
 }
