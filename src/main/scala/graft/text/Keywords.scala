@@ -128,6 +128,25 @@ object Keywords {
     JOIN norms nb ON doc_b = nb.doc_id
     WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.8"""
 
+  /** T2 via spark.ml — `CountVectorizer` fit over the token column
+    * (`Keyword.py:25`), yielding sparse TF vectors sized to the corpus
+    * vocabulary. The sparse explode+count path (k1/k2) is the
+    * oracle-checkable equivalent; this is the MLlib-typed surface for
+    * downstream estimators.
+    */
+  def tfVectors(s: SparkSession, dir: String,
+                vocabSize: Int = 1 << 16): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("terms",
+        expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+    new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("terms").setOutputCol("tf")
+      .setVocabSize(vocabSize)
+      .fit(docs)
+      .transform(docs)
+      .select("doc_id", "tf")
+  }
+
   val queries: Map[String, Q] = Map(
     "k1_top_keywords"    -> k1TopKeywords,
     "k2_tf_cosine_pairs" -> k2TfCosinePairs,

@@ -16,6 +16,18 @@ class KeywordsSpec extends SparkSpec {
     assert(toks.toSeq == Seq(("spark", "NNG"), ("30", "SN"), ("rows!", "SY")))
   }
 
+  test("CountVectorizer TF vectors match the sparse token counts") {
+    val tf = Keywords.tfVectors(spark, sfDir)
+    val row = tf.filter(col("doc_id") === 0).collect()(0)
+    val vec = row.getAs[org.apache.spark.ml.linalg.SparseVector]("tf")
+    // nnz == distinct tokens of doc 0; total == token count of doc 0
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0)
+      .select(explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("t"))
+    assert(vec.numNonzeros == toks.distinct().count())
+    assert(vec.values.sum.round == toks.count())
+  }
+
   test("top keywords are ranked 1..5 per doc with no ties") {
     val k = Keywords.k1TopKeywords(spark, sfDir)
     val bad = k.groupBy("doc_id", "kywr_rank").count().filter(col("count") > 1)
