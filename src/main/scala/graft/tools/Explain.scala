@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.core.Sessions
+
+/** Dump explain("formatted") for selected queries — the plan-review
+  * loop (builder contract: iterate until the plan is the one you'd
+  * want at 1000 executors, not the first one that passes).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(cores = 8, appName = "graft-explain")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else graft.queries.Registry.queries.keys.toSeq.sorted
+    for (n <- names) {
+      println(s"\n======== $n ========")
+      graft.queries.Registry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
