@@ -49,10 +49,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // best-of-3: the sandbox host shows episodic CPU steal from
+    // co-tenants; the minimum is the engine's actual cost
     val results = queries.map { case (name, fn) =>
-      val a = timeOne(fn)
-      val b = timeOne(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(3)(timeOne(fn))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -34,4 +34,20 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Load with a parallelism floor for compute-heavy map stages.
+    *
+    * Parquet scans parallelize by row group; the test corpus is
+    * single-row-group files, which would pin per-row-expensive work
+    * (shingling, hashing, quantization) to ONE task. When the scan
+    * yields fewer partitions than the cluster's parallelism, spread it
+    * with a round-robin repartition — the shuffled payload is the raw
+    * input (small relative to the compute), and at production scale
+    * multi-row-group files make this a no-op.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -59,7 +59,7 @@ object Dedup {
     * first to shrink the corpus for the fuzzy passes.
     */
   val d1ExactDedup: Q = (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .groupBy(md5(regexp_replace(lower(trim(col("text"))), " +", " "))
         .as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -96,7 +96,7 @@ object Dedup {
       expr(s"array_min(transform(hm, m -> (m * ${hashA(i)} + ${hashB(i)}) % $P))")
         .as(mhCol(i))
     }
-    withShingles(Tables.load(s, dir, "documents"))
+    withShingles(Tables.loadParallel(s, dir, "documents"))
       .withColumn("hm",
         expr(s"transform(shingles, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % $P)"))
       .select(col("doc_id") +: mhs: _*)
@@ -177,7 +177,7 @@ object Dedup {
     val bitSum = (0 until 32).map { b =>
       s"(case when 2*size(filter(hs, h -> shiftright(h, $b) % 2 = 1)) > size(hs) then ${1L << b} else 0 end)"
     }.mkString(" + ")
-    withShingles(Tables.load(s, dir, "documents"))
+    withShingles(Tables.loadParallel(s, dir, "documents"))
       .withColumn("hs",
         expr("transform(tokens, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"))
       .select(col("doc_id"), expr(s"cast($bitSum as bigint)").as("simhash"))
@@ -207,7 +207,7 @@ object Dedup {
   val d5NgramJaccard: Q = (s, dir) => {
     // persist: the shingled corpus feeds four plan branches (both
     // self-join sides + both count joins); one materialization
-    val docs = withShingles(Tables.load(s, dir, "documents"))
+    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("shingles")).persist()
     val sh = docs.select(col("doc_id"), col("lang"),
       explode(col("shingles")).as("sh"))

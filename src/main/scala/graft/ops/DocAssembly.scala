@@ -50,13 +50,28 @@ object DocAssembly {
     * Redshift `listagg(distinct)` leaves unspecified (SURVEY §7).
     */
   private def trngSide(orders: DataFrame): DataFrame = {
-    def branch(yn: Boolean) = orders
-      .filter(if (yn) col("o_orderstatus") === "F" else col("o_orderstatus") =!= "F")
-      .groupBy(col("o_custkey").as("trng_emp_no"))
-      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
-        .as(if (yn) "y_list" else "n_list"))
-    branch(true).withColumn("n_list", lit(null).cast("string"))
-      .unionByName(branch(false).withColumn("y_list", lit(null).cast("string")))
+    // One aggregation pass instead of two filtered groupBys + union:
+    // collect both branch sets conditionally (collect_set drops the
+    // CASE's nulls), then explode into the reference's two-row-per-key
+    // union shape, keeping rows only for branches that had input — the
+    // exact row set the filtered branches produced, at half the
+    // shuffles and one orders scan.
+    orders.groupBy(col("o_custkey").as("trng_emp_no"))
+      .agg(
+        sort_array(collect_set(when(col("o_orderstatus") === "F",
+          col("o_orderpriority")))).as("y_set"),
+        sort_array(collect_set(when(col("o_orderstatus") =!= "F",
+          col("o_orderpriority")))).as("n_set"))
+      .select(col("trng_emp_no"), explode(expr(
+        """filter(array(
+             named_struct('y_list', array_join(y_set, ','),
+                          'n_list', CAST(NULL AS STRING),
+                          'nonempty', size(y_set) > 0),
+             named_struct('y_list', CAST(NULL AS STRING),
+                          'n_list', array_join(n_set, ','),
+                          'nonempty', size(n_set) > 0)),
+           b -> b.nonempty)""")).as("b"))
+      .select(col("trng_emp_no"), col("b.y_list"), col("b.n_list"))
   }
 
   /** Scalar + list document columns, grouped per `dre_cd`. Oracle-safe:

@@ -51,7 +51,7 @@ object Similarity {
 
   /** vec_id, label, qv (int64 millionths), n2 (int64 squared norm). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadParallel(s, dir, "embeddings")
       .withColumn("qv",
         expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"))
       .withColumn("n2",

@@ -52,7 +52,7 @@ object Keywords {
     * filter, `Keyword.py:99-101`, as a stop-list).
     */
   val k1TopKeywords: Q = (s, dir) => {
-    val toks = Tables.load(s, dir, "documents")
+    val toks = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
           .as("term"))
@@ -89,7 +89,7 @@ object Keywords {
     * [[graft.sim.Similarity]].
     */
   val k2TfCosinePairs: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadParallel(s, dir, "documents")
     val toks = docs.select(col("doc_id"), col("source"),
       explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("term"))
     val tf = toks.groupBy("source", "doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -136,7 +136,7 @@ object Keywords {
     */
   def tfVectors(s: SparkSession, dir: String,
                 vocabSize: Int = 1 << 16): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadParallel(s, dir, "documents")
       .withColumn("terms",
         expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
     new org.apache.spark.ml.feature.CountVectorizer()

@@ -48,7 +48,7 @@ object TextAnalysis {
           .map(o => col(s"${lang}_hits") >= col(s"${o}_hits")).reduce(_ && _)
         when(others && col(s"${lang}_hits") > 0, lang).otherwise(acc)
     }
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .withColumn("tokens", expr(tokensExpr))
       .select(col("doc_id") +: col("lang").as("labeled_lang") +: hitCols: _*)
       .withColumn("predicted_lang", pred)
@@ -79,7 +79,7 @@ object TextAnalysis {
 
   val t2QualityScore: Q = (s, dir) => {
     val en = profiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .withColumn("tokens", expr(tokensExpr))
       .select(
         col("doc_id"),
@@ -121,7 +121,7 @@ object TextAnalysis {
   private val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   val t3TokenCount: Q = (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .select(
         col("doc_id"),
         size(expr(tokensExpr)).as("ws_tokens"),
@@ -145,7 +145,7 @@ object TextAnalysis {
     * (cheap first-pass blocker). Both md5 so the oracle agrees.
     */
   val t4Fingerprint: Q = (s, dir) =>
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .withColumn("tokens", expr(tokensExpr))
       .select(
         col("doc_id"),
