@@ -177,6 +177,69 @@ object RefQueries {
     SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1"""
 
+  /** Rollup with grouping_id — subtotal/total rows the reference's
+    * monitoring would want; Catalyst expands to one Expand + one
+    * aggregate (no N-pass scan).
+    */
+  val q18Rollup: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("qty_cents"),
+        grouping_id().as("gid"))
+  }
+
+  val q18RollupSql: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+  /** INTERSECT / EXCEPT (absent from the reference, SURVEY §2.7 —
+    * completes the set-op family): customers in BUILDING vs with-orders.
+    */
+  val q19SetOps: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(withOrders)
+      .withColumn("tag", lit("both"))
+      .unionByName(building.exceptAll(withOrders).withColumn("tag", lit("no_orders")))
+  }
+
+  val q19SetOpsSql: String = """
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT ALL
+      SELECT DISTINCT o_custkey FROM orders)"""
+
+  /** Correlated scalar subquery — customers above their nation's
+    * average balance (cents-exact): Catalyst de-correlates into an
+    * aggregate + join, the shape the reference pushed to Redshift.
+    */
+  val q20CorrelatedSubquery: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+    val natAvg = c.groupBy("c_nationkey")
+      .agg((sum("bal_cents") / count(lit(1))).as("avg_cents"))
+    c.join(broadcast(natAvg), Seq("c_nationkey"))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .select("c_custkey", "c_nationkey", "bal_cents")
+  }
+
+  val q20CorrelatedSubquerySql: String = """
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+    FROM customer c
+    WHERE CAST(round(c_acctbal*100) AS BIGINT) > (
+      SELECT CAST(SUM(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE) / count(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)"""
+
   val queries: Map[String, Q] = Map(
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
@@ -188,6 +251,10 @@ object RefQueries {
     "q14_text_search"      -> q14TextSearch,
     "q15_nested_docs"      -> q15NestedDocs,
     "q16_top1_sorted"      -> q16Top1Sorted,
+    "q17_sessionize"       -> graft.streaming.Sessionize.q17Sessionize,
+    "q18_rollup"           -> q18Rollup,
+    "q19_set_ops"          -> q19SetOps,
+    "q20_correlated_subquery" -> q20CorrelatedSubquery,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -201,5 +268,9 @@ object RefQueries {
     "q14_text_search"      -> q14TextSearchSql,
     "q15_nested_docs"      -> q15NestedDocsSql,
     "q16_top1_sorted"      -> q16Top1SortedSql,
+    "q17_sessionize"       -> graft.streaming.Sessionize.q17SessionizeSql,
+    "q18_rollup"           -> q18RollupSql,
+    "q19_set_ops"          -> q19SetOpsSql,
+    "q20_correlated_subquery" -> q20CorrelatedSubquerySql,
   )
 }
