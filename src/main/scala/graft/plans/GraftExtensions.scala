@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("listagg"),
       new ExpressionInfo(classOf[ListAgg].getName, "listagg"),
       ListAgg.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "long_array_dot(a, b) expects 2 arguments")
+        LongArrayDot(args(0), args(1))
+      }))
   }
 }

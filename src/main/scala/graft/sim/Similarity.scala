@@ -54,8 +54,7 @@ object Similarity {
     Tables.loadParallel(s, dir, "embeddings")
       .withColumn("qv",
         expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"))
-      .withColumn("n2",
-        expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x*x)"))
+      .withColumn("n2", graft.plans.LongArrayDot.dot(col("qv"), col("qv")))
 
   private val oracleQuantized: String = s"""
     q AS (SELECT vec_id, label,
@@ -82,8 +81,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
     val scored = broadcast(queries)
       .join(corpus, col("query_id") =!= col("vec_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")))
       .withColumn("cos_sim", cosine(col("dot"), col("q_n2"), col("n2")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -117,7 +115,7 @@ object Similarity {
   private def sparkBucketExpr: String =
     (0 until NumPlanes).map { p =>
       val lit = planes(p).mkString(",")
-      s"(case when aggregate(zip_with(qv, array($lit), (x, w) -> x*w), cast(0 as bigint), (acc, x) -> acc + x) >= 0 then ${1 << p} else 0 end)"
+      s"(case when long_array_dot(qv, cast(array($lit) as array<bigint>)) >= 0 then ${1 << p} else 0 end)"
     }.mkString(" + ")
 
   private def duckBucketExpr: String =
@@ -151,8 +149,7 @@ object Similarity {
     val scored = queries
       .join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")))
       .withColumn("cos_sim", cosine(col("dot"), col("q_n2"), col("n2")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -194,8 +191,7 @@ object Similarity {
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x*y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("a.qv"), col("b.qv")))
       .withColumn("cos_sim", cosine(col("dot"), col("a.n2"), col("b.n2")))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
