@@ -244,6 +244,63 @@ object Dedup {
     WHERE shared / (ca.nsh + cb.nsh - shared) >= 0.5"""
 
   // =========================================================================
+  // d7 — stop-shingle-prefiltered Jaccard (the d5 scale path, as code)
+  // =========================================================================
+
+  /** d5 with the production prefilter applied: shingles occurring in
+    * more than `DfCap` documents are dropped before the self-join, so
+    * the pair fan-out per shingle is bounded by DfCap² instead of the
+    * hottest shingle's frequency — the knob that keeps the join
+    * tractable at 100 TB. Jaccard is then over the filtered sets
+    * (denominators shrink identically on both engines, so the oracle
+    * stays bit-exact).
+    */
+  private val DfCap = 20
+
+  val d7JaccardPrefiltered: Q = (s, dir) => {
+    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("shingles"))
+    val sh = docs.select(col("doc_id"), col("lang"),
+      explode(col("shingles")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select("sh")
+    val shF = sh.join(rare, "sh").persist()
+    val counts = shF.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = shF.as("x")
+      .join(shF.as("y"),
+        col("x.lang") === col("y.lang") && col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") / (col("ca.nsh") + col("cb.nsh") - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  val d7JaccardPrefilteredSql: String = s"""
+    WITH t AS (SELECT doc_id, lang, $oracleTokens AS tokens FROM documents),
+    s AS (SELECT doc_id, lang, $oracleShingles AS sh FROM t),
+    e AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+    rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $DfCap),
+    ef AS (SELECT e.* FROM e JOIN rare USING (g)),
+    shared AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+      FROM ef x JOIN ef y ON x.lang = y.lang AND x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, count(*) AS nsh FROM ef GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           shared / (ca.nsh + cb.nsh - shared) AS jaccard
+    FROM shared
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE shared / (ca.nsh + cb.nsh - shared) >= 0.5"""
+
+  // =========================================================================
   // d6 — SimHash hamming near-dup pairs
   // =========================================================================
 
@@ -292,6 +349,7 @@ object Dedup {
     "d4_simhash"           -> d4Simhash,
     "d5_ngram_jaccard"     -> d5NgramJaccard,
     "d6_simhash_hamming"   -> d6SimhashHamming,
+    "d7_jaccard_prefiltered" -> d7JaccardPrefiltered,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -301,5 +359,6 @@ object Dedup {
     "d4_simhash"           -> d4SimhashSql,
     "d5_ngram_jaccard"     -> d5NgramJaccardSql,
     "d6_simhash_hamming"   -> d6SimhashHammingSql,
+    "d7_jaccard_prefiltered" -> d7JaccardPrefilteredSql,
   )
 }
