@@ -209,11 +209,84 @@ object Similarity {
 
   // =========================================================================
 
+  // =========================================================================
+  // s5 — IVF-style ANN: coarse quantizer + probe-own-cell
+  // =========================================================================
+
+  /** Inverted-file ANN with a deterministic coarse quantizer: every
+    * 125th vector is a centroid, each vector is assigned to its
+    * highest-cosine centroid (ties to the lower centroid id), and a
+    * query probes only its own cell — the IVF nprobe=1 shape. At scale
+    * the centroid set is broadcast (it is tiny by construction), cell
+    * assignment is a map stage over the corpus, and the probe join
+    * shuffles on cell id; a production build would replace the sampled
+    * centroids with k-means and raise nprobe.
+    */
+  val s5IvfAnn: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("qv"), col("n2"), col("c_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    queries.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(
+        graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")), col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  val s5IvfAnnSql: String = s"""
+    WITH $oracleQuantized,
+    centroids AS (SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM qn
+                  WHERE vec_id % 125 = 0),
+    scored_cells AS (
+      SELECT qn.vec_id, qn.qv, qn.n2, c_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qv, i) * list_extract(c_qv, i)), 'sum')::DOUBLE
+               / sqrt(n2::DOUBLE * c_n2::DOUBLE) AS c_cos
+      FROM qn CROSS JOIN centroids),
+    assigned AS (
+      SELECT vec_id, qv, n2, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, c_id) AS rn
+        FROM scored_cells) WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2, cell
+                FROM assigned WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, q.cell, a.vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(a.qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * a.n2::DOUBLE) AS cos_sim
+      FROM queries q JOIN assigned a USING (cell)
+      WHERE query_id <> a.vec_id),
+    ranked AS (
+      SELECT query_id, cell, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, cell, rank, vec_id AS neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 3"""
+
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk"       -> s1CosineTopk,
     "s2_lsh_buckets"       -> s2LshBuckets,
     "s3_ann_bucketed"      -> s3AnnBucketed,
     "s4_embedding_neardup" -> s4EmbeddingNeardup,
+    "s5_ivf_ann"           -> s5IvfAnn,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -221,5 +294,6 @@ object Similarity {
     "s2_lsh_buckets"       -> s2LshBucketsSql,
     "s3_ann_bucketed"      -> s3AnnBucketedSql,
     "s4_embedding_neardup" -> s4EmbeddingNeardupSql,
+    "s5_ivf_ann"           -> s5IvfAnnSql,
   )
 }
