@@ -8,9 +8,9 @@ import org.apache.spark.sql.SparkSession
   * Measures steady-state engine throughput, not JVM cold-start: a
   * warmup pass on sf0.001 triggers class loading, Catalyst analysis and
   * whole-stage-codegen compilation for every query shape, then each
-  * query is timed twice at the target scale factor and the best pass is
-  * reported (standard min-of-N practice — the first timed pass still
-  * carries JIT tiering noise).
+  * query is timed three times at the target scale factor and the best
+  * pass is reported (standard min-of-N practice — JIT tiering noise
+  * plus this host's episodic CPU steal inflate the other passes).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -147,13 +147,46 @@ object Keywords {
       .select("doc_id", "tf")
   }
 
+  /** k3 — the reference's exact output contract
+    * (`Keyword.py:234,239`: `KYWR_EMP_NO`, `KYWR_CLLG_VALUA`,
+    * `KYWR_CLLG_VALUA_RANK` after the rename at `:239`): a user of the
+    * reference gets the same shape, top-3 per key as a LongType rank.
+    */
+  val k3KywrContract: Q = (s, dir) =>
+    k1TopKeywords(s, dir)
+      .filter(col("kywr_rank") <= 3)
+      .select(
+        col("doc_id").cast("string").as("KYWR_EMP_NO"),
+        col("keyword").as("KYWR_CLLG_VALUA"),
+        col("kywr_rank").cast("long").as("KYWR_CLLG_VALUA_RANK"))
+
+  val k3KywrContractSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+               t -> t NOT IN ($stop))) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    ranked AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, term) AS r
+      FROM tf JOIN df USING (term))
+    SELECT CAST(doc_id AS VARCHAR) AS KYWR_EMP_NO,
+           term AS KYWR_CLLG_VALUA,
+           CAST(r AS BIGINT) AS KYWR_CLLG_VALUA_RANK
+    FROM ranked WHERE r <= 3"""
+
   val queries: Map[String, Q] = Map(
     "k1_top_keywords"    -> k1TopKeywords,
     "k2_tf_cosine_pairs" -> k2TfCosinePairs,
+    "k3_kywr_contract"   -> k3KywrContract,
   )
 
   val oracleSql: Map[String, String] = Map(
     "k1_top_keywords"    -> k1TopKeywordsSql,
     "k2_tf_cosine_pairs" -> k2TfCosinePairsSql,
+    "k3_kywr_contract"   -> k3KywrContractSql,
   )
 }
