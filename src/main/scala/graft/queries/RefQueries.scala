@@ -255,6 +255,7 @@ object RefQueries {
     "q18_rollup"           -> q18Rollup,
     "q19_set_ops"          -> q19SetOps,
     "q20_correlated_subquery" -> q20CorrelatedSubquery,
+    "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -272,5 +273,6 @@ object RefQueries {
     "q18_rollup"           -> q18RollupSql,
     "q19_set_ops"          -> q19SetOpsSql,
     "q20_correlated_subquery" -> q20CorrelatedSubquerySql,
+    "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoinSql,
   )
 }
