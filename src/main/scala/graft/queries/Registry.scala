@@ -149,7 +149,8 @@ object Registry {
     "q6_listagg_distinct" -> q6ListaggDistinct,
   ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++
     graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
-    graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries
+    graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
+    graft.functions.KMV.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -160,5 +161,6 @@ object Registry {
     "q6_listagg_distinct" -> q6ListaggDistinctSql,
   ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
-    graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql
+    graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
+    graft.functions.KMV.oracleSql
 }
