@@ -240,6 +240,37 @@ object RefQueries {
       SELECT CAST(SUM(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE) / count(*)
       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)"""
 
+  /** Window-function family breadth: lag/lead, dense_rank, and a
+    * running frame sum in one pass — a single sort per partition key
+    * serves all four (same Window spec ⇒ one WindowExec).
+    */
+  val q23WindowFamily: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .withColumn("price_cents", cents(col("o_totalprice")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"), col("price_cents"),
+      lag("o_orderkey", 1).over(w).as("prev_orderkey"),
+      lead("o_orderkey", 1).over(w).as("next_orderkey"),
+      dense_rank().over(w).as("order_seq"),
+      sum("price_cents")
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("running_cents"))
+  }
+
+  val q23WindowFamilySql: String = """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+           lag(o_orderkey, 1) OVER w AS prev_orderkey,
+           lead(o_orderkey, 1) OVER w AS next_orderkey,
+           dense_rank() OVER w AS order_seq,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
   val queries: Map[String, Q] = Map(
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
@@ -256,6 +287,7 @@ object RefQueries {
     "q19_set_ops"          -> q19SetOps,
     "q20_correlated_subquery" -> q20CorrelatedSubquery,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoin,
+    "q23_window_family"    -> q23WindowFamily,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -274,5 +306,6 @@ object RefQueries {
     "q19_set_ops"          -> q19SetOpsSql,
     "q20_correlated_subquery" -> q20CorrelatedSubquerySql,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoinSql,
+    "q23_window_family"    -> q23WindowFamilySql,
   )
 }
