@@ -271,6 +271,27 @@ object RefQueries {
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
 
+  /** Exact percentiles per group (Spark `percentile` sorts within the
+    * group — fine for bounded groups; the sketch-based
+    * `approx_percentile`/KLL is the unbounded-cardinality variant).
+    * Linear interpolation on identical sorted cents is the same IEEE
+    * arithmetic in both engines.
+    */
+  val q24Percentiles: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(cast(round(o_totalprice*100) as bigint), 0.5)").as("median_cents"),
+        expr("percentile(cast(round(o_totalprice*100) as bigint), 0.9)").as("p90_cents"),
+        count(lit(1)).as("n"))
+
+  val q24PercentilesSql: String = """
+    SELECT o_orderpriority,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_cents,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
@@ -288,6 +309,7 @@ object RefQueries {
     "q20_correlated_subquery" -> q20CorrelatedSubquery,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoin,
     "q23_window_family"    -> q23WindowFamily,
+    "q24_percentiles"      -> q24Percentiles,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -307,5 +329,6 @@ object RefQueries {
     "q20_correlated_subquery" -> q20CorrelatedSubquerySql,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoinSql,
     "q23_window_family"    -> q23WindowFamilySql,
+    "q24_percentiles"      -> q24PercentilesSql,
   )
 }
