@@ -292,6 +292,33 @@ object RefQueries {
            count(*) AS n
     FROM orders GROUP BY o_orderpriority"""
 
+  /** Range (interval) join — per error event, the user's activity in
+    * the following 24 hours; completes the as-of/range family. The
+    * equi key (user) bounds the range probe; at scale the production
+    * layout adds a coarse time grain to the equi side so the range
+    * residual stays per-bucket.
+    */
+  val q25RangeJoin: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+    errors.join(e,
+        col("err_user") === col("user_id") &&
+        col("ts") > col("err_ts") &&
+        col("ts") <= col("err_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_following"))
+  }
+
+  val q25RangeJoinSql: String = """
+    SELECT a.event_id AS err_id, count(*) AS n_following
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id"""
+
   val queries: Map[String, Q] = Map(
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
@@ -310,6 +337,7 @@ object RefQueries {
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoin,
     "q23_window_family"    -> q23WindowFamily,
     "q24_percentiles"      -> q24Percentiles,
+    "q25_range_join"       -> q25RangeJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,5 +358,6 @@ object RefQueries {
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoinSql,
     "q23_window_family"    -> q23WindowFamilySql,
     "q24_percentiles"      -> q24PercentilesSql,
+    "q25_range_join"       -> q25RangeJoinSql,
   )
 }

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("streaming dedup drops repeats within the watermark across batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp)](s)
+    val q = mem.toDS().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000)
+      mem.addData((1L, at(0)), (1L, at(1)), (2L, at(2)))
+      q.processAllAvailable()
+      mem.addData((1L, at(3)), (2L, at(4)), (3L, at(5))) // dupes within watermark
+      q.processAllAvailable()
+      val ids = s.sql("SELECT id FROM dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("kafka source/sink option surface compiles and declares kafka format") {
     // no broker in the sandbox: assert construction fails only at
     // connection time, i.e. the plan carries the kafka source
