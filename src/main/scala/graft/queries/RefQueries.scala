@@ -319,6 +319,25 @@ object RefQueries {
     WHERE a.event_type = 'error'
     GROUP BY a.event_id"""
 
+  /** Batch event-time tumbling windows — the `window()` aggregation
+    * the streaming path uses (`ExactlyOnce.windowedCounts`), here as a
+    * daily batch over the same events (the reference's M4 reprocess
+    * shape). One shuffle on the window start.
+    */
+  val q26TumblingWindows: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  val q26TumblingWindowsSql: String = """
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
@@ -338,6 +357,7 @@ object RefQueries {
     "q23_window_family"    -> q23WindowFamily,
     "q24_percentiles"      -> q24Percentiles,
     "q25_range_join"       -> q25RangeJoin,
+    "q26_tumbling_windows" -> q26TumblingWindows,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -359,5 +379,6 @@ object RefQueries {
     "q23_window_family"    -> q23WindowFamilySql,
     "q24_percentiles"      -> q24PercentilesSql,
     "q25_range_join"       -> q25RangeJoinSql,
+    "q26_tumbling_windows" -> q26TumblingWindowsSql,
   )
 }
