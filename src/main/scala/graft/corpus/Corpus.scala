@@ -1,0 +1,183 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-level training-data operators over `documents` — the stages
+  * between "cleaned documents" and "training mix" in an LLM data
+  * pipeline: deterministic splitting, per-source mixing/upsampling,
+  * eval-set decontamination, and per-language quality gating.
+  *
+  * Everything here is engine-neutral-deterministic (md5 buckets,
+  * integer arithmetic, the percentile interpolation both engines share)
+  * so every query is DuckDB-oracle-checkable, and shuffle-lean:
+  * c1/c2 are pure map stages; c3 is one bounded shingle join; c4 is
+  * one tiny grouped aggregate broadcast back.
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // =========================================================================
+  // c1 — deterministic hash split (train / val / test)
+  // =========================================================================
+
+  /** Content-stable split: bucket = first 16 bits of md5(doc_id) mod
+    * 1000 → 90/5/5. Hash-of-key (not `rand()`, not `sampleBy`) is the
+    * 100 TB answer: the assignment is a per-row map stage with no
+    * shuffle and no seed-ordering dependence, reproducible across
+    * re-runs, cluster sizes, and incremental corpus additions — a doc
+    * keeps its split forever, so eval never silently leaks into train
+    * when the corpus grows.
+    */
+  private val splitBucket: Column =
+    expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 1000")
+
+  private val oracleBucket: String =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 1000"
+
+  val c1HashSplit: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), splitBucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+
+  val c1HashSplitSql: String = s"""
+    SELECT doc_id, $oracleBucket AS bucket,
+           CASE WHEN $oracleBucket < 900 THEN 'train'
+                WHEN $oracleBucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents"""
+
+  // =========================================================================
+  // c2 — corpus mixing: per-source weighted upsampling
+  // =========================================================================
+
+  /** Integer upsampling by source quality tier: each doc is replicated
+    * `weight` times with an epoch index (the standard "N epochs of
+    * wiki, 1 of web" mix). Map-side `explode(sequence(...))` — the
+    * replication happens at read time on the executors, never as a
+    * shuffle or a driver loop; downstream shuffles see the already-
+    * mixed stream. Fractional weights compose with c1's hash buckets
+    * (e.g. weight 2.5 = 2 copies + bucket<500 half-copy).
+    */
+  val c2CorpusMix: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("weight",
+        lit(1) + expr("cast(substr(source, 4, 10) as int)") % 3)
+      .select(col("doc_id"), col("source"), col("weight"),
+        explode(expr("sequence(1, weight)")).as("epoch"))
+
+  val c2CorpusMixSql: String = """
+    WITH w AS (SELECT doc_id, source,
+                      1 + CAST(substr(source, 4, 10) AS INT) % 3 AS weight
+               FROM documents)
+    SELECT doc_id, source, weight, unnest(generate_series(1, weight)) AS epoch
+    FROM w"""
+
+  // =========================================================================
+  // c3 — decontamination: train docs overlapping the eval split
+  // =========================================================================
+
+  /** Overlap between c1's train split and its held-out test split via
+    * shared word-3-gram shingles — the standard n-gram decontamination
+    * pass (an eval answer appearing verbatim in train data corrupts the
+    * benchmark). Stop-shingles (df > [[DfCap]]) are dropped before the
+    * join, exactly d7's scale knob: the train×eval fan-out per shingle
+    * is bounded, and the eval side is tiny by construction (5% of the
+    * corpus), so at 100 TB this is one shuffle keyed on shingle with a
+    * small build side.
+    */
+  private val DfCap = 20
+  private val MinShared = 2
+
+  val c3Decontaminate: Q = (s, dir) => {
+    val docs = graft.dedup.Dedup
+      .withShingles(Tables.loadParallel(s, dir, "documents"))
+      .withColumn("bucket", splitBucket)
+      .select(col("doc_id"), col("bucket"), explode(col("shingles")).as("sh"))
+    val rare = docs.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("sh")
+    val filtered = docs.join(rare, "sh")
+    val train = filtered.filter(col("bucket") < 900)
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    val eval_ = filtered.filter(col("bucket") >= 950)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    train.join(eval_, "sh")
+      .groupBy("train_doc")
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .filter(col("n_shared_shingles") >= MinShared)
+  }
+
+  val c3DecontaminateSql: String = {
+    import graft.dedup.Dedup.{oracleShingles, oracleTokens}
+    s"""WITH t AS (SELECT doc_id, $oracleBucket AS bucket, $oracleTokens AS tokens
+                   FROM documents),
+    s AS (SELECT doc_id, bucket, $oracleShingles AS sh FROM t),
+    e AS (SELECT doc_id, bucket, unnest(sh) AS g FROM s),
+    rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $DfCap),
+    ef AS (SELECT e.* FROM e JOIN rare USING (g)),
+    hits AS (
+      SELECT tr.doc_id AS train_doc,
+             count(DISTINCT tr.g) AS n_shared_shingles,
+             count(DISTINCT ev.doc_id) AS n_eval_docs
+      FROM ef tr JOIN ef ev ON tr.g = ev.g
+      WHERE tr.bucket < 900 AND ev.bucket >= 950
+      GROUP BY 1)
+    SELECT * FROM hits WHERE n_shared_shingles >= $MinShared"""
+  }
+
+  // =========================================================================
+  // c4 — per-language quality gate (grouped-quantile filter)
+  // =========================================================================
+
+  /** Keep documents at or above their language's median token count —
+    * the grouped-threshold shape of a quality gate ("drop the bottom
+    * half per language", so high-resource languages don't set the bar
+    * for low-resource ones). The per-language medians are a 5-row
+    * aggregate broadcast back into the scan: one shuffle for the
+    * quantiles, zero for the filter. Exact-percentile interpolation on
+    * integers matches DuckDB's quantile_cont bit-for-bit (q24's trick).
+    */
+  val c4QualityGate: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .withColumn("n_tokens",
+        expr("size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '))"))
+    val medians = docs.groupBy("lang")
+      .agg(expr("percentile(n_tokens, 0.5)").as("lang_median"))
+    docs.join(broadcast(medians), "lang")
+      .filter(col("n_tokens") >= col("lang_median"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lang_median"))
+  }
+
+  val c4QualityGateSql: String = """
+    WITH d AS (SELECT doc_id, lang,
+                      len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS n_tokens
+               FROM documents),
+    m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS lang_median
+          FROM d GROUP BY 1)
+    SELECT doc_id, d.lang, n_tokens, lang_median
+    FROM d JOIN m ON d.lang = m.lang
+    WHERE n_tokens >= lang_median"""
+
+  // =========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "c1_hash_split"    -> c1HashSplit,
+    "c2_corpus_mix"    -> c2CorpusMix,
+    "c3_decontaminate" -> c3Decontaminate,
+    "c4_quality_gate"  -> c4QualityGate,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_hash_split"    -> c1HashSplitSql,
+    "c2_corpus_mix"    -> c2CorpusMixSql,
+    "c3_decontaminate" -> c3DecontaminateSql,
+    "c4_quality_gate"  -> c4QualityGateSql,
+  )
+}

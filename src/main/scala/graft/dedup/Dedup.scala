@@ -29,7 +29,7 @@ object Dedup {
     * `greatest(n-2, 1)` keeps sub-3-token docs alive with a short
     * shingle instead of Spark's descending `sequence(1, 0)` surprise.
     */
-  private def withShingles(docs: DataFrame): DataFrame =
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
       .withColumn("shingles",
@@ -43,9 +43,9 @@ object Dedup {
     * while DuckDB's skips — the explicit coalesce makes sub-3-token
     * docs identical on both sides.
     */
-  private val oracleTokens =
+  private[graft] val oracleTokens =
     "str_split_regex(lower(trim(text)), ' +')"
-  private val oracleShingles =
+  private[graft] val oracleShingles =
     """list_distinct(list_transform(range(1, greatest(len(tokens)-2, 1)+1),
        j -> concat(tokens[j], ' ', coalesce(tokens[j+1], ''), ' ',
                    coalesce(tokens[j+2], ''))))"""

@@ -1,0 +1,68 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the corpus-mix operators (the DuckDB oracle
+  * checks exact values; these check the properties that make the
+  * operators correct *as pipeline stages*).
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("c1: split is exhaustive, deterministic, and roughly 90/5/5") {
+    val split = Corpus.c1HashSplit(spark, sfDir)
+    val total = split.count()
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == total)
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    // md5 buckets: train share must be in a loose 90±6% band even on
+    // the tiny test corpus
+    val trainFrac = byName.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.84 && trainFrac < 0.96, s"train frac $trainFrac")
+    // re-run gives the identical assignment (no rand/seed dependence)
+    val again = Corpus.c1HashSplit(spark, sfDir)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("c2: every doc appears exactly `weight` times with epochs 1..weight") {
+    val mix = Corpus.c2CorpusMix(spark, sfDir)
+    val perDoc = mix.groupBy("doc_id", "weight")
+      .agg(count(lit(1)).as("copies"), max("epoch").as("max_epoch"),
+        min("epoch").as("min_epoch"))
+    assert(perDoc.filter(
+      col("copies") =!= col("weight") || col("max_epoch") =!= col("weight") ||
+      col("min_epoch") =!= 1).isEmpty)
+    // weights span the 1..3 tiers
+    val ws = mix.select("weight").distinct().collect().map(_.getInt(0)).sorted
+    assert(ws.sameElements(Array(1, 2, 3)))
+  }
+
+  test("c3: flagged docs are train-split only and really share shingles") {
+    val flagged = Corpus.c3Decontaminate(spark, sfDir)
+    val split = Corpus.c1HashSplit(spark, sfDir)
+      .select(col("doc_id").as("train_doc"), col("split"))
+    // every flagged doc is in the train split
+    assert(flagged.join(split, "train_doc")
+      .filter(col("split") =!= "train").isEmpty)
+    // counts respect the threshold
+    assert(flagged.filter(col("n_shared_shingles") < 2 ||
+      col("n_eval_docs") < 1).isEmpty)
+  }
+
+  test("c4: gate keeps at least half of every language, never below-median") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val kept = Corpus.c4QualityGate(spark, sfDir)
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allBy = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    allBy.foreach { case (lang, n) =>
+      val k = keptBy.getOrElse(lang, 0L)
+      assert(k * 2 >= n - 1, s"$lang kept $k of $n")   // >= half (median def)
+      assert(k < n, s"$lang gate dropped nothing")     // gate actually gates
+    }
+    assert(kept.filter(col("n_tokens") < col("lang_median")).isEmpty)
+  }
+}
