@@ -150,7 +150,8 @@ object Registry {
   ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++
     graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
     graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
-    graft.functions.KMV.queries ++ graft.corpus.Corpus.queries
+    graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
+    graft.search.SearchDsl.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -162,5 +163,6 @@ object Registry {
   ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
     graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
-    graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql
+    graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
+    graft.search.SearchDsl.oracleSql
 }

@@ -1,0 +1,151 @@
+package graft.search
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The reference's search-query surface as a compiled DSL.
+  *
+  * The reference issues Elasticsearch bool queries from two places:
+  * the log-export scan (`log_screen.py:136-162`: bool must/must_not
+  * over term filters) and the NL→search endpoint
+  * (`Openapi/openai_elasticsearch.py:160-198`: `query_string` over
+  * multiple fields, `match`, plus index-mapping-aware field handling).
+  * There the query executes inside Elasticsearch; here the same JSON
+  * spec compiles to a Catalyst `Column` predicate, so it runs inside
+  * the engine and Catalyst pushes the resulting conjuncts to the
+  * parquet scan (filter pushdown / partition pruning apply as if the
+  * user had written the filters by hand — verified in SearchDslSpec).
+  *
+  * Supported nodes (the surface the reference exercises):
+  *  - `{"term":  {field: value}}`        exact match
+  *  - `{"terms": {field: [v1, v2]}}`     IN list
+  *  - `{"match": {field: text}}`         substring contains (analyzer-free
+  *                                       stand-in for ES match)
+  *  - `{"query_string": {"query": q, "fields": [f1, f2]}}`  any-field contains
+  *  - `{"range": {field: {"gte"/"gt"/"lte"/"lt": v}}}`
+  *  - `{"exists": {"field": f}}`         not null
+  *  - `{"bool": {"must": [...], "must_not": [...], "should": [...],
+  *               "filter": [...]}}`      and / and-not / or / and
+  *
+  * Scale note: compilation is driver-side over a few-KB spec (zero per
+  * -row cost); the output is ordinary codegen'd predicates, so a DSL
+  * query costs exactly what the equivalent hand-written `filter` does.
+  */
+object SearchDsl {
+
+  private val mapper = new ObjectMapper()
+
+  /** Compile a JSON query spec (the ES query DSL subset above) to a
+    * Catalyst predicate. Accepts either the full envelope
+    * `{"query": {...}}` or the bare query node.
+    */
+  def compile(json: String): Column = {
+    val root = mapper.readTree(json)
+    compileNode(if (root.has("query")) root.get("query") else root)
+  }
+
+  private def compileNode(n: JsonNode): Column = {
+    require(n != null && n.isObject && n.size() == 1,
+      s"query node must have exactly one key: $n")
+    val op = n.fieldNames().next()
+    val body = n.get(op)
+    op match {
+      case "term" =>
+        val f = body.fieldNames().next()
+        col(f) === literal(body.get(f))
+      case "terms" =>
+        val f = body.fieldNames().next()
+        val vs = jsonArray(body.get(f)).map(literal)
+        col(f).isin(vs: _*)
+      case "match" =>
+        val f = body.fieldNames().next()
+        col(f).contains(literal(body.get(f)))
+      case "query_string" =>
+        val q = body.get("query").asText()
+        val fields = jsonArray(body.get("fields")).map(_.asText())
+        require(fields.nonEmpty, "query_string needs fields")
+        fields.map(f => col(f).contains(lit(q))).reduce(_ || _)
+      case "range" =>
+        val f = body.fieldNames().next()
+        val bounds = body.get(f)
+        val conds = Seq(
+          Option(bounds.get("gte")).map(v => col(f) >= literal(v)),
+          Option(bounds.get("gt")).map(v => col(f) > literal(v)),
+          Option(bounds.get("lte")).map(v => col(f) <= literal(v)),
+          Option(bounds.get("lt")).map(v => col(f) < literal(v)),
+        ).flatten
+        require(conds.nonEmpty, s"empty range for $f")
+        conds.reduce(_ && _)
+      case "exists" =>
+        col(body.get("field").asText()).isNotNull
+      case "bool" =>
+        val must = clause(body, "must") ++ clause(body, "filter")
+        val mustNot = clause(body, "must_not").map(!_)
+        val should = clause(body, "should")
+        val parts = (must ++ mustNot) ++
+          (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil)
+        require(parts.nonEmpty, "empty bool query")
+        parts.reduce(_ && _)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported query op: $other")
+    }
+  }
+
+  private def clause(body: JsonNode, name: String): Seq[Column] = {
+    val node = body.get(name)
+    if (node == null) Nil
+    else if (node.isArray) jsonArray(node).map(compileNode)
+    else Seq(compileNode(node))
+  }
+
+  private def jsonArray(n: JsonNode): Seq[JsonNode] =
+    (0 until n.size()).map(n.get)
+
+  private def literal(v: JsonNode): Column =
+    if (v.isIntegralNumber) lit(v.asLong())
+    else if (v.isNumber) lit(v.asDouble())
+    else if (v.isBoolean) lit(v.asBoolean())
+    else lit(v.asText())
+
+  // =========================================================================
+  // q27 — the log-export query shape, as a DSL spec
+  // =========================================================================
+
+  /** `log_screen.py`'s ES scan re-expressed: committed-window events of
+    * interesting types, excluding a user blocklist — exactly the
+    * bool(must=[terms, range], must_not=[terms]) shape at
+    * `log_screen.py:136-162`, plus the projection the reference does
+    * on the hit stream.
+    */
+  val q27Spec: String = """{
+    "query": {"bool": {
+      "must": [
+        {"terms": {"event_type": ["click", "purchase"]}},
+        {"range": {"value": {"gte": 5.0, "lt": 50.0}}},
+        {"exists": {"field": "user_id"}}
+      ],
+      "must_not": [{"terms": {"user_id": [7, 13, 42]}}]
+    }}}"""
+
+  val q27SearchDsl: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(compile(q27Spec))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  val q27SearchDslSql: String = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND value >= 5.0 AND value < 50.0
+      AND user_id IS NOT NULL
+      AND NOT user_id IN (7, 13, 42)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q27_search_dsl" -> q27SearchDsl)
+  val oracleSql: Map[String, String] =
+    Map("q27_search_dsl" -> q27SearchDslSql)
+}
