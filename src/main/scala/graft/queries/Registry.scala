@@ -151,7 +151,7 @@ object Registry {
     graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
     graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
     graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
-    graft.search.SearchDsl.queries
+    graft.search.SearchDsl.queries ++ graft.io.Scd2.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -164,5 +164,5 @@ object Registry {
     graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
     graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
-    graft.search.SearchDsl.oracleSql
+    graft.search.SearchDsl.oracleSql ++ graft.io.Scd2.oracleSql
 }
