@@ -342,6 +342,83 @@ object Dedup {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
   }
 
+  // =========================================================================
+  // d8 — duplicate clusters: connected components over LSH pairs
+  // =========================================================================
+
+  /** Pairwise candidates (d3) are not enough to dedup: if A~B and B~C,
+    * keeping "one of each pair" can still keep two near-copies. The
+    * canonical pass groups pairs into connected components and keeps
+    * min(doc_id) per component.
+    *
+    * Distributed min-label propagation: every node starts as its own
+    * label; each round every node takes the min label among itself and
+    * its neighbors; converged when no label changes. Rounds = cluster
+    * diameter — near-dup clusters are shallow (stars/cliques from
+    * banding), so this is 2-4 shuffles in practice, each keyed on
+    * node. `localCheckpoint` truncates the growing loop lineage so
+    * round N's plan doesn't replay rounds 1..N-1. No driver-side data;
+    * the driver only checks the convergence counter.
+    */
+  def components(pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** d8 — cluster the d3 LSH candidate pairs; survivors are the
+    * per-component min doc_id. */
+  val d8DupClusters: Q = (s, dir) =>
+    components(d3LshPairs(s, dir))
+      .withColumn("is_survivor", col("doc_id") === col("component"))
+
+  /** Oracle: transitive closure via recursive CTE, component = min
+    * reachable node (tractable because dup clusters are tiny; the
+    * engine side uses label propagation instead precisely because
+    * closure explodes at scale).
+    */
+  val d8DupClustersSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => s"CAST(${mhCol(b * BandSize + r)} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH RECURSIVE $signatureCte,
+    bands AS (
+      $bandSelects),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+    comp AS (SELECT node, least(node, min(r)) AS component
+             FROM reach GROUP BY node)
+    SELECT node AS doc_id, component, node = component AS is_survivor
+    FROM comp"""
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup"       -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSignature,
@@ -350,6 +427,7 @@ object Dedup {
     "d5_ngram_jaccard"     -> d5NgramJaccard,
     "d6_simhash_hamming"   -> d6SimhashHamming,
     "d7_jaccard_prefiltered" -> d7JaccardPrefiltered,
+    "d8_dup_clusters"      -> d8DupClusters,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -360,5 +438,6 @@ object Dedup {
     "d5_ngram_jaccard"     -> d5NgramJaccardSql,
     "d6_simhash_hamming"   -> d6SimhashHammingSql,
     "d7_jaccard_prefiltered" -> d7JaccardPrefilteredSql,
+    "d8_dup_clusters"      -> d8DupClustersSql,
   )
 }
