@@ -151,7 +151,8 @@ object Registry {
     graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
     graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
     graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
-    graft.search.SearchDsl.queries ++ graft.io.Scd2.queries
+    graft.search.SearchDsl.queries ++ graft.io.Scd2.queries ++
+    graft.functions.CountMin.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -164,5 +165,6 @@ object Registry {
     graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
     graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
-    graft.search.SearchDsl.oracleSql ++ graft.io.Scd2.oracleSql
+    graft.search.SearchDsl.oracleSql ++ graft.io.Scd2.oracleSql ++
+    graft.functions.CountMin.oracleSql
 }
