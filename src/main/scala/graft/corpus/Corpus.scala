@@ -102,15 +102,23 @@ object Corpus {
       .select(col("doc_id"), col("bucket"), explode(col("shingles")).as("sh"))
     val rare = docs.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
-    val filtered = docs.join(rare, "sh")
+    // persist: the shingle pipeline feeds the df-cap aggregate plus
+    // both join sides — one materialization instead of three
+    val filtered = docs.join(rare, "sh").persist()
     val train = filtered.filter(col("bucket") < 900)
       .select(col("doc_id").as("train_doc"), col("sh"))
     val eval_ = filtered.filter(col("bucket") >= 950)
       .select(col("doc_id").as("eval_doc"), col("sh"))
-    train.join(eval_, "sh")
-      .groupBy("train_doc")
-      .agg(countDistinct(col("sh")).as("n_shared_shingles"),
-        countDistinct(col("eval_doc")).as("n_eval_docs"))
+    // joined rows are unique in (train_doc, sh, eval_doc) — shingle
+    // lists are array_distinct per doc — so the two "distinct counts"
+    // are plain counts over two cheap pre-dedups, not a double-expand
+    // aggregate over the join output
+    val joined = train.join(eval_, "sh").persist()
+    val bySh = joined.select("train_doc", "sh").distinct()
+      .groupBy("train_doc").agg(count(lit(1)).as("n_shared_shingles"))
+    val byEval = joined.select("train_doc", "eval_doc").distinct()
+      .groupBy("train_doc").agg(count(lit(1)).as("n_eval_docs"))
+    bySh.join(byEval, "train_doc")
       .filter(col("n_shared_shingles") >= MinShared)
   }
 

@@ -338,7 +338,35 @@ object RefQueries {
            CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY 1, 2"""
 
+  /** Two-level aggregation (TPC-H Q13 shape): per-customer order
+    * counts, then the distribution of those counts — including the
+    * zero-order customers the left join keeps alive. Two shuffles with
+    * strictly shrinking data (rows → customers → distinct counts);
+    * the filter rides inside the join condition so the anti-pattern
+    * (filter-after-outer-join turning it inner) can't appear.
+    */
+  val q30OrderCountDist: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q30OrderCountDistSql: String = """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count"""
+
   val queries: Map[String, Q] = Map(
+    "q30_order_count_dist" -> q30OrderCountDist,
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
     "q9_anti_join"         -> q9AntiJoin,
@@ -361,6 +389,7 @@ object RefQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q30_order_count_dist" -> q30OrderCountDistSql,
     "q7_event_normalize"   -> EventNormalize.oracle,
     "q8_semi_join"         -> q8SemiJoinSql,
     "q9_anti_join"         -> q9AntiJoinSql,

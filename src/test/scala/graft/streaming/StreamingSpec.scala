@@ -73,6 +73,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches each micro-batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // static dim (the `nation`-style lookup): event_type -> category.
+    // At scale the dim is broadcast once and re-used every micro-batch;
+    // no stream-side shuffle.
+    val dim = Seq(("click", "engage"), ("view", "engage"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Long, String)](s)
+    val q = mem.toDS().toDF("event_id", "event_type")
+      .join(broadcast(dim), Seq("event_type"), "left_outer")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (2L, "error"), (3L, "purchase"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_id, category FROM enriched_out")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("engage"), 2L -> Some("ops"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("kafka source/sink option surface compiles and declares kafka format") {
     // no broker in the sandbox: assert construction fails only at
     // connection time, i.e. the plan carries the kafka source
