@@ -93,9 +93,19 @@ object Keywords {
     val toks = docs.select(col("doc_id"), col("source"),
       explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("term"))
     val tf = toks.groupBy("source", "doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-    val dots = tf.as("x")
-      .join(tf.as("y"),
+    // exactness-preserving prune: a term in only ONE doc of a source
+    // joins with nothing, so dropping block-singletons shrinks the
+    // self-join input (most of a corpus's vocabulary) without changing
+    // a single dot product; norms still use the full tf.
+    val shared = tf.withColumn("ndocs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "term")))
+      .filter(col("ndocs") >= 2)
+      .select("source", "doc_id", "term", "tf")
+    val dots = shared.as("x")
+      .join(shared.as("y"),
         col("x.source") === col("y.source") && col("x.term") === col("y.term") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
