@@ -108,6 +108,59 @@ object Multimodal {
            CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
     FROM documents"""
 
-  val queries: Map[String, Q] = Map("m1_media_features" -> m1MediaFeatures)
-  val oracleSql: Map[String, String] = Map("m1_media_features" -> m1MediaFeaturesSql)
+  // =========================================================================
+  // m2 — frame-level dedup (shared identical frames across documents)
+  // =========================================================================
+
+  /** The video-dedup primitive: two assets sharing byte-identical
+    * frames are near-dups even when their containers differ. Frames
+    * are hashed (one md5 per frame, the "perceptual hash" slot), hot
+    * frames (intros/black frames — df > [[FrameDfCap]]) are dropped,
+    * and the frame-hash join yields (doc_a, doc_b, n_shared_frames)
+    * — exactly d7's bounded-join shape, one shuffle on frame hash.
+    *
+    * Oracle parity note: DuckDB 1.0 cannot slice BLOBs, so the
+    * oracle-checked query frames the payload by *character* windows
+    * (both engines agree on chars and on md5-of-UTF-8); the
+    * byte-window flavor is [[sampleFrames]], same plan shape.
+    */
+  private val FrameChars = 64
+  private val FrameDfCap = 20
+
+  val m2FrameDedup: Q = (s, dir) => {
+    val frames = Tables.load(s, dir, "documents")
+      .withColumn("nf",
+        expr(s"greatest(cast((length(text) + $FrameChars - 1) div $FrameChars as int), 1)"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, nf - 1), " +
+          s"i -> md5(substring(text, i * $FrameChars + 1, $FrameChars)))"))
+          .as("fh"))
+    val rare = frames.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FrameDfCap).select("fh")
+    val ff = frames.join(rare, "fh").persist()
+    ff.as("a").join(ff.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+  }
+
+  val m2FrameDedupSql: String = s"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(CAST((length(text) + $FrameChars - 1) // $FrameChars AS INT), 1)),
+               i -> md5(substring(text, i * $FrameChars + 1, $FrameChars)))) AS fh
+      FROM documents),
+    rare AS (SELECT fh FROM f GROUP BY fh HAVING count(*) <= $FrameDfCap),
+    ff AS (SELECT f.* FROM f JOIN rare USING (fh))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_frames
+    FROM ff a JOIN ff b ON a.fh = b.fh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+
+  val queries: Map[String, Q] = Map(
+    "m1_media_features" -> m1MediaFeatures,
+    "m2_frame_dedup"    -> m2FrameDedup)
+  val oracleSql: Map[String, String] = Map(
+    "m1_media_features" -> m1MediaFeaturesSql,
+    "m2_frame_dedup"    -> m2FrameDedupSql)
 }
