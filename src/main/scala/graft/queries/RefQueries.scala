@@ -378,6 +378,7 @@ object RefQueries {
     "q15_nested_docs"      -> q15NestedDocs,
     "q16_top1_sorted"      -> q16Top1Sorted,
     "q17_sessionize"       -> graft.streaming.Sessionize.q17Sessionize,
+    "q31_session_window"   -> graft.streaming.Sessionize.q31SessionWindow,
     "q18_rollup"           -> q18Rollup,
     "q19_set_ops"          -> q19SetOps,
     "q20_correlated_subquery" -> q20CorrelatedSubquery,
@@ -401,6 +402,7 @@ object RefQueries {
     "q15_nested_docs"      -> q15NestedDocsSql,
     "q16_top1_sorted"      -> q16Top1SortedSql,
     "q17_sessionize"       -> graft.streaming.Sessionize.q17SessionizeSql,
+    "q31_session_window"   -> graft.streaming.Sessionize.q31SessionWindowSql,
     "q18_rollup"           -> q18RollupSql,
     "q19_set_ops"          -> q19SetOpsSql,
     "q20_correlated_subquery" -> q20CorrelatedSubquerySql,

@@ -129,4 +129,42 @@ object Sessionize {
            count(*) AS n_events,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM g GROUP BY user_id, sid"""
+
+  /** q31 — the same sessions via Spark's *native* `session_window`
+    * aggregation (one shuffle; the engine merges overlapping gap
+    * windows itself, no custom state code). Boundary semantics differ
+    * from q17 by design: session_window intervals are half-open, so a
+    * gap of exactly 30 minutes SPLITS here (`>=` in the oracle) while
+    * q17's custom fold merges it (`>`). `session_window.start` carries
+    * full microsecond precision (verified against the oracle).
+    */
+  val q31SessionWindow: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.load(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("session_start_us"),
+        col("n_events"), col("sum_cents"))
+  }
+
+  val q31SessionWindowSql: String = s"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts)) AS prev_us
+      FROM events),
+    m AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= $GapUs
+                         THEN 1 ELSE 0 END AS brk FROM e),
+    g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+    SELECT user_id,
+           min(us) AS session_start_us,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM g GROUP BY user_id, sid"""
 }
