@@ -365,8 +365,34 @@ object RefQueries {
       GROUP BY c_custkey)
     GROUP BY c_count"""
 
+  /** F13's modern form: the JSON payload column parsed ONCE into
+    * Spark 4's `VariantType` (binary-encoded semi-structured value —
+    * cheaper repeated path access than per-path `get_json_object`
+    * string re-parsing), then typed path extraction, a predicate on
+    * the extracted field, and a grouped aggregate. At scale the
+    * variant parse is a map stage and the one shuffle is the 3-group
+    * aggregate; with variant *shredding* in the writer the path read
+    * becomes a columnar scan.
+    */
+  val q33VariantExtract: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .filter(col("k") >= 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+
+  val q33VariantExtractSql: String = """
+    SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k >= 50
+    GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "q30_order_count_dist" -> q30OrderCountDist,
+    "q33_variant_extract"  -> q33VariantExtract,
     "q7_event_normalize"   -> q7EventNormalize,
     "q8_semi_join"         -> q8SemiJoin,
     "q9_anti_join"         -> q9AntiJoin,
@@ -391,6 +417,7 @@ object RefQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q30_order_count_dist" -> q30OrderCountDistSql,
+    "q33_variant_extract"  -> q33VariantExtractSql,
     "q7_event_normalize"   -> EventNormalize.oracle,
     "q8_semi_join"         -> q8SemiJoinSql,
     "q9_anti_join"         -> q9AntiJoinSql,
