@@ -35,11 +35,11 @@ object Sessionize {
   private def tsMicros(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
-  private def close(userId: Long, s: SessionState): Session =
+  private[streaming] def close(userId: Long, s: SessionState): Session =
     Session(userId, s.startUs, s.endUs, s.n, s.cents)
 
   /** Fold a user's (sorted) events into closed sessions + the open one. */
-  private def foldEvents(
+  private[streaming] def foldEvents(
       userId: Long, events: Iterator[Event],
       open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
     val sorted = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_type))
