@@ -358,25 +358,35 @@ object Dedup {
     * banding), so this is 2-4 shuffles in practice, each keyed on
     * node. `localCheckpoint` truncates the growing loop lineage so
     * round N's plan doesn't replay rounds 1..N-1. No driver-side data;
-    * the driver only checks the convergence counter.
+    * the driver only reads one convergence scalar per round: labels
+    * are monotonically non-increasing, so Σlabel strictly decreases
+    * until the fixpoint — a single aggregate, not a join-and-compare
+    * against the previous round. Edges are persisted pre-partitioned
+    * on `src` so every round's propagation join reuses that exchange
+    * instead of re-shuffling the (larger) edge side.
     */
   def components(pairs: DataFrame): DataFrame = {
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    while (!converged) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     sym.unpersist()
