@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Analytics extensions beyond the reference surface (SURVEY §2.5/§2.6
+  * note the reference has no grouping sets, no unpivot, no
+  * distribution windows): cube, unpivot/melt, fuzzy string pairs,
+  * time-series gap filling, and the distribution window family. All
+  * oracle-checked vs DuckDB at sf0.01.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column) = round(c * 100).cast("long")
+
+  /** q34 — CUBE over (returnflag, linestatus) with an explicit
+    * grouping-bit id (`grouping(a)*2 + grouping(b)` spelled out on both
+    * sides — Spark's `grouping_id()` and DuckDB's `GROUPING()` agree on
+    * bit order, but the explicit form is engine-neutral). One shuffle;
+    * Catalyst plans cube as an Expand (4 rows per input) + single
+    * hash aggregate — no re-scan per grouping set.
+    */
+  val q34Cube: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val q34CubeSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+  /** q35 — unpivot/melt: four lineitem measures into (metric, value)
+    * rows. Narrow: Catalyst plans `unpivot` as an Expand — 4 output
+    * rows per input row, zero shuffles, pipelined into the parent.
+    */
+  val q35Unpivot: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+
+  val q35UnpivotSql: String = """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))"""
+
+  /** q36 — fuzzy duplicate candidates: part names within levenshtein
+    * distance 4, blocked on brand so the quadratic comparison is
+    * bounded per block (the same block-don't-cross-join discipline as
+    * d5/d6; an unblocked production form feeds d3's LSH output
+    * instead). `levenshtein` is the standard DP edit distance in both
+    * engines.
+    */
+  val q36FuzzyPairs: Q = (s, dir) => {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 4)
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+  }
+
+  val q36FuzzyPairsSql: String = """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4"""
+
+  /** q37 — time-series gap filling: hourly event counts per type with
+    * missing hours zero-filled. The hour spine is `sequence()` exploded
+    * from one global min/max row (a 1-row cross join, broadcast — not
+    * a driver-side loop); real counts left-join onto the spine. The
+    * monitoring notebook's count matrix (SURVEY §2.5 A6) needs exactly
+    * this to distinguish "no data" from "missing load".
+    */
+  val q37GapFill: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val types = ev.select("event_type").distinct()
+    types.crossJoin(hours)
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val q37GapFillSql: String = """
+    WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+    counts AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev)
+    SELECT types.event_type, hours.h, coalesce(counts.n, 0) AS n
+    FROM types CROSS JOIN hours
+    LEFT JOIN counts ON counts.event_type = types.event_type AND counts.h = hours.h"""
+
+  /** q38 — distribution windows: percent_rank / cume_dist / ntile(4)
+    * of order value within each customer (unique tie-break on
+    * orderkey so ranks are deterministic). Completes the window-family
+    * surface next to q5 (row_number) and q23 (lag/lead/dense_rank/
+    * frame sums). Both engines compute percent_rank as
+    * (rank-1)/(n-1) in IEEE double — bit-exact.
+    */
+  val q38DistWindows: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val q38DistWindowsSql: String = """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"""
+
+  val queries: Map[String, Q] = Map(
+    "q34_cube"         -> q34Cube,
+    "q35_unpivot"      -> q35Unpivot,
+    "q36_fuzzy_pairs"  -> q36FuzzyPairs,
+    "q37_gap_fill"     -> q37GapFill,
+    "q38_dist_windows" -> q38DistWindows,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_cube"         -> q34CubeSql,
+    "q35_unpivot"      -> q35UnpivotSql,
+    "q36_fuzzy_pairs"  -> q36FuzzyPairsSql,
+    "q37_gap_fill"     -> q37GapFillSql,
+    "q38_dist_windows" -> q38DistWindowsSql,
+  )
+}

@@ -152,7 +152,8 @@ object Registry {
     graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
     graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
     graft.search.SearchDsl.queries ++ graft.io.Scd2.queries ++
-    graft.functions.CountMin.queries ++ graft.quality.Checks.queries
+    graft.functions.CountMin.queries ++ graft.quality.Checks.queries ++
+    Analytics.queries
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1PricingSummarySql,
@@ -166,5 +167,6 @@ object Registry {
     graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
     graft.search.SearchDsl.oracleSql ++ graft.io.Scd2.oracleSql ++
-    graft.functions.CountMin.oracleSql ++ graft.quality.Checks.oracleSql
+    graft.functions.CountMin.oracleSql ++ graft.quality.Checks.oracleSql ++
+    Analytics.oracleSql
 }

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q34 cube emits all four grouping sets; grand total matches table count") {
+    val out = Analytics.q34Cube(spark, sfDir).cache()
+    assert(out.select("gid").distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    val grand = out.filter(col("gid") === 3).collect()
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n") == Tables.load(spark, sfDir, "lineitem").count())
+    out.unpersist()
+  }
+
+  test("q35 unpivot yields 4 rows per input row and conserves sums") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val out = Analytics.q35Unpivot(spark, sfDir).cache()
+    assert(out.count() == 4 * li.count())
+    val qty = out.filter(col("metric") === "l_quantity")
+      .agg(sum("value")).collect()(0).getDouble(0)
+    val expected = li.agg(sum("l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(qty - expected) < 1e-6)
+    out.unpersist()
+  }
+
+  test("q36 fuzzy pairs stay within the distance bound and the brand block") {
+    val out = Analytics.q36FuzzyPairs(spark, sfDir).cache()
+    assert(out.filter(col("dist") > 4 || col("part_a") >= col("part_b")).isEmpty)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  test("q37 gap fill conserves event counts and actually fills gaps") {
+    val out = Analytics.q37GapFill(spark, sfDir).cache()
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.load(spark, sfDir, "events").count())
+    // spine is dense: every type has the same number of hours
+    val perType = out.groupBy("event_type").count()
+      .select("count").distinct().collect()
+    assert(perType.length == 1)
+    assert(out.filter(col("n") === 0).count() > 0, "expected zero-filled hours")
+    out.unpersist()
+  }
+
+  test("q38 distribution windows are bounded and quartiles partition each customer") {
+    val out = Analytics.q38DistWindows(spark, sfDir).cache()
+    assert(out.filter(col("pr") < 0 || col("pr") > 1 ||
+      col("cd") <= 0 || col("cd") > 1 ||
+      col("quartile") < 1 || col("quartile") > 4).isEmpty)
+    out.unpersist()
+  }
+}
