@@ -13,6 +13,9 @@ Test / fork := true
 // Suites share one SparkSession (temp views, writer conf): run serially.
 Test / parallelExecution := false
 run / fork := true
+// Forked run inherits raw stdout (no "[info]" log prefix) so Bench's
+// single JSON line stays machine-parseable when launched via sbt.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
