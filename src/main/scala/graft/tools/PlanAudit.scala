@@ -8,8 +8,11 @@ import graft.core.Sessions
   * scans. Prints a one-line verdict per query.
   */
 object PlanAudit {
-  // brute-force-by-design: non-equi join is the point
-  private val expectedNestedLoop = Set("s1_cosine_topk", "s5_ivf_ann")
+  // brute-force-by-design: non-equi join is the point; q37's cross is
+  // the gap-fill spine (types × hours — bounded by dimension
+  // cardinality, not data volume; the data-sized join is equi)
+  private val expectedNestedLoop =
+    Set("s1_cosine_topk", "s5_ivf_ann", "q37_gap_fill")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
