@@ -429,6 +429,31 @@ object Dedup {
     FROM comp"""
   }
 
+  /** d9 — SEMANTIC dup clusters: the same connected-components pass
+    * over the embedding near-dup pairs (s4) instead of the lexical LSH
+    * pairs — catching paraphrases that shingle/minhash families miss.
+    * Survivor = per-component min vec_id, as d8.
+    */
+  val d9SemanticClusters: Q = (s, dir) =>
+    components(graft.sim.Similarity.s4EmbeddingNeardup(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_survivor"))
+
+  val d9SemanticClustersSql: String = s"""
+    WITH RECURSIVE pairs AS (
+      SELECT vec_a AS src, vec_b AS dst
+      FROM (${graft.sim.Similarity.s4EmbeddingNeardupSql}) sp),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+    comp AS (SELECT node, least(node, min(r)) AS component
+             FROM reach GROUP BY node)
+    SELECT node AS vec_id, component, node = component AS is_survivor
+    FROM comp"""
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup"       -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSignature,
@@ -438,6 +463,7 @@ object Dedup {
     "d6_simhash_hamming"   -> d6SimhashHamming,
     "d7_jaccard_prefiltered" -> d7JaccardPrefiltered,
     "d8_dup_clusters"      -> d8DupClusters,
+    "d9_semantic_clusters" -> d9SemanticClusters,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -449,5 +475,6 @@ object Dedup {
     "d6_simhash_hamming"   -> d6SimhashHammingSql,
     "d7_jaccard_prefiltered" -> d7JaccardPrefilteredSql,
     "d8_dup_clusters"      -> d8DupClustersSql,
+    "d9_semantic_clusters" -> d9SemanticClustersSql,
   )
 }

@@ -162,12 +162,59 @@ object TextAnalysis {
     FROM t"""
 
   // =========================================================================
+  // t5 — PII detection + redaction
+  // =========================================================================
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** t5 — PII scrubbing, the pass every training-data pipeline runs
+    * before text leaves the trust boundary: emails and phone numbers
+    * detected (counted via `regexp_extract_all`) and masked in place.
+    * The synthetic corpus carries no natural PII, so the fixture text
+    * is built deterministically from customer columns INSIDE the query
+    * — both engines synthesize and redact identically, keeping the
+    * oracle exact while the redaction path does real work on every
+    * row. Pure per-row codegen'd expressions: zero shuffles at any
+    * scale.
+    */
+  val t5PiiRedact: Q = (s, dir) =>
+    graft.core.Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(lit("reach "), col("c_name"), lit(" at user"), col("c_custkey"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+          lit(" re "), lower(col("c_mktsegment"))).as("raw"))
+      .select(col("c_custkey"),
+        (size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))) +
+         size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))))
+          .cast("long").as("n_pii"),
+        regexp_replace(regexp_replace(col("raw"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+
+  val t5PiiRedactSql: String = s"""
+    WITH raw AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at user' || c_custkey ||
+             '@example.com or +1-555-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+             ' re ' || lower(c_mktsegment) AS raw
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(raw, '$EmailRe')) +
+                len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(raw, '$EmailRe', '[EMAIL]', 'g'),
+                          '$PhoneRe', '[PHONE]', 'g') AS redacted
+    FROM raw"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count"   -> t3TokenCount,
     "t4_fingerprint"   -> t4Fingerprint,
+    "t5_pii_redact"    -> t5PiiRedact,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -175,5 +222,6 @@ object TextAnalysis {
     "t2_quality_score" -> t2QualityScoreSql,
     "t3_token_count"   -> t3TokenCountSql,
     "t4_fingerprint"   -> t4FingerprintSql,
+    "t5_pii_redact"    -> t5PiiRedactSql,
   )
 }

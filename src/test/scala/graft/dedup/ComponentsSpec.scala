@@ -39,4 +39,18 @@ class ComponentsSpec extends SparkSpec {
       .join(comp, col("cid") === col("doc_id"), "left_anti")
     assert(ids.isEmpty)
   }
+
+  test("d9 semantic clusters cover exactly the vectors that appear in s4 pairs") {
+    val pairs = graft.sim.Similarity.s4EmbeddingNeardup(spark, sfDir).cache()
+    val clusters = Dedup.d9SemanticClusters(spark, sfDir).cache()
+    val members = pairs.select(col("vec_a").as("v"))
+      .union(pairs.select(col("vec_b").as("v"))).distinct()
+    assert(clusters.count() == members.count())
+    assert(clusters.join(members, col("vec_id") === col("v"), "left_anti").isEmpty)
+    // exactly one survivor per component
+    val perComp = clusters.filter(col("is_survivor"))
+      .groupBy("component").count().filter(col("count") =!= 1)
+    assert(perComp.isEmpty)
+    pairs.unpersist(); clusters.unpersist(): Unit
+  }
 }
