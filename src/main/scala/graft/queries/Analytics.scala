@@ -69,13 +69,27 @@ object Analytics {
     */
   val q36FuzzyPairs: Q = (s, dir) => {
     val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_name")
-    p.as("a").join(p.as("b"),
+    // The string vocabulary is tiny relative to the table (64 distinct
+    // names across 20k parts at sf0.1), so the edit-distance DP runs
+    // vocab² times — NOT row-pair times — and the row-level work is
+    // two hash joins proportional to the OUTPUT size. The banded
+    // 3-arg levenshtein stops at the threshold (O(k·n) per pair);
+    // `dist >= 0` keeps exactly the pairs within it. The name-pair
+    // table keeps both orders + self-pairs because part pairs order
+    // on partkey, not on name.
+    val names = p.select("p_name").distinct()
+    val np = names.select(col("p_name").as("na"))
+      .join(names.select(col("p_name").as("nb")),
+        levenshtein(col("na"), col("nb"), 4) >= 0)
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+    p.as("a")
+      .join(broadcast(np), col("a.p_name") === col("na"))
+      .join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
+        col("nb") === col("b.p_name") &&
         col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-      .filter(col("dist") <= 4)
       .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
-        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+        col("na").as("name_a"), col("nb").as("name_b"), col("dist"))
   }
 
   val q36FuzzyPairsSql: String = """

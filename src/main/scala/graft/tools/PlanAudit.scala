@@ -9,10 +9,11 @@ import graft.core.Sessions
   */
 object PlanAudit {
   // brute-force-by-design: non-equi join is the point; q37's cross is
-  // the gap-fill spine (types × hours — bounded by dimension
-  // cardinality, not data volume; the data-sized join is equi)
+  // the gap-fill spine (types × hours), q36's is the name-vocabulary
+  // levenshtein matrix (vocab² DP pairs) — both bounded by dimension
+  // cardinality, not data volume; their data-sized joins are equi
   private val expectedNestedLoop =
-    Set("s1_cosine_topk", "s5_ivf_ann", "q37_gap_fill")
+    Set("s1_cosine_topk", "s5_ivf_ann", "q37_gap_fill", "q36_fuzzy_pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
