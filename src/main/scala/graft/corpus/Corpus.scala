@@ -174,12 +174,52 @@ object Corpus {
     WHERE n_tokens >= lang_median"""
 
   // =========================================================================
+  // c5 — deterministic bottom-k sample per stratum
+  // =========================================================================
+
+  private val SampleK = 50
+
+  /** Exactly-k-per-source sample for eval sets and ablations:
+    * coordinated bottom-k sampling — keep the k smallest
+    * md5(doc_id) per source. Like c1, hash-not-rand makes the sample
+    * reproducible across runs and cluster sizes, and adding documents
+    * perturbs it by at most one swap per insert (coordinated
+    * sampling), instead of reshuffling everything the way a seeded
+    * `rand()` order would. The k minima ride [[graft.functions.KMV.KMinAgg]]
+    * — k values per partition on the wire, no per-stratum sort — then
+    * one equi-join fetches the sampled rows.
+    */
+  val c5StratifiedSample: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+    val mins = docs.select(col("source"), col("h")).as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KMV.KMinAgg(SampleK).toColumn.name("mins"))
+      .toDF("source", "mins")
+      .select(col("source"), explode(col("mins")).as("h"))
+    docs.join(mins, Seq("source", "h"))
+      .select("source", "doc_id", "lang")
+  }
+
+  val c5StratifiedSampleSql: String = s"""
+    WITH d AS (
+      SELECT source, doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM d)
+    SELECT source, doc_id, lang FROM r WHERE rn <= $SampleK"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
     "c1_hash_split"    -> c1HashSplit,
     "c2_corpus_mix"    -> c2CorpusMix,
     "c3_decontaminate" -> c3Decontaminate,
     "c4_quality_gate"  -> c4QualityGate,
+    "c5_stratified_sample" -> c5StratifiedSample,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +227,6 @@ object Corpus {
     "c2_corpus_mix"    -> c2CorpusMixSql,
     "c3_decontaminate" -> c3DecontaminateSql,
     "c4_quality_gate"  -> c4QualityGateSql,
+    "c5_stratified_sample" -> c5StratifiedSampleSql,
   )
 }

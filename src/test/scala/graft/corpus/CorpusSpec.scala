@@ -65,4 +65,20 @@ class CorpusSpec extends SparkSpec {
     }
     assert(kept.filter(col("n_tokens") < col("lang_median")).isEmpty)
   }
+
+  test("c5: exactly min(k, |stratum|) docs per source, stable across runs") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val sample = Corpus.c5StratifiedSample(spark, sfDir).cache()
+    val per = sample.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (src, n) =>
+      assert(per.getOrElse(src, 0L) == math.min(50L, n), s"$src: ${per.get(src)}")
+    }
+    // deterministic: a second evaluation returns the identical sample
+    val again = Corpus.c5StratifiedSample(spark, sfDir)
+    assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+    sample.unpersist(): Unit
+  }
 }
