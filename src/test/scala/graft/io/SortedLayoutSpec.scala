@@ -44,4 +44,31 @@ class SortedLayoutSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(touched == 1)
   }
+
+  test("z-order clusters BOTH dimensions: narrow ranges on either touch few files") {
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val out = tmpDir("zorder") + "/li"
+    val files = 8
+    SortedLayout.writeZOrdered(li, out, files,
+      col("l_orderkey"), unix_timestamp(col("l_shipdate")))
+    val back = spark.read.parquet(out).cache()
+    assert(back.count() == li.count())
+
+    def touched(pred: org.apache.spark.sql.Column): Long =
+      back.filter(pred).select(input_file_name()).distinct().count()
+
+    // a ~5%-wide range on each dimension independently
+    val (kLo, kHi) = {
+      val r = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      (lo, lo + (hi - lo) / 20)
+    }
+    val dThr = li.agg(expr("cast(min(l_shipdate) + interval 30 days as string)"))
+      .head().getString(0)
+    val nOrderkey = touched(col("l_orderkey").between(kLo, kHi))
+    val nDate = touched(expr(s"l_shipdate < '$dThr'"))
+    assert(nOrderkey < files, s"orderkey range touched all $files files")
+    assert(nDate < files, s"date range touched all $files files")
+    back.unpersist(): Unit
+  }
 }
