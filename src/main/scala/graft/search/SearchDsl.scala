@@ -144,8 +144,79 @@ object SearchDsl {
       AND user_id IS NOT NULL
       AND NOT user_id IN (7, 13, 42)"""
 
+  // =========================================================================
+  // q39 — BM25 relevance scoring (the ranking half of the ES surface)
+  // =========================================================================
+
+  /** The reference lets Elasticsearch rank hits (`hits[0]` = best
+    * match, `openai_elasticsearch.py:228-236`); BM25 is the scoring ES
+    * runs underneath. Standard Lucene form, k1=1.2 b=0.75:
+    * `idf = ln(1 + (N-df+0.5)/(df+0.5))`,
+    * `score = Σ_t idf·tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))`.
+    *
+    * Cross-engine exactness with doubles-in-play: each per-(doc,term)
+    * score is quantized to integer MICROS before the per-doc sum, so
+    * the only float sensitivity is ln/÷ agreement at 1e-6 absolute —
+    * far above libm ulp differences — and the integer sum is
+    * order-independent. Corpus stats (N, avgdl) ride one broadcast
+    * row; everything else is the k1-style tf/df shuffle.
+    */
+  val q39Bm25: (SparkSession, String) => DataFrame = (s, dir) => {
+    val qterms = Seq("data", "spark", "table")
+    val toks = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+          .as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micros", expr(
+        """cast(round(1e6 * (
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           )) as bigint)"""))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.groupBy("doc_id")
+      .agg(sum("score_micros").as("score"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+  }
+
+  val q39Bm25Sql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('data', 'spark', 'table') GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     sum(dl) / count(*) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(1e6 * (
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             )) AS BIGINT) AS score_micros
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    agg AS (SELECT doc_id, CAST(sum(score_micros) AS BIGINT) AS score,
+                   count(*) AS n_terms_hit
+            FROM scored GROUP BY 1)
+    SELECT doc_id, score, n_terms_hit,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM agg QUALIFY rank <= 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q27_search_dsl" -> q27SearchDsl)
+    Map("q27_search_dsl" -> q27SearchDsl, "q39_bm25" -> q39Bm25)
   val oracleSql: Map[String, String] =
-    Map("q27_search_dsl" -> q27SearchDslSql)
+    Map("q27_search_dsl" -> q27SearchDslSql, "q39_bm25" -> q39Bm25Sql)
 }
