@@ -12,8 +12,10 @@ object PlanAudit {
   // the gap-fill spine (types × hours), q36's is the name-vocabulary
   // levenshtein matrix (vocab² DP pairs) — both bounded by dimension
   // cardinality, not data volume; their data-sized joins are equi
+  // ...and q39's corpus-stats frame is ONE row broadcast-crossed in
   private val expectedNestedLoop =
-    Set("s1_cosine_topk", "s5_ivf_ann", "q37_gap_fill", "q36_fuzzy_pairs")
+    Set("s1_cosine_topk", "s5_ivf_ann", "q37_gap_fill", "q36_fuzzy_pairs",
+      "q39_bm25")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
