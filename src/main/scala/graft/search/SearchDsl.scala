@@ -215,8 +215,40 @@ object SearchDsl {
            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
     FROM agg QUALIFY rank <= 10"""
 
+  // =========================================================================
+  // q40 — inverted-index build (the T4/T5 index structure itself)
+  // =========================================================================
+
+  /** The reference's T4/T5 tiers ship documents to Elasticsearch and
+    * let it build the inverted index (`Elastic_indexing.py:193-214`);
+    * this is that index as a first-class table: term → (df, sorted
+    * postings). One explode + one shuffle on term; postings arrive
+    * sorted via `sort_array∘collect_set` (the same determinism pin as
+    * A1). At 100 TB the term key is the natural partition and hot
+    * terms are exactly the df-capped stop-terms d7/m2 already drop.
+    */
+  val q40InvertedIndex: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+          .as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+
+  val q40InvertedIndexSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS term
+      FROM documents)
+    SELECT term, count(DISTINCT doc_id) AS df,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM toks GROUP BY term"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q27_search_dsl" -> q27SearchDsl, "q39_bm25" -> q39Bm25)
+    Map("q27_search_dsl" -> q27SearchDsl, "q39_bm25" -> q39Bm25,
+      "q40_inverted_index" -> q40InvertedIndex)
   val oracleSql: Map[String, String] =
-    Map("q27_search_dsl" -> q27SearchDslSql, "q39_bm25" -> q39Bm25Sql)
+    Map("q27_search_dsl" -> q27SearchDslSql, "q39_bm25" -> q39Bm25Sql,
+      "q40_inverted_index" -> q40InvertedIndexSql)
 }
