@@ -163,13 +163,21 @@ object SearchDsl {
     */
   val q39Bm25: (SparkSession, String) => DataFrame = (s, dir) => {
     val qterms = Seq("data", "spark", "table")
-    val toks = Tables.loadParallel(s, dir, "documents")
+    // one explode + one (doc_id, tag) shuffle feeds BOTH document
+    // length and query-term tf: non-query terms collapse to tag=NULL
+    // map-side (partial agg), so the corpus is scanned and shuffled
+    // once, not once per statistic
+    val g = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
           .as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("term").isin(qterms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"),
+        when(col("term").isin(qterms: _*), col("term")).as("tag"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val dl = g.groupBy("doc_id").agg(sum("n").as("dl"))
+    val tf = g.filter(col("tag").isNotNull)
+      .select(col("doc_id"), col("tag").as("term"), col("n").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum("dl") / count(lit(1))).as("avgdl"))
