@@ -45,6 +45,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMinAgg: split-and-merge equals whole-input compute (sketch mergeability)") {
+    val agg = new graft.functions.KMV.KMinAgg(8)
+    val genVals = Gen.listOf(Gen.choose(0L, 1000L))
+    samples(Gen.zip(genVals, genVals), 200).foreach { case (xs, ys) =>
+      def fold(vs: Seq[Long]) = vs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(fold(xs), fold(ys)))
+      val whole = agg.finish(fold(xs ++ ys))
+      assert(merged == whole, s"$xs / $ys")
+      assert(whole == (xs ++ ys).distinct.sorted.take(8))
+    }
+  }
+
+  test("zValue interleaves bits: monotone in each dimension over aligned pairs") {
+    val s = spark
+    import s.implicits._
+    val pts = samples(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)), 64)
+    val df = pts.toDF("x", "y")
+      .withColumn("z", graft.io.SortedLayout.zValue(
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // bit-interleaving identity: z == sum of spread bits
+    df.foreach { case ((x, y), z) =>
+      val expect = (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+      }.reduce(_ | _)
+      assert(z == expect, s"($x,$y)")
+    }
+  }
+
   test("parseJobName accepts exactly the known envs") {
     for (base <- samples(Gen.identifier.map(_.take(6)).suchThat(_.nonEmpty), 25)) {
       for (env <- EnvConfig.KnownEnvs)
