@@ -83,6 +83,28 @@ object Multimodal {
           s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
           .as(Seq("frame_idx", "frame_bytes")))
 
+  /** Overlapped windowing — the audio/spectrogram frame shape: windows
+    * of `windowBytes` advancing by `hopBytes` (hop < window ⇒
+    * overlap). Same Expand-style explode as [[sampleFrames]]; the
+    * window count per row is `1 + floor((len - window) / hop)` (plus a
+    * tail window when the remainder is non-empty), so output volume
+    * scales by window/hop — the knob a 100 TB audio pass sizes
+    * against its shuffle budget.
+    */
+  def sampleWindows(spark: SparkSession, dir: String,
+                    windowBytes: Int = 256, hopBytes: Int = 128): DataFrame = {
+    require(hopBytes > 0 && windowBytes >= hopBytes,
+      s"need 0 < hop <= window, got hop=$hopBytes window=$windowBytes")
+    withPayload(spark, dir)
+      .withColumn("n_win",
+        (greatest(length(col("payload")) - windowBytes, lit(0)) / hopBytes)
+          .cast("int") + 1)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, n_win - 1), " +
+          s"i -> substring(payload, i * $hopBytes + 1, $windowBytes))"))
+          .as(Seq("win_idx", "win_bytes")))
+  }
+
   /** Metadata projection that must never read the payload column. */
   def metadataOnly(spark: SparkSession, dir: String): DataFrame =
     withPayload(spark, dir)

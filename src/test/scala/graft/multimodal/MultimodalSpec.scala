@@ -37,4 +37,25 @@ class MultimodalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("payload"), plan)
   }
+
+  test("overlapped windows: hop-spaced starts, full coverage, window-sized slices") {
+    val win = 200; val hop = 100
+    val wins = Multimodal.sampleWindows(spark, sfDir, win, hop).cache()
+    val lens = Multimodal.withPayload(spark, sfDir)
+      .select(col("doc_id"), length(col("payload")).as("len"))
+    // per-doc window count matches the hop formula
+    val counts = wins.groupBy("doc_id").count()
+      .join(lens, "doc_id")
+      .withColumn("expect",
+        (greatest(col("len") - win, lit(0)) / hop).cast("long") + 1)
+    assert(counts.filter(col("count") =!= col("expect")).isEmpty)
+    // consecutive windows overlap by win - hop bytes
+    val overlapViolation = wins.as("a").join(wins.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("a.win_idx") + 1 === col("b.win_idx"))
+      .filter(length(col("a.win_bytes")) === win &&
+        expr(s"substring(a.win_bytes, $hop + 1, $win - $hop) != substring(b.win_bytes, 1, $win - $hop)"))
+    assert(overlapViolation.isEmpty)
+    wins.unpersist(): Unit
+  }
 }
