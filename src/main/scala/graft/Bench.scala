@@ -59,8 +59,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query reports -1 in `queries` and is excluded from the
+    // total (a negative total would under-report every healthy query)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failedJson =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 }
