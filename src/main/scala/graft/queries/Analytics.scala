@@ -155,12 +155,65 @@ object Analytics {
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"""
 
+  /** q41 — funnel conversion: per user, clicks that follow a view
+    * within 10 minutes (attributed) and are themselves followed by a
+    * purchase within 30 minutes (converted). The batch analog of the
+    * stream-stream interval join ([[graft.streaming.StreamJoin]]):
+    * each stage is a LEFT SEMI range join — the semi form dedups
+    * multi-match fan-out before counting, and each join's equi-part
+    * (user_id) carries the shuffle while the time band is a post-match
+    * predicate. At scale both stages are one co-partitioned shuffle
+    * each; no window sorts.
+    */
+  val q41Funnel: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    def typed(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = typed("click")
+    val views = typed("view").select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val purchases = typed("purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val attributed = clicks.join(views,
+      col("user_id") === col("v_user") &&
+      col("v_ts") <= col("ts") &&
+      col("v_ts") >= col("ts") - expr("interval 10 minutes"), "left_semi")
+    val converted = attributed.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_ts") >= col("ts") &&
+      col("p_ts") <= col("ts") + expr("interval 30 minutes"), "left_semi")
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy("user_id").agg(count(lit(1)).as(as))
+    cnt(clicks, "n_clicks")
+      .join(cnt(attributed, "n_attributed"), Seq("user_id"), "left")
+      .join(cnt(converted, "n_converted"), Seq("user_id"), "left")
+      .select(col("user_id"), col("n_clicks"),
+        coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+  }
+
+  val q41FunnelSql: String = """
+    WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    a AS (SELECT * FROM c WHERE EXISTS (
+            SELECT 1 FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = c.user_id
+              AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE)),
+    cv AS (SELECT * FROM a WHERE EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+              AND p.ts >= a.ts AND p.ts <= a.ts + INTERVAL 30 MINUTE))
+    SELECT c.user_id,
+           count(*) AS n_clicks,
+           coalesce((SELECT count(*) FROM a WHERE a.user_id = c.user_id), 0) AS n_attributed,
+           coalesce((SELECT count(*) FROM cv WHERE cv.user_id = c.user_id), 0) AS n_converted
+    FROM c GROUP BY c.user_id"""
+
   val queries: Map[String, Q] = Map(
     "q34_cube"         -> q34Cube,
     "q35_unpivot"      -> q35Unpivot,
     "q36_fuzzy_pairs"  -> q36FuzzyPairs,
     "q37_gap_fill"     -> q37GapFill,
     "q38_dist_windows" -> q38DistWindows,
+    "q41_funnel"       -> q41Funnel,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -169,5 +222,6 @@ object Analytics {
     "q36_fuzzy_pairs"  -> q36FuzzyPairsSql,
     "q37_gap_fill"     -> q37GapFillSql,
     "q38_dist_windows" -> q38DistWindowsSql,
+    "q41_funnel"       -> q41FunnelSql,
   )
 }

@@ -46,6 +46,17 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q41 funnel counts are monotone: converted <= attributed <= clicks") {
+    val out = Analytics.q41Funnel(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_converted") > col("n_attributed") ||
+      col("n_attributed") > col("n_clicks")).isEmpty)
+    // sf0.001 carries exactly one attributed click and no conversions;
+    // the conversion stage is exercised by the sf0.01 oracle gate
+    assert(out.filter(col("n_attributed") > 0).count() > 0)
+    out.unpersist(): Unit
+  }
+
   test("q38 distribution windows are bounded and quartiles partition each customer") {
     val out = Analytics.q38DistWindows(spark, sfDir).cache()
     assert(out.filter(col("pr") < 0 || col("pr") > 1 ||
