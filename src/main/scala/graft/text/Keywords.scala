@@ -99,11 +99,14 @@ object Keywords {
     // joins with nothing, so dropping block-singletons shrinks the
     // self-join input (most of a corpus's vocabulary) without changing
     // a single dot product; norms still use the full tf.
+    // persisted so the window prune runs ONCE — unpersisted, each side
+    // of the self-join below re-sorts tf (verified: two Window nodes)
     val shared = tf.withColumn("ndocs",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("source", "term")))
       .filter(col("ndocs") >= 2)
       .select("source", "doc_id", "term", "tf")
+      .persist()
     val dots = shared.as("x")
       .join(shared.as("y"),
         col("x.source") === col("y.source") && col("x.term") === col("y.term") &&
