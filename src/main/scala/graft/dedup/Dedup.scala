@@ -371,8 +371,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src"))
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with round one's result directly: from identity labels the
+    // first propagation yields min(node, min(neighbors)) — one
+    // aggregate instead of a join + union + aggregate cycle
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
