@@ -207,7 +207,40 @@ object Analytics {
            coalesce((SELECT count(*) FROM cv WHERE cv.user_id = c.user_id), 0) AS n_converted
     FROM c GROUP BY c.user_id"""
 
+  /** q42 — cohort retention: users bucketed by first-activity week,
+    * then distinct active users per (cohort, week) — the product-
+    * analytics matrix behind every retention dashboard. Two shuffles
+    * (first-week per user, then the cohort×week distinct count);
+    * weeks are integer `floor(days-since-epoch-start / 7)` so both
+    * engines bucket identically with no timezone/week-start ambiguity.
+    */
+  val q42CohortRetention: Q = (s, dir) => {
+    val weeks = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+          .as("week"))
+    val cohort = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.distinct()
+      .join(cohort, "user_id")
+      .groupBy("cohort_week", "week")
+      .agg(countDistinct("user_id").as("n_active"))
+      .withColumn("weeks_since", (col("week") - col("cohort_week")).cast("long"))
+  }
+
+  val q42CohortRetentionSql: String = """
+    WITH w AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM w)
+    SELECT cohort_week, week, count(DISTINCT active.user_id) AS n_active,
+           CAST(week - cohort_week AS BIGINT) AS weeks_since
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY cohort_week, week"""
+
   val queries: Map[String, Q] = Map(
+    "q42_cohort_retention" -> q42CohortRetention,
     "q34_cube"         -> q34Cube,
     "q35_unpivot"      -> q35Unpivot,
     "q36_fuzzy_pairs"  -> q36FuzzyPairs,
@@ -217,6 +250,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q42_cohort_retention" -> q42CohortRetentionSql,
     "q34_cube"         -> q34CubeSql,
     "q35_unpivot"      -> q35UnpivotSql,
     "q36_fuzzy_pairs"  -> q36FuzzyPairsSql,

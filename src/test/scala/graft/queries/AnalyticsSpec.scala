@@ -57,6 +57,19 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist(): Unit
   }
 
+  test("q42 cohort matrix is upper-triangular and week-0 covers every cohort user") {
+    val out = Analytics.q42CohortRetention(spark, sfDir).cache()
+    assert(out.filter(col("week") < col("cohort_week")).isEmpty)
+    assert(out.filter(col("weeks_since") =!= col("week") - col("cohort_week")).isEmpty)
+    // week 0 of each cohort has the cohort's full user count
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val users = ev.select("user_id").distinct().count()
+    val week0 = out.filter(col("weeks_since") === 0)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    assert(week0 == users, s"week-0 sum $week0 != $users distinct users")
+    out.unpersist(): Unit
+  }
+
   test("q38 distribution windows are bounded and quartiles partition each customer") {
     val out = Analytics.q38DistWindows(spark, sfDir).cache()
     assert(out.filter(col("pr") < 0 || col("pr") > 1 ||
