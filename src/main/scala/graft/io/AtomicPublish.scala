@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic table publish: write to a staging directory, gate on the
+  * written row count (the reference's A4 count gate,
+  * `log_screen.py:305`), then move into place with a single rename —
+  * readers see the old table or the new one, never a half-written mix.
+  *
+  * The reference's K1 delete-then-append has a visible window where
+  * the table is empty or partial between the `preactions` delete and
+  * the append commit (`AWS_GLUE_ETL.py:124-132`); staging + rename
+  * closes it. On HDFS-like filesystems the rename is O(1) metadata;
+  * on object stores it degrades to copy — there the same contract
+  * comes from publishing a new versioned prefix and flipping a
+  * pointer, which [[publishVersioned]] models.
+  */
+object AtomicPublish {
+
+  /** Returns the published row count. Fails (and leaves the current
+    * table untouched) if `expectedRows` is given and doesn't match.
+    */
+  def publish(df: DataFrame, table: String,
+              expectedRows: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(table + ".staging")
+    val target = new Path(table)
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val written = spark.read.parquet(staging.toString).count()
+    expectedRows.foreach { exp =>
+      if (written != exp) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"count gate failed for $table: wrote $written, expected $exp")
+      }
+    }
+    val old = new Path(table + ".old")
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old): Unit
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"publish rename failed for $table")
+    fs.delete(old, true)
+    written
+  }
+
+  /** Object-store flavour: each publish writes `table/v=<n+1>/` and the
+    * reader resolves the highest committed version — no rename of data
+    * files at all, and old versions double as snapshots until a
+    * retention sweep ([[Backup.retentionSweep]] semantics) drops them.
+    */
+  def publishVersioned(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(spark, table).getOrElse(0L) + 1
+    val dir = new Path(s"$table/v=$next")
+    df.write.mode("overwrite").parquet(dir.toString)
+    // the _SUCCESS marker written by the committer IS the commit record
+    require(fs.exists(new Path(dir, "_SUCCESS")), s"no commit marker in $dir")
+    next
+  }
+
+  def currentVersion(spark: SparkSession, table: String): Option[Long] = {
+    val base = new Path(table)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val versions = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  def readCurrent(spark: SparkSession, table: String): DataFrame = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed version under $table"))
+    spark.read.parquet(s"$table/v=$v")
+  }
+}

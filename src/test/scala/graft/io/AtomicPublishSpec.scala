@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class AtomicPublishSpec extends SparkSpec {
+
+  test("publish replaces the table atomically and survives re-publish") {
+    val table = tmpDir("atomic") + "/nation"
+    val nation = Tables.load(spark, sfDir, "nation")
+    val n1 = AtomicPublish.publish(nation, table)
+    assert(n1 == nation.count())
+    assert(spark.read.parquet(table).count() == n1)
+    // second publish with different content fully replaces the first
+    val half = nation.filter(col("n_nationkey") < 10)
+    val n2 = AtomicPublish.publish(half, table)
+    assert(spark.read.parquet(table).count() == n2 && n2 < n1)
+  }
+
+  test("failed count gate leaves the current table untouched") {
+    val table = tmpDir("atomic-gate") + "/nation"
+    val nation = Tables.load(spark, sfDir, "nation")
+    AtomicPublish.publish(nation, table)
+    intercept[IllegalStateException] {
+      AtomicPublish.publish(nation.limit(1), table, expectedRows = Some(999L))
+    }
+    assert(spark.read.parquet(table).count() == nation.count(),
+      "gate failure must not clobber the published table")
+  }
+
+  test("versioned publish: reader follows the highest committed version") {
+    val table = tmpDir("atomic-ver") + "/nation"
+    val nation = Tables.load(spark, sfDir, "nation")
+    assert(AtomicPublish.currentVersion(spark, table).isEmpty)
+    val v1 = AtomicPublish.publishVersioned(nation, table)
+    val v2 = AtomicPublish.publishVersioned(nation.limit(3), table)
+    assert(v1 == 1 && v2 == 2)
+    assert(AtomicPublish.readCurrent(spark, table).count() == 3)
+    // old version still present as a snapshot
+    assert(spark.read.parquet(s"$table/v=1").count() == nation.count())
+  }
+}
