@@ -136,11 +136,40 @@ object Registry {
       COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey"""
 
+  /** q43 — q5's top-3-per-customer computed by the CUSTOM bounded-heap
+    * `Aggregator` (§2.11(c), `ops/TopKAggregator`) instead of a window
+    * sort, and held to the same DuckDB oracle: k items per group per
+    * partition cross the wire — O(n log k), no per-group sort — and the
+    * heap's tie-breaking (score desc, id asc) must reproduce
+    * `row_number`'s exactly for the hash gate to pass.
+    */
+  val q43TopkAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.ops.TopKAggregator(3).toColumn.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("i") + 1).cast("int").as("rn"))
+  }
+
+  val q43TopkAggSql: String = """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3"""
+
   // =======================================================================
   // Registry
   // =======================================================================
 
   val queries: Map[String, Q] = Map(
+    "q43_topk_agg"        -> q43TopkAgg,
     "q1_pricing_summary"  -> q1PricingSummary,
     "q2_revenue_join"     -> q2RevenueJoin,
     "q3_filter_project"   -> q3FilterProject,
@@ -156,6 +185,7 @@ object Registry {
     Analytics.queries
 
   val oracleSql: Map[String, String] = Map(
+    "q43_topk_agg"        -> q43TopkAggSql,
     "q1_pricing_summary"  -> q1PricingSummarySql,
     "q2_revenue_join"     -> q2RevenueJoinSql,
     "q3_filter_project"   -> q3FilterProjectSql,
