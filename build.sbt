@@ -16,6 +16,11 @@ run / fork := true
 // Forked run inherits raw stdout (no "[info]" log prefix) so Bench's
 // single JSON line stays machine-parseable when launched via sbt.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." footer so the
+// bench JSON line is the LAST line of sbt output (round-2 bench showed
+// the footer after the JSON and the driver recorded parsed:null).
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

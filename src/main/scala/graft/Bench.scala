@@ -65,7 +65,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson}"""
+    // Stop Spark BEFORE printing: shutdown warnings land on the log
+    // stream first and the JSON stays the final line of output.
     spark.stop()
+    println(line)
   }
 }

@@ -67,14 +67,21 @@ object Corpus {
     */
   val c2CorpusMix: Q = (s, dir) =>
     Tables.loadParallel(s, dir, "documents")
-      .withColumn("weight",
-        lit(1) + expr("cast(substr(source, 4, 10) as int)") % 3)
+      // Weight parse is guarded so malformed sources behave identically
+      // on both engines: try_cast nulls (never errors), coalesce turns
+      // an unparseable source into weight 1, greatest floors a negative
+      // parse at 1 (Spark's sequence(1,0) would yield a DESCENDING
+      // 2-element array where DuckDB's generate_series(1,0) is empty).
+      .withColumn("weight", expr(
+        "greatest(1, coalesce(1 + try_cast(substr(source, 4, 10) as int) % 3, 1))"))
       .select(col("doc_id"), col("source"), col("weight"),
         explode(expr("sequence(1, weight)")).as("epoch"))
 
   val c2CorpusMixSql: String = """
     WITH w AS (SELECT doc_id, source,
-                      1 + CAST(substr(source, 4, 10) AS INT) % 3 AS weight
+                      greatest(1, coalesce(
+                        1 + TRY_CAST(substr(source, 4, 10) AS INT) % 3,
+                        1)) AS weight
                FROM documents)
     SELECT doc_id, source, weight, unnest(generate_series(1, weight)) AS epoch
     FROM w"""

@@ -5,8 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic table publish: write to a staging directory, gate on the
   * written row count (the reference's A4 count gate,
-  * `log_screen.py:305`), then move into place with a single rename —
-  * readers see the old table or the new one, never a half-written mix.
+  * `log_screen.py:305`), then move into place via rename — readers see
+  * the old table or the new one, never a half-written mix. Caveat: the
+  * swap is TWO renames (target→.old, staging→target), so there is a
+  * brief window where the live path is absent and a concurrent reader
+  * errors with "path does not exist" (never partial data). When
+  * readers must never miss, use [[publishVersioned]], whose pointer
+  * flip (_SUCCESS-committed `v=n` prefix) has no such window.
   *
   * The reference's K1 delete-then-append has a visible window where
   * the table is empty or partial between the `preactions` delete and
@@ -39,7 +44,10 @@ object AtomicPublish {
     }
     val old = new Path(table + ".old")
     fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old): Unit
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new IllegalStateException(
+        s"publish failed for $table: could not move current table aside " +
+          "(live table left untouched, new data remains in .staging)")
     if (!fs.rename(staging, target))
       throw new IllegalStateException(s"publish rename failed for $table")
     fs.delete(old, true)

@@ -60,9 +60,17 @@ object HttpSink {
         postOnce(url, payload, timeoutMs)
         return
       } catch {
-        case e: Throwable =>
+        // Only retry recoverable I/O failures: fatal JVM errors
+        // propagate immediately, and InterruptedException must surface
+        // at once so task-kill (speculation, stage cancel) isn't
+        // delayed by the retry loop.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           attempt += 1
+          if (attempt <= maxRetries)
+            Thread.sleep(math.min(100L << (attempt - 1), 2000L))
       }
     }
     throw new RuntimeException(

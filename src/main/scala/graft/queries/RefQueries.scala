@@ -153,14 +153,22 @@ object RefQueries {
         struct(col("o_orderkey").as("okey"),
                cents(col("o_totalprice")).as("price_cents")).as("o"))
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list(col("o"))).as("nested_orders"),
+      // The nested array<struct> is built distributed (sort_array pins
+      // order on the unique okey), then canonicalized to
+      // "okey:cents|okey:cents|..." — the oracle harness hash-compares
+      // cell values and cannot hash array-typed cells.
+      .agg(array_join(
+             transform(sort_array(collect_list(col("o"))),
+               o => concat(o.getField("okey").cast("string"), lit(":"),
+                           o.getField("price_cents").cast("string"))),
+             "|").as("nested_orders"),
            count(lit(1)).as("n_orders"))
 
   val q15NestedDocsSql: String = """
     SELECT o_custkey,
-           list_sort(list(struct_pack(
-             okey := o_orderkey,
-             price_cents := CAST(round(o_totalprice*100) AS BIGINT)))) AS nested_orders,
+           string_agg(o_orderkey || ':' ||
+                      CAST(round(o_totalprice*100) AS BIGINT),
+                      '|' ORDER BY o_orderkey) AS nested_orders,
            count(*) AS n_orders
     FROM orders GROUP BY o_custkey"""
 

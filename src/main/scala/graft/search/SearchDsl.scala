@@ -242,7 +242,12 @@ object SearchDsl {
           .as("term"))
       .groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"),
-        sort_array(collect_set(col("doc_id"))).as("postings"))
+        // Serialized (not array-typed) postings: the oracle harness
+        // hash-compares cell values, so the sorted posting list is
+        // canonicalized to "id,id,..." on both engines.
+        array_join(
+          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
 
   val q40InvertedIndexSql: String = """
     WITH toks AS (
@@ -250,7 +255,7 @@ object SearchDsl {
              unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS term
       FROM documents)
     SELECT term, count(DISTINCT doc_id) AS df,
-           list_sort(list(DISTINCT doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
     FROM toks GROUP BY term"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
