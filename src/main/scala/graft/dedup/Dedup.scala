@@ -405,9 +405,10 @@ object Dedup {
   /** Oracle: transitive closure via recursive CTE, component = min
     * reachable node (tractable because dup clusters are tiny; the
     * engine side uses label propagation instead precisely because
-    * closure explodes at scale).
+    * closure explodes at scale). Shared CTE prefix — ends at `comp` —
+    * so d8 and d10 stay one definition.
     */
-  val d8DupClustersSql: String = {
+  private val componentsCte: String = {
     val bandSelects = (0 until NumBands).map { b =>
       val cols = (0 until BandSize).map(r => s"CAST(${mhCol(b * BandSize + r)} AS VARCHAR)")
       s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
@@ -427,10 +428,12 @@ object Dedup {
       UNION
       SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
     comp AS (SELECT node, least(node, min(r)) AS component
-             FROM reach GROUP BY node)
+             FROM reach GROUP BY node)"""
+  }
+
+  val d8DupClustersSql: String = s"""$componentsCte
     SELECT node AS doc_id, component, node = component AS is_survivor
     FROM comp"""
-  }
 
   /** d9 — SEMANTIC dup clusters: the same connected-components pass
     * over the embedding near-dup pairs (s4) instead of the lexical LSH
@@ -457,7 +460,44 @@ object Dedup {
     SELECT node AS vec_id, component, node = component AS is_survivor
     FROM comp"""
 
+  /** d10 — survivorship election: the end of the dedup pipeline. Every
+    * document gets its dup-cluster label (singletons are their own
+    * cluster) and the cluster's canonical document is elected by
+    * QUALITY — longest text wins, doc_id breaks ties — instead of d8's
+    * arbitrary min-id. This is the row a production clean would keep.
+    * The rank window partitions by component: cluster sizes are tiny
+    * (bounded by the LSH band fan-in), so the per-partition sort is
+    * O(cluster), not O(corpus), and the join back to `documents` is a
+    * broadcast of the (small) non-singleton label map.
+    */
+  val d10Survivorship: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val comp = components(d3LshPairs(s, dir))
+    val labeled = docs
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("rank_in_cluster", row_number().over(w).cast("long"))
+      .withColumn("is_canonical", col("rank_in_cluster") === 1L)
+  }
+
+  val d10SurvivorshipSql: String = s"""$componentsCte,
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, coalesce(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+    SELECT doc_id, n_chars, component,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rank_in_cluster,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+    FROM labeled"""
+
   val queries: Map[String, Q] = Map(
+    "d10_survivorship"     -> d10Survivorship,
     "d1_exact_dedup"       -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSignature,
     "d3_lsh_pairs"         -> d3LshPairs,
@@ -470,6 +510,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d10_survivorship"     -> d10SurvivorshipSql,
     "d1_exact_dedup"       -> d1ExactDedupSql,
     "d2_minhash_signature" -> d2MinhashSignatureSql,
     "d3_lsh_pairs"         -> d3LshPairsSql,

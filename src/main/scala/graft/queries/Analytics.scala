@@ -239,7 +239,129 @@ object Analytics {
     FROM active JOIN cohort USING (user_id)
     GROUP BY cohort_week, week"""
 
+  /** q44 — explicit GROUPING SETS (completes the rollup/cube family:
+    * q18 rollup, q34 cube): per-returnflag and per-linestatus marginals
+    * plus the grand total, WITHOUT the cross cells cube would add.
+    * Catalyst plans this as one Expand (3 rows per input) + a single
+    * hash aggregate — one shuffle, no per-set re-scan, same as cube.
+    */
+  val q44GroupingSets: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("qty_cents"))
+
+  val q44GroupingSetsSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+
+  /** q45 — keep-latest-per-key (log compaction / CDC snapshot): the
+    * current state of every user from the append-only event log.
+    * Implemented as a single `max_by` aggregation ordered by the unique
+    * (ts, event_id) pair — ONE shuffle with map-side partial
+    * aggregation (each task forwards one candidate row per key), where
+    * the textbook `row_number() = 1` window would sort every
+    * partition's full history. At 100 TB of events this is the
+    * difference between shuffling |users| rows and |events| rows.
+    */
+  val q45LatestPerKey: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"), cents(col("value")).as("cents"))
+      .groupBy("user_id")
+      .agg(expr(
+        """max_by(named_struct('event_id', event_id, 'event_type', event_type,
+                               'us', us, 'cents', cents),
+                  named_struct('us', us, 'event_id', event_id))""").as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.us").as("last_ts_us"),
+        col("last.cents").as("last_value_cents"))
+
+  val q45LatestPerKeySql: String = """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value*100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           us AS last_ts_us, cents AS last_value_cents
+    FROM r WHERE rn = 1"""
+
+  /** q46 — conditional (FILTER-clause) aggregation: one scan of orders
+    * producing per-priority totals sliced three ways by status. The
+    * conditional sums stay inside one codegen'd hash aggregate — the
+    * alternative (three filtered scans unioned back) reads the table
+    * three times. Null-sum-on-empty is pinned to 0 with coalesce on
+    * both engines.
+    */
+  val q46FilteredAgg: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_fulfilled"),
+        coalesce(sum(when(col("o_orderstatus") === "O",
+          cents(col("o_totalprice")))), lit(0L)).as("open_cents"),
+        coalesce(sum(when(col("o_orderstatus") === "P",
+          cents(col("o_totalprice")))), lit(0L)).as("partial_cents"))
+
+  val q46FilteredAggSql: String = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS open_cents,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS partial_cents
+    FROM orders GROUP BY o_orderpriority"""
+
+  /** q47 — RANGE-frame sliding aggregate: for every event, the user's
+    * activity (count + cents) over the TRAILING HOUR — the "rate over
+    * sliding window" shape q26's tumbling windows can't express (no
+    * bucket boundary effects) and q23's ROWS frames can't either
+    * (row-count frames ignore time gaps). One shuffle on user_id; the
+    * range frame is evaluated over each partition's sorted run with a
+    * moving two-pointer, O(n) per user — no self-join, no explode of
+    * per-minute buckets.
+    */
+  val q47SlidingRange: Q = (s, dir) => {
+    val HourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-HourUs, 0)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), cents(col("value")).as("cents"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("cents_trailing_1h", sum("cents").over(w).cast("long"))
+  }
+
+  val q47SlidingRangeSql: String = """
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           CAST(round(value*100) AS BIGINT) AS cents,
+           count(*) OVER w AS n_trailing_1h,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
   val queries: Map[String, Q] = Map(
+    "q47_sliding_range"    -> q47SlidingRange,
+    "q44_grouping_sets"    -> q44GroupingSets,
+    "q45_latest_per_key"   -> q45LatestPerKey,
+    "q46_filtered_agg"     -> q46FilteredAgg,
     "q42_cohort_retention" -> q42CohortRetention,
     "q34_cube"         -> q34Cube,
     "q35_unpivot"      -> q35Unpivot,
@@ -250,6 +372,10 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q47_sliding_range"    -> q47SlidingRangeSql,
+    "q44_grouping_sets"    -> q44GroupingSetsSql,
+    "q45_latest_per_key"   -> q45LatestPerKeySql,
+    "q46_filtered_agg"     -> q46FilteredAggSql,
     "q42_cohort_retention" -> q42CohortRetentionSql,
     "q34_cube"         -> q34CubeSql,
     "q35_unpivot"      -> q35UnpivotSql,
