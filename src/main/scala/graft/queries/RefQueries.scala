@@ -398,7 +398,59 @@ object RefQueries {
     WHERE k >= 50
     GROUP BY event_type"""
 
+  /** q48 — the TPC-H Q21 composition (semi + anti self-join on the
+    * fact table): suppliers who were the ONLY late supplier on a
+    * multi-supplier fulfilled order ("late" = shipped > 90 days after
+    * the order date; the synthetic tables carry no commit/receipt
+    * dates). Exercises EXISTS + NOT EXISTS with correlated non-equi
+    * predicates in one plan: Catalyst runs both as broadcast/shuffled
+    * hash joins on l_orderkey with the `suppkey <>` residual — the
+    * fact table is never exploded, and at 100 TB all three legs
+    * co-partition on orderkey so AQE can pick SMJ with one exchange
+    * reused.
+    */
+  val q48LateSuppliers: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+      col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_orderkey") &&
+        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val q48LateSuppliersSql: String = """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_suppkey, s_name"""
+
   val queries: Map[String, Q] = Map(
+    "q48_late_suppliers"   -> q48LateSuppliers,
     "q30_order_count_dist" -> q30OrderCountDist,
     "q33_variant_extract"  -> q33VariantExtract,
     "q7_event_normalize"   -> q7EventNormalize,
@@ -424,6 +476,7 @@ object RefQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q48_late_suppliers"   -> q48LateSuppliersSql,
     "q30_order_count_dist" -> q30OrderCountDistSql,
     "q33_variant_extract"  -> q33VariantExtractSql,
     "q7_event_normalize"   -> EventNormalize.oracle,
