@@ -281,7 +281,82 @@ object Similarity {
     SELECT query_id, cell, rank, vec_id AS neighbor_id, cos_sim
     FROM ranked WHERE rank <= 3"""
 
+  // =========================================================================
+  // s6 — multiprobe IVF: nprobe=2, the recall/cost knob
+  // =========================================================================
+
+  /** s5 with the production recall knob turned: each query probes its
+    * TWO highest-cosine cells instead of one, recovering neighbors
+    * that fell just across a cell boundary (the dominant IVF recall
+    * failure). Corpus storage is unchanged (each vector still lives in
+    * exactly one cell, so the union of probe candidates is
+    * duplicate-free by construction); query cost doubles, corpus cost
+    * doesn't. The probe list and the candidate join both shuffle on
+    * cell id — the same partitioning s5 already pays.
+    */
+  val s6MultiprobeAnn: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val rankedCells = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wCell))
+    val assigned = rankedCells.filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("n2"), col("c_id").as("cell"))
+    val probes = rankedCells
+      .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("c_id").as("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(
+        graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")), col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  val s6MultiprobeAnnSql: String = s"""
+    WITH $oracleQuantized,
+    centroids AS (SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM qn
+                  WHERE vec_id % 125 = 0),
+    scored_cells AS (
+      SELECT qn.vec_id, qn.qv, qn.n2, c_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qv, i) * list_extract(c_qv, i)), 'sum')::DOUBLE
+               / sqrt(n2::DOUBLE * c_n2::DOUBLE) AS c_cos
+      FROM qn CROSS JOIN centroids),
+    ranked_cells AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, c_id) AS rn
+      FROM scored_cells),
+    assigned AS (SELECT vec_id, qv, n2, c_id AS cell
+                 FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2, c_id AS cell
+               FROM ranked_cells WHERE rn <= 2 AND vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, a.vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(a.qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * a.n2::DOUBLE) AS cos_sim
+      FROM probes q JOIN assigned a USING (cell)
+      WHERE query_id <> a.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 3"""
+
   val queries: Map[String, Q] = Map(
+    "s6_multiprobe_ann"    -> s6MultiprobeAnn,
     "s1_cosine_topk"       -> s1CosineTopk,
     "s2_lsh_buckets"       -> s2LshBuckets,
     "s3_ann_bucketed"      -> s3AnnBucketed,
@@ -295,5 +370,6 @@ object Similarity {
     "s3_ann_bucketed"      -> s3AnnBucketedSql,
     "s4_embedding_neardup" -> s4EmbeddingNeardupSql,
     "s5_ivf_ann"           -> s5IvfAnnSql,
+    "s6_multiprobe_ann"    -> s6MultiprobeAnnSql,
   )
 }

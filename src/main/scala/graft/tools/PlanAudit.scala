@@ -13,9 +13,11 @@ object PlanAudit {
   // levenshtein matrix (vocab² DP pairs) — both bounded by dimension
   // cardinality, not data volume; their data-sized joins are equi
   // ...and q39's corpus-stats frame is ONE row broadcast-crossed in
+  // ...s6 shares s5's corpus×centroid assignment cross (centroid set
+  // is tiny and broadcast; bounded by centroid count, not data volume)
   private val expectedNestedLoop =
-    Set("s1_cosine_topk", "s5_ivf_ann", "q37_gap_fill", "q36_fuzzy_pairs",
-      "q39_bm25")
+    Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
+      "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
