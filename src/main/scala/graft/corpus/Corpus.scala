@@ -65,15 +65,17 @@ object Corpus {
     * mixed stream. Fractional weights compose with c1's hash buckets
     * (e.g. weight 2.5 = 2 copies + bucket<500 half-copy).
     */
+  // Weight parse is guarded so malformed sources behave identically
+  // on both engines: try_cast nulls (never errors), coalesce turns
+  // an unparseable source into weight 1, greatest floors a negative
+  // parse at 1 (Spark's sequence(1,0) would yield a DESCENDING
+  // 2-element array where DuckDB's generate_series(1,0) is empty).
+  private[graft] val weightExpr =
+    "greatest(1, coalesce(1 + try_cast(substr(source, 4, 10) as int) % 3, 1))"
+
   val c2CorpusMix: Q = (s, dir) =>
     Tables.loadParallel(s, dir, "documents")
-      // Weight parse is guarded so malformed sources behave identically
-      // on both engines: try_cast nulls (never errors), coalesce turns
-      // an unparseable source into weight 1, greatest floors a negative
-      // parse at 1 (Spark's sequence(1,0) would yield a DESCENDING
-      // 2-element array where DuckDB's generate_series(1,0) is empty).
-      .withColumn("weight", expr(
-        "greatest(1, coalesce(1 + try_cast(substr(source, 4, 10) as int) % 3, 1))"))
+      .withColumn("weight", expr(weightExpr))
       .select(col("doc_id"), col("source"), col("weight"),
         explode(expr("sequence(1, weight)")).as("epoch"))
 

@@ -39,6 +39,20 @@ class CorpusSpec extends SparkSpec {
     assert(ws.sameElements(Array(1, 2, 3)))
   }
 
+  test("c2: malformed and negative sources floor at weight 1, never error") {
+    val s = spark
+    import s.implicits._
+    val odd = Seq("src1", "src2", "src0", "web-01", "garbage", "s", "")
+      .toDF("source")
+      .withColumn("weight", expr(Corpus.weightExpr))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(odd("src1") == 2 && odd("src2") == 3 && odd("src0") == 1)
+    // 'web-01' parses substr 4.. as -1: floored to 1 (not Spark's
+    // descending sequence(1,0)); unparseable/short/empty sources -> 1
+    assert(odd("web-01") == 1 && odd("garbage") == 1 &&
+      odd("s") == 1 && odd("") == 1)
+  }
+
   test("c3: flagged docs are train-split only and really share shingles") {
     val flagged = Corpus.c3Decontaminate(spark, sfDir)
     val split = Corpus.c1HashSplit(spark, sfDir)

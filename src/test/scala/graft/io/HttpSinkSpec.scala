@@ -56,6 +56,21 @@ class HttpSinkSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("transient failures are retried with backoff until success") {
+    val attempts = new AtomicInteger(0)
+    val status = new AtomicInteger(500)
+    val (url, stop) = serve(status, { _ =>
+      // first attempt answers 500; every later attempt answers 200
+      if (attempts.incrementAndGet() >= 2) status.set(200)
+    })
+    try {
+      val nation = graft.core.Tables.load(spark, sfDir, "nation").coalesce(1)
+      val sent = HttpSink.post(nation, url, batchSize = 100, maxRetries = 3)
+      assert(sent == 25)
+      assert(attempts.get() == 2) // 500 then 200 — in-task retry, no task restart
+    } finally stop()
+  }
+
   test("non-2xx fails the write after bounded retries") {
     val attempts = new AtomicInteger(0)
     val bad = new AtomicInteger(500)
