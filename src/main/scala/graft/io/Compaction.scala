@@ -58,4 +58,26 @@ object Compaction {
       df.coalesce(targetFiles), table, expectedRows = Some(rows))
     Report(files.size, dataFiles(spark, table).size, totalBytes, written)
   }
+
+  /** Partition-preserving flavour for `partCol=`-partitioned tables:
+    * each partition directory compacts independently (already-compact
+    * partitions are metadata-only no-ops), so the table's partition
+    * pruning and dynamic-partition-overwrite contracts survive, and a
+    * 100 TB table compacts one bounded partition-sized job at a time —
+    * never a full-table rewrite. Each swap is [[AtomicPublish]]-staged
+    * per partition; a crash affects at most the one partition being
+    * swapped, and its original data survives in the staged dirs.
+    */
+  def compactPartitions(spark: SparkSession, table: String, partCol: String,
+                        targetBytes: Long = 128L * 1024 * 1024): Map[String, Report] = {
+    val base = new Path(table)
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(base)) return Map.empty
+    f.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map { s =>
+        s.getPath.getName.stripPrefix(s"$partCol=") ->
+          compact(spark, s.getPath.toString, targetBytes)
+      }.toMap
+  }
 }
