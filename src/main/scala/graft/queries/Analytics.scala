@@ -357,7 +357,36 @@ object Analytics {
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
 
+  /** q49 — share-of-total (ratio_to_report): each order's fraction of
+    * its priority class's revenue. A whole-partition window frame (no
+    * ORDER BY → no sort needed beyond the hash partition; Catalyst
+    * plans Window with an unbounded frame over the partition) — the
+    * denominator is computed once per partition, not per row, and the
+    * share division is the same IEEE double op on identical int64
+    * cents in both engines.
+    */
+  val q49ShareOfTotal: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("priority_cents", sum("cents").over(w).cast("long"))
+      .withColumn("share",
+        col("cents").cast("double") / col("priority_cents").cast("double"))
+  }
+
+  val q49ShareOfTotalSql: String = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_orderpriority) AS BIGINT) AS priority_cents,
+           CAST(round(o_totalprice*100) AS BIGINT)::DOUBLE /
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                  OVER (PARTITION BY o_orderpriority) AS BIGINT)::DOUBLE AS share
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
+    "q49_share_of_total"   -> q49ShareOfTotal,
     "q47_sliding_range"    -> q47SlidingRange,
     "q44_grouping_sets"    -> q44GroupingSets,
     "q45_latest_per_key"   -> q45LatestPerKey,
@@ -372,6 +401,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q49_share_of_total"   -> q49ShareOfTotalSql,
     "q47_sliding_range"    -> q47SlidingRangeSql,
     "q44_grouping_sets"    -> q44GroupingSetsSql,
     "q45_latest_per_key"   -> q45LatestPerKeySql,
