@@ -408,19 +408,25 @@ object Dedup {
     * closure explodes at scale). Shared CTE prefix — ends at `comp` —
     * so d8 and d10 stay one definition.
     */
-  private val componentsCte: String = {
+  /** signature → bands → candidate pairs, as a reusable CTE suffix
+    * (d8/d10 components and d11 verification all start from it). */
+  private val bandsPairsCte: String = {
     val bandSelects = (0 until NumBands).map { b =>
       val cols = (0 until BandSize).map(r => s"CAST(${mhCol(b * BandSize + r)} AS VARCHAR)")
       s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""WITH RECURSIVE $signatureCte,
+    s"""$signatureCte,
     bands AS (
       $bandSelects),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id),
+       AND a.doc_id < b.doc_id)"""
+  }
+
+  private val componentsCte: String =
+    s"""WITH RECURSIVE $bandsPairsCte,
     sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION SELECT doc_b, doc_a FROM pairs),
     reach(node, r) AS (
@@ -429,7 +435,6 @@ object Dedup {
       SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
     comp AS (SELECT node, least(node, min(r)) AS component
              FROM reach GROUP BY node)"""
-  }
 
   val d8DupClustersSql: String = s"""$componentsCte
     SELECT node AS doc_id, component, node = component AS is_survivor
@@ -496,7 +501,61 @@ object Dedup {
                               ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
     FROM labeled"""
 
+  /** d11 — the canonical MinHash-LSH dedup pipeline in ONE query:
+    * cheap candidate generation (d3's banding) followed by exact
+    * Jaccard verification of ONLY the candidates. This is the
+    * production composition — the quadratic verifier (d5) runs over
+    * |candidates| pairs, not |corpus|², and banding's false positives
+    * (band-hash collisions with low true overlap) are killed by the
+    * exact check instead of surviving into the dedup decision. A left
+    * join keeps zero-overlap candidates visible (verified=false) so
+    * the false-positive rate itself is observable.
+    */
+  val d11LshVerified: Q = (s, dir) => {
+    val pairs = d3LshPairs(s, dir)
+    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("shingles")).persist()
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
+    val shared = pairs
+      .join(sh.as("sa"), pairs("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        pairs("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(shared, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared") / (col("ca.nsh") + col("cb.nsh") - col("shared")))
+          .as("jaccard"))
+      .withColumn("verified", col("jaccard") >= 0.5)
+  }
+
+  val d11LshVerifiedSql: String = s"""
+    WITH $bandsPairsCte,
+    vtok AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    sdocs AS (SELECT doc_id, $oracleShingles AS sh FROM vtok),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM sdocs),
+    shared AS (
+      SELECT doc_a, doc_b, count(*) AS shared
+      FROM pairs
+      JOIN e ea ON ea.doc_id = doc_a
+      JOIN e eb ON eb.doc_id = doc_b AND ea.g = eb.g
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, len(sh) AS nsh FROM sdocs)
+    SELECT p.doc_a, p.doc_b,
+           coalesce(shared.shared, 0) AS shared,
+           coalesce(shared.shared, 0) / (ca.nsh + cb.nsh - coalesce(shared.shared, 0)) AS jaccard,
+           coalesce(shared.shared, 0) / (ca.nsh + cb.nsh - coalesce(shared.shared, 0)) >= 0.5 AS verified
+    FROM pairs p
+    LEFT JOIN shared ON p.doc_a = shared.doc_a AND p.doc_b = shared.doc_b
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "d11_lsh_verified"     -> d11LshVerified,
     "d10_survivorship"     -> d10Survivorship,
     "d1_exact_dedup"       -> d1ExactDedup,
     "d2_minhash_signature" -> d2MinhashSignature,
@@ -510,6 +569,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d11_lsh_verified"     -> d11LshVerifiedSql,
     "d10_survivorship"     -> d10SurvivorshipSql,
     "d1_exact_dedup"       -> d1ExactDedupSql,
     "d2_minhash_signature" -> d2MinhashSignatureSql,

@@ -191,13 +191,63 @@ object Keywords {
            CAST(r AS BIGINT) AS KYWR_CLLG_VALUA_RANK
     FROM ranked WHERE r <= 3"""
 
+  /** k4 — TF-IDF keyword scoring (the canonical relevance weight the
+    * reference's missing `keyword_module` would have used; completes
+    * the tf/df family with the idf-weighted form). The transcendental
+    * step (`ln`) uses q39's determinism discipline: each score is
+    * quantized to integer micros BEFORE ranking, so libm ulp noise
+    * cannot flip an order. The corpus size N is a one-row frame
+    * broadcast into the scoring join (same shape as q39's stats row).
+    */
+  val k4Tfidf: Q = (s, dir) => {
+    val toks = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
+          .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_micros").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf_micros",
+        expr("cast(round(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000) as bigint)"))
+      .withColumn("kywr_rank", row_number().over(w))
+      .filter(col("kywr_rank") <= 3)
+      .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"),
+        col("tfidf_micros"), col("kywr_rank"))
+  }
+
+  val k4TfidfSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+               t -> t NOT IN ($stop))) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT doc_id, term, tf.tf, df.df,
+             CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000000)
+                  AS BIGINT) AS tfidf_micros
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micros DESC, term) AS kywr_rank
+      FROM scored)
+    SELECT doc_id, term AS keyword, tf, df, tfidf_micros, kywr_rank
+    FROM ranked WHERE kywr_rank <= 3"""
+
   val queries: Map[String, Q] = Map(
+    "k4_tfidf" -> k4Tfidf,
     "k1_top_keywords"    -> k1TopKeywords,
     "k2_tf_cosine_pairs" -> k2TfCosinePairs,
     "k3_kywr_contract"   -> k3KywrContract,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k4_tfidf"           -> k4TfidfSql,
     "k1_top_keywords"    -> k1TopKeywordsSql,
     "k2_tf_cosine_pairs" -> k2TfCosinePairsSql,
     "k3_kywr_contract"   -> k3KywrContractSql,

@@ -15,9 +15,10 @@ object PlanAudit {
   // ...and q39's corpus-stats frame is ONE row broadcast-crossed in
   // ...s6 shares s5's corpus×centroid assignment cross (centroid set
   // is tiny and broadcast; bounded by centroid count, not data volume)
+  // ...k4's is its one-row corpus-size frame, q39's exact pattern
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
-      "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25")
+      "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
