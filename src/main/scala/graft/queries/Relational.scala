@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Classic warehouse query shapes beyond the reference's own SQL
+  * surface (its Redshift strings are all simple join/agg/listagg —
+  * SURVEY.md §2.4/§2.5): value-concentration HAVING against a global
+  * total (TPC-H Q11 shape), argmax-over-view (Q15 shape),
+  * scalar-subquery + predicated NOT EXISTS (Q22 shape), and a
+  * correlated LATERAL top-n subquery. All integer-exact vs the DuckDB
+  * oracle: global ratios are cross-multiplied in long cents instead of
+  * divided, so no floating-point threshold can drift between engines.
+  *
+  * Scale notes: each global scalar (total value, max revenue, balance
+  * average) is a one-row aggregate broadcast to the big side — the
+  * per-key aggregates shuffle once on their natural key and the
+  * "compare to global" step adds no second wide shuffle.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column) = round(c * 100).cast("long")
+
+  // =========================================================================
+  // q50 — value concentration (TPC-H Q11 shape)
+  // =========================================================================
+
+  /** Parts whose summed extended price exceeds 1/2000 of the corpus
+    * total. The HAVING-vs-scalar-subquery is cross-multiplied
+    * (`val*2000 > total`) in long cents: exact on both engines, and at
+    * 100 TB the total is a single broadcast row, not a second shuffle.
+    */
+  val q50ValueConcentration: Q = (s, dir) => {
+    val pv = Tables.load(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice"))).as("val_cents"))
+    val tot = pv.agg(sum(col("val_cents")).as("tot"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * 2000 > col("tot"))
+      .select("l_partkey", "val_cents")
+  }
+
+  val q50ValueConcentrationSql: String = """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS val_cents
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, val_cents FROM pv
+    WHERE val_cents * 2000 > (SELECT CAST(SUM(val_cents) AS BIGINT) FROM pv)"""
+
+  // =========================================================================
+  // q51 — argmax over a derived view (TPC-H Q15 shape)
+  // =========================================================================
+
+  /** Supplier(s) with the maximum quarterly revenue. The view is
+    * aggregated once and reused for both the rows and the max — Spark
+    * caches nothing here, but the one-row max is broadcast so the
+    * argmax filter is map-side; ties return every argmax row (the Q15
+    * contract) rather than an arbitrary one.
+    */
+  val q51TopSupplier: Q = (s, dir) => {
+    val rev = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1995-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("total_rev_cents"))
+    val mx = rev.agg(max(col("total_rev_cents")).as("maxr"))
+    Tables.load(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev_cents") === col("maxr"))
+      .select("s_suppkey", "s_name", "total_rev_cents")
+  }
+
+  val q51TopSupplierSql: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)"""
+
+  // =========================================================================
+  // q52 — scalar subquery + predicated anti join (TPC-H Q22 shape)
+  // =========================================================================
+
+  /** Segments of above-average-balance customers who never placed a
+    * large (>450k) order. The average is never materialized as a
+    * double: `bal*n > sum` cross-multiplies the one-row (sum, count)
+    * aggregate, and the NOT EXISTS is a left-anti join against the
+    * filtered order keys (filter pushed below the distinct, so the
+    * anti-join build side is small).
+    */
+  val q52IdleRich: Q = (s, dir) => {
+    val cust = Tables.load(s, dir, "customer")
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(cents(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    val bigOrders = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_custkey")
+    cust.crossJoin(broadcast(pos))
+      .filter(cents(col("c_acctbal")) * col("n") > col("s"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+           sum(cents(col("c_acctbal"))).as("totbal_cents"))
+  }
+
+  val q52IdleRichSql: String = """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totbal_cents
+    FROM customer
+    WHERE CAST(round(c_acctbal*100) AS BIGINT) * (SELECT n FROM pos) > (SELECT s FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+    GROUP BY c_mktsegment"""
+
+  // =========================================================================
+  // q53 — correlated LATERAL top-n subquery
+  // =========================================================================
+
+  /** Top-2 orders per customer via a correlated LATERAL subquery — the
+    * SQL-standard spelling of "for each row, run this parameterized
+    * query". Catalyst decorrelates it into a window/rank plan (no
+    * nested-loop per customer), though it preserves the subquery's
+    * ORDER BY as a global range-partitioned sort before the window —
+    * q5's direct window form skips that sort and stays the 100 TB
+    * path; this entry covers the SQL surface and its decorrelation.
+    */
+  val q53LateralTopn: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, o_orderkey, price_cents FROM customer,
+      LATERAL (SELECT o_orderkey,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+               FROM orders WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t""")
+  }
+
+  val q53LateralTopnSql: String = """
+    SELECT c_custkey, o_orderkey, price_cents FROM customer,
+    LATERAL (SELECT o_orderkey,
+                    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+             FROM orders WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t"""
+
+  // =========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q50_value_concentration" -> q50ValueConcentration,
+    "q51_top_supplier"        -> q51TopSupplier,
+    "q52_idle_rich"           -> q52IdleRich,
+    "q53_lateral_topn"        -> q53LateralTopn,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_value_concentration" -> q50ValueConcentrationSql,
+    "q51_top_supplier"        -> q51TopSupplierSql,
+    "q52_idle_rich"           -> q52IdleRichSql,
+    "q53_lateral_topn"        -> q53LateralTopnSql,
+  )
+}

@@ -355,8 +355,39 @@ object Similarity {
     SELECT query_id, rank, vec_id AS neighbor_id, cos_sim
     FROM ranked WHERE rank <= 3"""
 
+  // =========================================================================
+  // s7 — per-vector stats via higher-order array functions
+  // =========================================================================
+
+  /** Vector hygiene stats (norm, sign balance, peak component) computed
+    * entirely with codegen'd higher-order functions — `transform` /
+    * `aggregate` / `filter` — no UDF, no explode, zero shuffle. The
+    * norm is summed in integer micros after per-element milli
+    * quantization (the s-family's cross-engine exactness discipline),
+    * so a whole-corpus scan of this shape at 100 TB is a pure map
+    * stage.
+    */
+  val s7VectorStats: Q = (s, dir) =>
+    graft.core.Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("aggregate(transform(embedding, x -> cast(round(x*1000) as bigint))," +
+             " 0L, (acc, x) -> acc + x*x)").as("norm2_micro"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        expr("array_max(transform(embedding, x -> cast(round(x*1000) as bigint)))")
+          .as("max_milli"))
+
+  val s7VectorStatsSql: String = """
+    SELECT vec_id,
+           CAST(list_aggregate(list_transform(embedding,
+                  x -> CAST(round(x*1000) AS BIGINT) * CAST(round(x*1000) AS BIGINT)),
+                'sum') AS BIGINT) AS norm2_micro,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           list_max(list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT))) AS max_milli
+    FROM embeddings"""
+
   val queries: Map[String, Q] = Map(
     "s6_multiprobe_ann"    -> s6MultiprobeAnn,
+    "s7_vector_stats"      -> s7VectorStats,
     "s1_cosine_topk"       -> s1CosineTopk,
     "s2_lsh_buckets"       -> s2LshBuckets,
     "s3_ann_bucketed"      -> s3AnnBucketed,
@@ -371,5 +402,6 @@ object Similarity {
     "s4_embedding_neardup" -> s4EmbeddingNeardupSql,
     "s5_ivf_ann"           -> s5IvfAnnSql,
     "s6_multiprobe_ann"    -> s6MultiprobeAnnSql,
+    "s7_vector_stats"      -> s7VectorStatsSql,
   )
 }

@@ -208,6 +208,54 @@ object TextAnalysis {
     FROM raw"""
 
   // =========================================================================
+  // t6 — within-document repetition stats (Gopher-style quality signal)
+  // =========================================================================
+
+  /** Per-document bigram repetition: total bigrams, the most frequent
+    * bigram's count, and two parts-per-million fractions — top-bigram
+    * share and duplicated-bigram share (the "rep-2gram" signals of the
+    * Gopher/MassiveText quality rules, token-level). Fractions are
+    * integer `div` in ppm so both engines produce identical longs.
+    *
+    * Two narrow aggregations: (doc, gram) counts first — partial
+    * aggregation collapses repeats map-side, so a pathological
+    * million-repeat spam doc ships one row per distinct gram, not one
+    * per occurrence — then one row per distinct gram shuffles to the
+    * per-doc stage. Documents shorter than two tokens have no bigrams
+    * and drop out on both engines.
+    */
+  val t6Repetition: Q = (s, dir) => {
+    val gc = graft.core.Tables.loadParallel(s, dir, "documents")
+      .withColumn("w", expr(tokensExpr))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1)," +
+        " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    gc.groupBy("doc_id").agg(
+      sum(col("c")).as("n_bigrams"),
+      max(col("c")).as("top_cnt"),
+      expr("(max(c)*1000000) div sum(c)").as("top_ppm"),
+      expr("(sum(CASE WHEN c > 1 THEN c ELSE 0 END)*1000000) div sum(c)")
+        .as("dup_ppm"))
+  }
+
+  val t6RepetitionSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, $oracleTokens AS w FROM documents),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      FROM toks, unnest(range(1, len(w))) AS t(i)),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           max(c) AS top_cnt,
+           (max(c)*1000000) // CAST(sum(c) AS BIGINT) AS top_ppm,
+           (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)*1000000)
+             // CAST(sum(c) AS BIGINT) AS dup_ppm
+    FROM gc GROUP BY doc_id"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
     "t1_lang_id"       -> t1LangId,
@@ -215,6 +263,7 @@ object TextAnalysis {
     "t3_token_count"   -> t3TokenCount,
     "t4_fingerprint"   -> t4Fingerprint,
     "t5_pii_redact"    -> t5PiiRedact,
+    "t6_repetition"    -> t6Repetition,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -223,5 +272,6 @@ object TextAnalysis {
     "t3_token_count"   -> t3TokenCountSql,
     "t4_fingerprint"   -> t4FingerprintSql,
     "t5_pii_redact"    -> t5PiiRedactSql,
+    "t6_repetition"    -> t6RepetitionSql,
   )
 }
