@@ -222,6 +222,53 @@ object Corpus {
     SELECT source, doc_id, lang FROM r WHERE rn <= $SampleK"""
 
   // =========================================================================
+  // c6 — training-sequence packing (concatenate-and-chunk)
+  // =========================================================================
+
+  private val CtxLen  = 2048
+  private val NShards = 8
+
+  /** Assign every document a (shard, seq_id, offset) in the packed
+    * token stream — the GPT-style "concatenate shard, chunk every
+    * CtxLen tokens" layout. Shard = md5 bucket (deterministic, stable
+    * under corpus growth within a shard-append discipline), order
+    * within shard = doc_id, and seq_id/offset fall out of a running
+    * token sum: `floor(tokens_before / CtxLen)` and `mod`. One
+    * range-sort per shard (the window), no join, no driver state; at
+    * 100 TB the shard count is the parallelism knob — thousands of
+    * shards keep each window partition executor-sized, and each shard
+    * packs independently so the job is embarrassingly parallel.
+    */
+  val c6SequencePacking: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("n_tokens",
+        expr("size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '))"))
+      .withColumn("shard",
+        expr(s"cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % $NShards"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("tokens_before") / CtxLen).cast("long").as("seq_id"),
+        (col("tokens_before") % CtxLen).as("offset"))
+  }
+
+  val c6SequencePackingSql: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % $NShards AS shard
+      FROM documents),
+    p AS (SELECT *, coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+          FROM d)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(tokens_before / $CtxLen) AS BIGINT) AS seq_id,
+           CAST(tokens_before % $CtxLen AS BIGINT) AS "offset"
+    FROM p"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
     "c1_hash_split"    -> c1HashSplit,
@@ -229,6 +276,7 @@ object Corpus {
     "c3_decontaminate" -> c3Decontaminate,
     "c4_quality_gate"  -> c4QualityGate,
     "c5_stratified_sample" -> c5StratifiedSample,
+    "c6_sequence_packing"  -> c6SequencePacking,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -237,5 +285,6 @@ object Corpus {
     "c3_decontaminate" -> c3DecontaminateSql,
     "c4_quality_gate"  -> c4QualityGateSql,
     "c5_stratified_sample" -> c5StratifiedSampleSql,
+    "c6_sequence_packing"  -> c6SequencePackingSql,
   )
 }

@@ -385,7 +385,47 @@ object Analytics {
                   OVER (PARTITION BY o_orderpriority) AS BIGINT)::DOUBLE AS share
     FROM orders"""
 
+  /** q56 — time-weighted aggregation: each event's value weighted by
+    * how long it was "current" (gap to the user's next event). The gap
+    * comes from one `lead` window per user — millisecond-exact int64
+    * arithmetic (`unix_millis` / `epoch_ms`), value in cents, and the
+    * division deferred to the caller so the oracle compare stays
+    * integer-exact. Last event per user has no successor and drops out
+    * of both sums identically on both engines. One sort-within-user
+    * window, one grouped agg reusing the same partitioning — Catalyst
+    * plans the groupBy(user_id) directly on the window's hash
+    * partitioning, so this is ONE shuffle end to end.
+    */
+  val q56TimeWeighted: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("vc"))
+      .withColumn("gap_ms", unix_millis(lead(col("ts"), 1).over(w)) -
+        unix_millis(col("ts")))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("vc") * col("gap_ms")).as("weighted_cents_ms"),
+           sum(col("gap_ms")).as("total_ms"),
+           count(lit(1)).as("n_gaps"))
+  }
+
+  val q56TimeWeightedSql: String = """
+    WITH g AS (
+      SELECT user_id,
+             CAST(round(value*100) AS BIGINT) AS vc,
+             epoch_ms(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_ms(ts) AS gap_ms
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(vc * gap_ms) AS BIGINT) AS weighted_cents_ms,
+           CAST(SUM(gap_ms) AS BIGINT) AS total_ms,
+           COUNT(*) AS n_gaps
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "q56_time_weighted"    -> q56TimeWeighted,
     "q49_share_of_total"   -> q49ShareOfTotal,
     "q47_sliding_range"    -> q47SlidingRange,
     "q44_grouping_sets"    -> q44GroupingSets,
@@ -401,6 +441,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q56_time_weighted"    -> q56TimeWeightedSql,
     "q49_share_of_total"   -> q49ShareOfTotalSql,
     "q47_sliding_range"    -> q47SlidingRangeSql,
     "q44_grouping_sets"    -> q44GroupingSetsSql,

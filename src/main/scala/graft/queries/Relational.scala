@@ -156,12 +156,90 @@ object Relational {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t"""
 
   // =========================================================================
+  // q54 — below-average-quantity revenue (TPC-H Q17 shape)
+  // =========================================================================
+
+  /** Revenue from lineitems ordering less than 1/5 of their part's
+    * average quantity. The correlated `l_quantity < 0.2 * avg(...)` is
+    * cross-multiplied in long centi-units (`qty*5*n < sum`) so no
+    * division happens until after the hash gate. Plan: one shuffle
+    * builds the per-part (sum, n) aggregate — |parts| rows, tiny next
+    * to lineitem — then joins back on partkey; at test scale AQE
+    * broadcasts it, at 100 TB both sides hash-partition on l_partkey
+    * and the agg reuses the join's partitioning.
+    */
+  val q54SmallQtyRevenue: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qc"),
+           count(lit(1)).as("n_li"))
+    val brand = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(cents(col("l_quantity")) * col("n_li") * 5 < col("sum_qc"))
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
+           count(lit(1)).as("n_small"))
+  }
+
+  val q54SmallQtyRevenueSql: String = """
+    WITH pp AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qc,
+             COUNT(*) AS n_li
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN pp ON l_partkey = pk
+    JOIN part ON l_partkey = p_partkey
+    WHERE CAST(round(l_quantity*100) AS BIGINT) * n_li * 5 < sum_qc
+    GROUP BY p_brand"""
+
+  // =========================================================================
+  // q55 — large-volume orders (TPC-H Q18 shape)
+  // =========================================================================
+
+  /** Orders whose total quantity exceeds 150: aggregate lineitem FIRST
+    * (one shuffle on l_orderkey, map-side partials shrink it to
+    * |orders| rows), apply HAVING, and only then join orders and
+    * customer — the qualifying set is a few hundred keys, so both
+    * enrichment joins broadcast. The naive join-then-aggregate order
+    * would shuffle the full lineitem×orders row set.
+    */
+  val q55BigOrders: Q = (s, dir) => {
+    val big = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("lk"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+      .filter(col("qty_cents") > 150 * 100L)
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("lk"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "qty_cents")
+  }
+
+  val q55BigOrdersSql: String = """
+    WITH big AS (
+      SELECT l_orderkey AS lk,
+             CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) > 15000)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, qty_cents
+    FROM orders JOIN big ON o_orderkey = lk
+    JOIN customer ON o_custkey = c_custkey"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
     "q50_value_concentration" -> q50ValueConcentration,
     "q51_top_supplier"        -> q51TopSupplier,
     "q52_idle_rich"           -> q52IdleRich,
     "q53_lateral_topn"        -> q53LateralTopn,
+    "q54_small_qty_revenue"   -> q54SmallQtyRevenue,
+    "q55_big_orders"          -> q55BigOrders,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -169,5 +247,7 @@ object Relational {
     "q51_top_supplier"        -> q51TopSupplierSql,
     "q52_idle_rich"           -> q52IdleRichSql,
     "q53_lateral_topn"        -> q53LateralTopnSql,
+    "q54_small_qty_revenue"   -> q54SmallQtyRevenueSql,
+    "q55_big_orders"          -> q55BigOrdersSql,
   )
 }
