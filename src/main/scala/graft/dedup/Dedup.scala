@@ -470,23 +470,34 @@ object Dedup {
     * cluster) and the cluster's canonical document is elected by
     * QUALITY — longest text wins, doc_id breaks ties — instead of d8's
     * arbitrary min-id. This is the row a production clean would keep.
-    * The rank window partitions by component: cluster sizes are tiny
-    * (bounded by the LSH band fan-in), so the per-partition sort is
-    * O(cluster), not O(corpus), and the join back to `documents` is a
-    * broadcast of the (small) non-singleton label map.
+    *
+    * Singleton split: docs outside any LSH cluster — the overwhelming
+    * majority of a real corpus — are rank-1 canonical by construction,
+    * so they take an anti-join and NEVER enter the rank window. Only
+    * cluster members (≪ corpus; bounded by the band fan-in) shuffle on
+    * `component` for the tiny per-cluster sort. The naive
+    * left-join+window form shuffles the entire corpus on component —
+    * at 100 TB that is shuffling the table to rank groups of size 1.
+    * The join strategy is left to AQE: the label map broadcasts when
+    * it fits (as here), and degrades to a doc_id-co-partitioned
+    * shuffle join at dup rates where it cannot — either way the
+    * window's input stays members-only.
     */
   val d10Survivorship: Q = (s, dir) => {
     val docs = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val comp = components(d3LshPairs(s, dir))
-    val labeled = docs
-      .join(comp, Seq("doc_id"), "left_outer")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val comp = components(d3LshPairs(s, dir)).persist()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    labeled
+    val clustered = docs
+      .join(comp, Seq("doc_id"))
       .withColumn("rank_in_cluster", row_number().over(w).cast("long"))
+    val singletons = docs
+      .join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"),
+        col("doc_id").as("component"), lit(1L).as("rank_in_cluster"))
+    clustered.unionByName(singletons)
       .withColumn("is_canonical", col("rank_in_cluster") === 1L)
   }
 

@@ -136,22 +136,21 @@ object Registry {
       COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey"""
 
-  /** q43 — q5's top-3-per-customer computed by the CUSTOM bounded-heap
+  /** q43 — q5's top-3-per-customer computed by the CUSTOM bounded-k
     * `Aggregator` (§2.11(c), `ops/TopKAggregator`) instead of a window
     * sort, and held to the same DuckDB oracle: k items per group per
-    * partition cross the wire — O(n log k), no per-group sort — and the
-    * heap's tie-breaking (score desc, id asc) must reproduce
-    * `row_number`'s exactly for the hash gate to pass.
+    * partition cross the wire — no per-group sort — and the buffer's
+    * tie-breaking (score desc, id asc) must reproduce `row_number`'s
+    * exactly for the hash gate to pass. Runs on the RELATIONAL udaf
+    * path (ObjectHashAggregate with map-side partials), not
+    * `groupByKey` — the typed route re-shuffles whole rows through the
+    * encoder, the udaf ships only ≤k-element buffers.
     */
   val q43TopkAgg: Q = (s, dir) => {
-    import s.implicits._
+    val topk = udaf(new graft.ops.TopKAggregator(3))
     t(s, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(new graft.ops.TopKAggregator(3).toColumn.name("top"))
-      .toDF("o_custkey", "top")
+      .groupBy("o_custkey")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "o_orderkey")))
       .select(col("o_custkey"), col("o_orderkey"),
         (col("i") + 1).cast("int").as("rn"))

@@ -241,13 +241,17 @@ object SearchDsl {
         explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
           .as("term"))
       .groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"),
+      // ONE set aggregate: df is the size of the posting set, so a
+      // separate countDistinct (which would plan an Expand + second
+      // aggregate pass) is redundant.
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("term"),
+        size(col("ids")).cast("long").as("df"),
         // Serialized (not array-typed) postings: the oracle harness
         // hash-compares cell values, so the sorted posting list is
         // canonicalized to "id,id,..." on both engines.
-        array_join(
-          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
-          ",").as("postings"))
+        array_join(transform(col("ids"), _.cast("string")), ",")
+          .as("postings"))
 
   val q40InvertedIndexSql: String = """
     WITH toks AS (

@@ -56,7 +56,10 @@ object Keywords {
       .select(col("doc_id"),
         explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
           .as("term"))
+    // persisted: df is derived FROM tf and joined back to it — without
+    // this the tokenize+explode+count chain runs twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term"))
@@ -204,7 +207,10 @@ object Keywords {
       .select(col("doc_id"),
         explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
           .as("term"))
+    // persisted: df AND the corpus-size scalar both derive from tf —
+    // unpersisted, the tokenize chain runs three times
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id")

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Local perf iteration: time a subset of the registry the same way
+  * Bench does (warmup at sf0.001, best-of-3 at the target SF, noop
+  * sink). Usage: `run_class.sh graft.tools.Time <sfDir> <name>...`
+  */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names @ _*) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sel = graft.SparkEntry.queries.filter(kv => names.contains(kv._1)).toSeq.sortBy(_._1)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    sel.foreach { case (_, fn) => run(fn, "/root/testdata/sf0.001") }
+    sel.foreach { case (name, fn) =>
+      val ts = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        run(fn, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s best=${ts.min}%7.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
