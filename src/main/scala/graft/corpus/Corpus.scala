@@ -270,7 +270,47 @@ object Corpus {
 
   // =========================================================================
 
+  /** c7 — temperature-flattened source mixing (T=2): each source's
+    * sampling weight is `n_docs^(1/T) = sqrt(n_docs)`, the standard
+    * move that up-weights small sources without letting any source
+    * dominate (multilingual/multi-source pretraining mixes). `sqrt` is
+    * correctly-rounded IEEE in both engines, so quantizing the weight
+    * and the resulting mix share to integer micros is bit-exact — no
+    * `pow`/`ln` tolerance games. The whole query runs on the per-source
+    * count table (|sources| rows after one count shuffle); the grand
+    * total is a one-row broadcast, and the output is the sampling table
+    * a mix job joins back to the corpus.
+    */
+  val c7TemperatureMix: Q = (s, dir) => {
+    val perSource = Tables.loadParallel(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val withW = perSource.withColumn("w_micro",
+      round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = withW.agg(sum("w_micro").as("tot_w"), sum("n_docs").as("tot_docs"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        round(col("w_micro").cast("double") / col("tot_w").cast("double") * 1e6)
+          .cast("long").as("share_micro"),
+        // expected docs drawn for this source in a tot_docs-sized epoch
+        round(col("w_micro").cast("double") / col("tot_w").cast("double") *
+          col("tot_docs").cast("double")).cast("long").as("expect_docs"))
+  }
+
+  val c7TemperatureMixSql: String = """
+    WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs,
+                 CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+          FROM ps),
+    t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w,
+                 CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM w)
+    SELECT source, n_docs, w_micro,
+           CAST(round(CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE) * 1e6) AS BIGINT) AS share_micro,
+           CAST(round(CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE)
+                      * CAST(tot_docs AS DOUBLE)) AS BIGINT) AS expect_docs
+    FROM w CROSS JOIN t"""
+
   val queries: Map[String, Q] = Map(
+    "c7_temperature_mix" -> c7TemperatureMix,
     "c1_hash_split"    -> c1HashSplit,
     "c2_corpus_mix"    -> c2CorpusMix,
     "c3_decontaminate" -> c3Decontaminate,
@@ -280,6 +320,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c7_temperature_mix" -> c7TemperatureMixSql,
     "c1_hash_split"    -> c1HashSplitSql,
     "c2_corpus_mix"    -> c2CorpusMixSql,
     "c3_decontaminate" -> c3DecontaminateSql,

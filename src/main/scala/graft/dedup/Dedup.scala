@@ -565,7 +565,68 @@ object Dedup {
     JOIN counts ca ON p.doc_a = ca.doc_id
     JOIN counts cb ON p.doc_b = cb.doc_id"""
 
+  // =========================================================================
+  // d12 — exact-substring dedup via chunk hashing
+  // =========================================================================
+
+  /** The scalable approximation of suffix-array substring dedup
+    * (the pass that catches boilerplate shared VERBATIM between
+    * otherwise-different documents — headers, license blocks, templated
+    * intros — which document-level MinHash misses when the rest of the
+    * doc differs): tokenize, cut into consecutive 20-token chunks,
+    * hash each chunk, and mark chunks whose hash appears in ≥2
+    * distinct documents. Per doc: chunk count, duplicated-chunk count,
+    * and the duplicated fraction in exact basis points.
+    *
+    * Plan: one explode to chunk grain, one shuffle on chunk hash for
+    * the document-frequency count, one shuffle back on doc_id for the
+    * per-doc rollup. Chunk grain is |tokens|/20 rows per doc — 20×
+    * smaller than token grain — and at 100 TB hot boilerplate chunks
+    * are exactly the high-df keys the d7-style cap would drop before
+    * any pairwise use.
+    */
+  val d12ChunkDedup: Q = (s, dir) => {
+    val ChunkTokens = 20
+    val chunks = Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .filter(size(col("tokens")) >= ChunkTokens)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(size(tokens)/$ChunkTokens as int) - 1),
+              i -> md5(array_join(slice(tokens, i*$ChunkTokens + 1, $ChunkTokens), ' ')))"""))
+          .as(Seq("chunk_idx", "chunk_hash")))
+    val df = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("docs_with_chunk"))
+    chunks.join(df, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("docs_with_chunk") >= 2, 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .withColumn("dup_bp",
+        (col("n_dup_chunks") * 10000L / col("n_chunks")).cast("long"))
+  }
+
+  val d12ChunkDedupSql: String = """
+    WITH t AS (
+      SELECT doc_id,
+             str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, i,
+             md5(array_to_string(tokens[(i*20 + 1):(i*20 + 20)], ' ')) AS chunk_hash
+      FROM t, (SELECT unnest(range(0, 100)) AS i) idx
+      WHERE len(tokens) >= 20 AND i < len(tokens) // 20),
+    df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS docs_with_chunk
+           FROM c GROUP BY 1)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN docs_with_chunk >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS dup_bp
+    FROM c JOIN df USING (chunk_hash)
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "d12_chunk_dedup"      -> d12ChunkDedup,
     "d11_lsh_verified"     -> d11LshVerified,
     "d10_survivorship"     -> d10Survivorship,
     "d1_exact_dedup"       -> d1ExactDedup,
@@ -580,6 +641,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d12_chunk_dedup"      -> d12ChunkDedupSql,
     "d11_lsh_verified"     -> d11LshVerifiedSql,
     "d10_survivorship"     -> d10SurvivorshipSql,
     "d1_exact_dedup"       -> d1ExactDedupSql,

@@ -424,7 +424,98 @@ object Analytics {
     FROM g WHERE gap_ms IS NOT NULL
     GROUP BY user_id"""
 
+  /** q65 — statistical anomaly detection: events more than 2.5 sample
+    * standard deviations from their user's mean. The per-user moments
+    * (n, Σx, Σx²) are EXACT long-cents sums out of one groupBy; the
+    * z-test runs as `(n·x − S)²·(n−1) > t²·n·(n·Q − S²)` — the
+    * cross-multiplied square of the z-score — evaluated in double over
+    * those exact longs, so both engines compare identical IEEE values
+    * (no streaming variance, no order sensitivity, no sqrt). Plan: one
+    * shuffle for the moments (|users| rows), then a join back that at
+    * scale co-partitions with the aggregate on user_id; the threshold
+    * t=2.5 is cleared of denominators so no division happens at all.
+    */
+  val q65AnomalyZscore: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("vc"))
+    val moments = ev.groupBy(col("user_id").as("uk"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+           sum(col("vc") * col("vc")).as("q"))
+      .filter(col("n") >= 2)
+    ev.join(moments, col("user_id") === col("uk"))
+      .filter(
+        (col("n") * col("vc") - col("s")).cast("double") *
+        (col("n") * col("vc") - col("s")).cast("double") *
+        (col("n") - 1).cast("double") >
+        lit(6.25) * col("n").cast("double") *
+        (col("n") * col("q") - col("s") * col("s")).cast("double"))
+      .select("event_id", "user_id", "vc", "n", "s", "q")
+  }
+
+  val q65AnomalyZscoreSql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS vc
+      FROM events),
+    m AS (
+      SELECT user_id AS uk, COUNT(*) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS q
+      FROM ev GROUP BY 1 HAVING COUNT(*) >= 2)
+    SELECT event_id, user_id, vc, n, s, q
+    FROM ev JOIN m ON user_id = uk
+    WHERE CAST(n * vc - s AS DOUBLE) * CAST(n * vc - s AS DOUBLE)
+            * CAST(n - 1 AS DOUBLE)
+          > 6.25 * CAST(n AS DOUBLE) * CAST(n * q - s * s AS DOUBLE)"""
+
+  /** q66 — winsorized robust mean: per market segment, clamp account
+    * balances into the [p05, p95] window before averaging — the robust
+    * stat a quality-gate pipeline uses where a plain mean chases
+    * outliers. The percentile bounds use the same linear-interpolation
+    * definition in both engines (q24's discipline); the clamped value
+    * is re-quantized to cents BEFORE summing so the mean is an exact
+    * long sum divided once. Plan: two passes over a |customers| table
+    * — a grouped percentile then a broadcast join back — both keyed on
+    * the low-cardinality segment.
+    */
+  val q66WinsorizedMean: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_mktsegment"), cents(col("c_acctbal")).as("vc"))
+    val bounds = c.groupBy(col("c_mktsegment").as("seg"))
+      .agg(expr("percentile(vc, 0.05)").as("lo"),
+           expr("percentile(vc, 0.95)").as("hi"))
+    c.join(broadcast(bounds), col("c_mktsegment") === col("seg"))
+      .select(col("c_mktsegment"),
+        round(greatest(col("lo"), least(col("hi"), col("vc").cast("double"))))
+          .cast("long").as("wc"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+           sum(col("wc")).as("winsorized_cents"))
+      .withColumn("winsorized_mean",
+        col("winsorized_cents").cast("double") / col("n_cust").cast("double")
+          / 100.0)
+  }
+
+  val q66WinsorizedMeanSql: String = """
+    WITH c AS (
+      SELECT c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS vc
+      FROM customer),
+    b AS (
+      SELECT c_mktsegment AS seg,
+             quantile_cont(vc, 0.05) AS lo,
+             quantile_cont(vc, 0.95) AS hi
+      FROM c GROUP BY 1),
+    w AS (
+      SELECT c_mktsegment,
+             CAST(round(greatest(lo, least(hi, CAST(vc AS DOUBLE)))) AS BIGINT) AS wc
+      FROM c JOIN b ON c_mktsegment = seg)
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(wc) AS BIGINT) AS winsorized_cents,
+           CAST(SUM(wc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS winsorized_mean
+    FROM w GROUP BY c_mktsegment"""
+
   val queries: Map[String, Q] = Map(
+    "q65_anomaly_zscore"   -> q65AnomalyZscore,
+    "q66_winsorized_mean"  -> q66WinsorizedMean,
     "q56_time_weighted"    -> q56TimeWeighted,
     "q49_share_of_total"   -> q49ShareOfTotal,
     "q47_sliding_range"    -> q47SlidingRange,
@@ -441,6 +532,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q65_anomaly_zscore"   -> q65AnomalyZscoreSql,
+    "q66_winsorized_mean"  -> q66WinsorizedMeanSql,
     "q56_time_weighted"    -> q56TimeWeightedSql,
     "q49_share_of_total"   -> q49ShareOfTotalSql,
     "q47_sliding_range"    -> q47SlidingRangeSql,
