@@ -51,4 +51,26 @@ class CustomAggSpec extends SparkSpec {
     // q5 orders by (price desc, orderkey asc); TopK ties break the same
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
+
+  test("TopKAggregator via functions.udaf matches the typed path and " +
+       "plans an ObjectHashAggregate") {
+    val s = spark
+    val topk = udaf(new TopKAggregator(3))
+    val viaUdaf = graft.core.Tables.load(s, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "o_orderkey")))
+      .select(col("o_custkey"), (col("i") + 1).cast("int").as("rn"), col("o_orderkey"))
+    val viaWindow = graft.queries.Registry.queries("q5_topk_window")(s, sfDir)
+      .select(col("o_custkey"), col("rn").cast("int").as("rn"), col("o_orderkey"))
+    assert(viaUdaf.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaUdaf).isEmpty)
+    // relational path: the custom buffer aggregates with map-side
+    // partials (partial_topkaggregator under an ObjectHashAggregate)
+    val plan = graft.core.Tables.load(s, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_topkaggregator"))
+  }
 }

@@ -66,4 +66,37 @@ class StreamJoinSpec extends SparkSpec {
       assert(n == 0, "late click matched state that should have been evicted")
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unattributed clicks with null view " +
+       "once the watermark passes the join tolerance") {
+    val s = spark
+    import s.implicits._
+    val views = MemoryStream[Ev](s)
+    val clicks = MemoryStream[Ev](s)
+    val q = StreamJoin.attributeClicksOuter(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // matched click (user 1) and an orphan click (user 7, no views)
+      views.addData(Ev(101, 1, at(0)))
+      clicks.addData(Ev(201, 1, at(5)), Ev(202, 7, at(5)))
+      q.processAllAvailable()
+      // the matched pair can emit immediately; the orphan must WAIT:
+      // a matching view could still arrive until the watermark passes
+      // click_ts + 10 min
+      val early = s.sql("SELECT click_id FROM attributed_outer WHERE view_id IS NULL").count()
+      assert(early == 0, "outer row emitted before the watermark sealed it")
+      // advance both watermarks decisively past t=15
+      views.addData(Ev(110, 8, at(120)))
+      clicks.addData(Ev(210, 8, at(120)))
+      q.processAllAvailable()
+      views.addData(Ev(111, 8, at(240)))
+      clicks.addData(Ev(211, 8, at(240)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT click_id, view_id FROM attributed_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((201L, 101L)), "matched click missing")
+      assert(rows.contains((202L, -1L)), "orphan click never emitted null-padded")
+    } finally q.stop()
+  }
 }
