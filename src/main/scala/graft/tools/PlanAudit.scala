@@ -16,9 +16,13 @@ object PlanAudit {
   // ...s6 shares s5's corpus×centroid assignment cross (centroid set
   // is tiny and broadcast; bounded by centroid count, not data volume)
   // ...k4's is its one-row corpus-size frame, q39's exact pattern
+  // ...q50/q52/c7 broadcast-cross a ONE-ROW global aggregate (total /
+  // (sum,n) average / (Σweight, Σdocs)) into the big side — the
+  // scalar-subquery shape, bounded at exactly one row
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
-      "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf")
+      "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
+      "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
