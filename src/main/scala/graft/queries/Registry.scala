@@ -181,7 +181,8 @@ object Registry {
     graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
     graft.search.SearchDsl.queries ++ graft.io.Scd2.queries ++
     graft.functions.CountMin.queries ++ graft.quality.Checks.queries ++
-    Analytics.queries ++ Relational.queries ++ Tpch.queries
+    Analytics.queries ++ Relational.queries ++ Tpch.queries ++
+    graft.graph.Graph.queries
 
   val oracleSql: Map[String, String] = Map(
     "q43_topk_agg"        -> q43TopkAggSql,
@@ -197,5 +198,6 @@ object Registry {
     graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
     graft.search.SearchDsl.oracleSql ++ graft.io.Scd2.oracleSql ++
     graft.functions.CountMin.oracleSql ++ graft.quality.Checks.oracleSql ++
-    Analytics.oracleSql ++ Relational.oracleSql ++ Tpch.oracleSql
+    Analytics.oracleSql ++ Relational.oracleSql ++ Tpch.oracleSql ++
+    graft.graph.Graph.oracleSql
 }
