@@ -385,7 +385,53 @@ object Similarity {
            list_max(list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT))) AS max_milli
     FROM embeddings"""
 
+  // =========================================================================
+  // s8 — ANN recall evaluation: bucketed candidates vs the exact baseline
+  // =========================================================================
+
+  /** Recall@3 of the LSH-bucketed ANN (s3) against the brute-force
+    * truth (s1) per query — the evaluation every approximate index
+    * needs before it replaces the exact path in production. An ANN
+    * family without a measured recall is a latency number with no
+    * quality denominator; this runs the measurement as a QUERY, so the
+    * recall/cost trade-off (bucket bits, nprobe) is tunable against
+    * data, not intuition. Exact hits join on (query, neighbor); recall
+    * lands in integer basis points. Both inputs reuse the family's
+    * persisted-quantization plans; the join keys are query-grain, so
+    * the whole evaluation is one small shuffle over |queries|·k rows.
+    *
+    * On the synthetic fixtures this measures ~0 recall — isotropic
+    * random vectors have no cluster structure, so a single 8-bit
+    * hyperplane bucket almost never contains the true top-3. That is
+    * the evaluation working as intended: it is precisely the number
+    * that justifies multiprobe (s6) and IVF (s5) over naive bucketing,
+    * and on real (clustered) embeddings it is the dial that sets the
+    * bucket-bits/nprobe trade.
+    */
+  val s8AnnRecall: Q = (s, dir) => {
+    val exact = s1CosineTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = s3AnnBucketed(s, dir)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left_outer")
+      .groupBy("query_id")
+      .agg(count(col("an")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits") * 10000L / lit(3)).cast("long").as("recall_bp"))
+  }
+
+  val s8AnnRecallSql: String = s"""
+    SELECT e.query_id, count(a.neighbor_id) AS hits,
+           CAST(count(a.neighbor_id) * 10000 // 3 AS BIGINT) AS recall_bp
+    FROM (SELECT query_id, neighbor_id FROM ($s1CosineTopkSql) WHERE rank <= 3) e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM ($s3AnnBucketedSql)) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id"""
+
   val queries: Map[String, Q] = Map(
+    "s8_ann_recall"        -> s8AnnRecall,
     "s6_multiprobe_ann"    -> s6MultiprobeAnn,
     "s7_vector_stats"      -> s7VectorStats,
     "s1_cosine_topk"       -> s1CosineTopk,
@@ -396,6 +442,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s8_ann_recall"        -> s8AnnRecallSql,
     "s1_cosine_topk"       -> s1CosineTopkSql,
     "s2_lsh_buckets"       -> s2LshBucketsSql,
     "s3_ann_bucketed"      -> s3AnnBucketedSql,
