@@ -73,4 +73,31 @@ class CustomAggSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
     assert(plan.contains("partial_topkaggregator"))
   }
+
+  test("TopKAggregator reduce/merge match a reference sort under random " +
+       "partition splits (property)") {
+    import org.scalacheck.Gen
+    val genRows: Gen[List[(Long, Double)]] = Gen.listOf(for {
+      id <- Gen.choose(0L, 30L)            // small domain forces id ties
+      score <- Gen.choose(0, 5).map(_.toDouble) // coarse scores force score ties
+    } yield (id, score))
+    val genCase = for {
+      rows <- genRows
+      k <- Gen.choose(1, 5)
+      nSplits <- Gen.choose(1, 4)
+    } yield (rows, k, nSplits)
+    val cases = Iterator.continually(genCase.sample).flatten.take(200).toSeq
+    for (((rows, k, nSplits), i) <- cases.zipWithIndex) {
+      val agg = new TopKAggregator(k)
+      // deterministic but arbitrary split into partitions
+      val parts = rows.zipWithIndex.groupMap(_._2 % nSplits)(_._1).values.toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = rows.map { case (id, sc) => (sc, id) }
+        .sortBy { case (sc, id) => (-sc, id) }.take(k).map(_._2)
+      assert(got == want, s"case $i: rows=$rows k=$k splits=$nSplits")
+    }
+  }
 }
