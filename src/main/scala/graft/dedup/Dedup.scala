@@ -90,17 +90,22 @@ object Dedup {
 
   private def mhCol(i: Int): String = f"mh$i%02d"
 
-  /** doc_id + 16 minhash columns. Pure per-row map stage: no shuffle. */
-  def signatures(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id + 16 minhash columns from an already-shingled frame.
+    * Pure per-row map stage: no shuffle. */
+  private[graft] def signaturesOf(shingled: DataFrame): DataFrame = {
     val mhs = (0 until NumHashes).map { i =>
       expr(s"array_min(transform(hm, m -> (m * ${hashA(i)} + ${hashB(i)}) % $P))")
         .as(mhCol(i))
     }
-    withShingles(Tables.loadParallel(s, dir, "documents"))
+    shingled
       .withColumn("hm",
         expr(s"transform(shingles, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % $P)"))
       .select(col("doc_id") +: mhs: _*)
   }
+
+  /** doc_id + 16 minhash columns. Pure per-row map stage: no shuffle. */
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(withShingles(Tables.loadParallel(s, dir, "documents")))
 
   val d2MinhashSignature: Q = (s, dir) => signatures(s, dir)
 
@@ -131,8 +136,7 @@ object Dedup {
     * buckets are tiny relative to the corpus, so the self-join inside a
     * bucket is bounded — the whole point of banding at scale.
     */
-  val d3LshPairs: Q = (s, dir) => {
-    val sig = signatures(s, dir)
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       md5(concat_ws("|", (0 until BandSize).map(r => col(mhCol(b * BandSize + r))): _*))
     }
@@ -151,6 +155,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  val d3LshPairs: Q = (s, dir) => lshPairsOf(signatures(s, dir))
 
   val d3LshPairsSql: String = {
     val bandSelects = (0 until NumBands).map { b =>

@@ -257,7 +257,41 @@ object TextAnalysis {
 
   // =========================================================================
 
+  /** t7 — lexical diversity: type-token ratio (distinct words /
+    * words, in basis points) and mean word length (centichars) — the
+    * cheap vocabulary-richness signals a quality gate combines with
+    * t2's ratios (low TTR ⇒ template/spam; extreme word length ⇒
+    * boilerplate or garbage). Pure map stage over array HOFs: the
+    * token array never explodes, nothing shuffles, and both outputs
+    * are integer-exact ratios of integer counts.
+    */
+  val t7LexicalDiversity: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("toks",
+        expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        (size(array_distinct(col("toks"))) * 10000L / size(col("toks")))
+          .cast("long").as("ttr_bp"),
+        (expr("aggregate(toks, 0L, (a, t) -> a + length(t))") * 100L /
+          size(col("toks"))).cast("long").as("mean_wlen_centi"))
+
+  val t7LexicalDiversitySql: String = """
+    WITH t AS (
+      SELECT doc_id,
+             str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CAST(len(list_distinct(toks)) * 10000 // len(toks) AS BIGINT) AS ttr_bp,
+           CAST(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT)
+                * 100 // len(toks) AS BIGINT) AS mean_wlen_centi
+    FROM t"""
+
   val queries: Map[String, Q] = Map(
+    "t7_lexical_diversity" -> t7LexicalDiversity,
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count"   -> t3TokenCount,
@@ -267,6 +301,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t7_lexical_diversity" -> t7LexicalDiversitySql,
     "t1_lang_id"       -> t1LangIdSql,
     "t2_quality_score" -> t2QualityScoreSql,
     "t3_token_count"   -> t3TokenCountSql,
