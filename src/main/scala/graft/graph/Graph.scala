@@ -47,9 +47,14 @@ object Graph {
         (col("l_suppkey") + SuppOffset).as("dst"))
       .distinct()
       .persist()
+    // persisted: outdeg joins into every round and nodes anchors every
+    // round's left join — unpersisted, the union-distinct (a shuffle)
+    // and the degree aggregate replay once per unrolled round
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .persist()
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to Rounds) {
       val contrib = edges

@@ -364,8 +364,56 @@ object Tpch {
       HAVING CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) > 5500)"""
 
   // =========================================================================
+  // q67 — returned-item revenue ranking (TPC-H Q10 shape)
+  // =========================================================================
+
+  /** Top-20 customers by revenue on returned items (returnflag R) in a
+    * quarter. Aggregate-then-enrich, like q55: the returnflag+date
+    * filters push into the lineitem scan, the orderkey join shuffles
+    * only the filtered fact, and the customer/nation enrichment joins
+    * run AFTER the per-customer aggregate — on |qualifying customers|
+    * rows, not order-grain data. The global top-20 plans as
+    * TakeOrderedAndProject (per-partition heads merged on the driver),
+    * never a full sort; ties break on custkey for the hash gate.
+    */
+  val q67ReturnedRevenue: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val perCust = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(revCents()).as("rev_cents"), count(lit(1)).as("n_items"))
+    val c = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    perCust
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "n_name", "rev_cents", "n_items")
+  }
+
+  val q67ReturnedRevenueSql: String = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY rev_cents DESC, c_custkey LIMIT 20"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
+    "q67_returned_revenue"   -> q67ReturnedRevenue,
     "q57_volume_shipping"    -> q57VolumeShipping,
     "q58_market_share"       -> q58MarketShare,
     "q59_product_profit"     -> q59ProductProfit,
@@ -377,6 +425,7 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q67_returned_revenue"   -> q67ReturnedRevenueSql,
     "q57_volume_shipping"    -> q57VolumeShippingSql,
     "q58_market_share"       -> q58MarketShareSql,
     "q59_product_profit"     -> q59ProductProfitSql,
