@@ -367,22 +367,27 @@ object Similarity {
     * so a whole-corpus scan of this shape at 100 TB is a pure map
     * stage.
     */
+  // NOTE the cast(x as double) BEFORE the ×1000: the embedding is
+  // float32, and multiplying in single precision puts boundary values
+  // (….4999 vs ….5001) on different sides of round() in the two
+  // engines — caught by the sf0.1 validation sweep, invisible at
+  // sf0.01. Widening first is the same discipline as [[quantized]].
   val s7VectorStats: Q = (s, dir) =>
     graft.core.Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"),
-        expr("aggregate(transform(embedding, x -> cast(round(x*1000) as bigint))," +
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double)*1000) as bigint))," +
              " 0L, (acc, x) -> acc + x*x)").as("norm2_micro"),
         expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
-        expr("array_max(transform(embedding, x -> cast(round(x*1000) as bigint)))")
+        expr("array_max(transform(embedding, x -> cast(round(cast(x as double)*1000) as bigint)))")
           .as("max_milli"))
 
   val s7VectorStatsSql: String = """
     SELECT vec_id,
            CAST(list_aggregate(list_transform(embedding,
-                  x -> CAST(round(x*1000) AS BIGINT) * CAST(round(x*1000) AS BIGINT)),
+                  x -> CAST(round(x::DOUBLE*1000) AS BIGINT) * CAST(round(x::DOUBLE*1000) AS BIGINT)),
                 'sum') AS BIGINT) AS norm2_micro,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-           list_max(list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT))) AS max_milli
+           list_max(list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT))) AS max_milli
     FROM embeddings"""
 
   // =========================================================================
