@@ -379,20 +379,23 @@ object Dedup {
       .persist()
     // seed with round one's result directly: from identity labels the
     // first propagation yields min(node, min(neighbors)) — one
-    // aggregate instead of a join + union + aggregate cycle
+    // aggregate instead of a join + union + aggregate cycle.
+    // localCheckpoint is LAZY: the convergence-sum action materializes
+    // it, so each round runs ONE job (an eager checkpoint + separate
+    // sum ran two), while still truncating the loop lineage.
     var labels = sym.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    var converged = prevSum == 0L && labels.isEmpty
     while (!converged) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
