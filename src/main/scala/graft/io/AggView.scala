@@ -1,0 +1,102 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate view — the materialized-view
+  * refresh a warehouse runs nightly, done right at 100 TB: when day
+  * partitions arrive, the view is updated by aggregating ONLY the new
+  * partitions (one pass over them, together) and merging the partial
+  * into the stored per-key totals. The fact table is never rescanned;
+  * refresh cost is O(new partitions) + O(|view|).
+  *
+  * Correctness rests on the aggregate being ADDITIVE (sum/count —
+  * merge = elementwise +). That is the same partial/final split
+  * Catalyst uses inside one query, lifted across RUNS with the stored
+  * view as the standing partial. Non-additive stats (max: still
+  * mergeable; avg: carry sum+count, divide at read; distinct: carry a
+  * sketch like KMV) follow the same pattern with a different merge.
+  *
+  * Exactly-once accounting: the processed-partition ledger lives
+  * INSIDE the view directory and commits in the SAME staging swap as
+  * the merged data. A crash before the swap changes nothing; after
+  * it, data and ledger moved together — there is no window where a
+  * replay can double-count a day (the flaw of publishing data first
+  * and committing a side ledger second).
+  */
+object AggView {
+
+  private val DataDir = "data"
+  private val LedgerFile = "_partitions"
+
+  /** One refresh: aggregate the new partitions of `srcDir` (layout
+    * `partCol=v/`) with `keyCols` → `aggs`, merge into the view at
+    * `viewDir`, swap data + ledger in atomically. Returns the
+    * partition values consumed this run.
+    *
+    * `aggs` is (outputName → additive aggregate); the cross-run merge
+    * re-sums every output column by key.
+    */
+  def refresh(spark: SparkSession, srcDir: String, partCol: String,
+              viewDir: String,
+              keyCols: Seq[String], aggs: Seq[(String, Column)]): Seq[String] = {
+    val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val have = ledger(spark, viewDir)
+    val fresh = Incremental.sourcePartitions(spark, srcDir, partCol)
+      .filterNot(have)
+    if (fresh.isEmpty) return Seq.empty
+
+    // ONE pass over all new partitions together
+    val newParts = spark.read.option("basePath", srcDir)
+      .parquet(fresh.map(v => s"$srcDir/$partCol=$v"): _*)
+    val partial = newParts.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val merged =
+      if (!fs.exists(new Path(viewDir, DataDir))) partial
+      else read(spark, viewDir)
+        .unionByName(partial)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(aggs.head._1).as(aggs.head._1),
+          aggs.tail.map { case (n, _) => sum(n).as(n) }: _*)
+
+    // stage data AND ledger, then swap the whole directory
+    val staging = new Path(viewDir + ".staging")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(new Path(staging, DataDir).toString)
+    val out = fs.create(new Path(staging, LedgerFile), true)
+    try out.write((have ++ fresh).toSeq.sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+
+    val target = new Path(viewDir)
+    val old = new Path(viewDir + ".old")
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new IllegalStateException(s"agg-view swap failed for $viewDir")
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"agg-view swap failed for $viewDir")
+    fs.delete(old, true)
+    fresh
+  }
+
+  /** The current view contents. */
+  def read(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(s"$viewDir/$DataDir")
+
+  /** Partitions the view already includes (from the co-committed ledger). */
+  def ledger(spark: SparkSession, viewDir: String): Set[String] = {
+    val p = new Path(viewDir, LedgerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+}
