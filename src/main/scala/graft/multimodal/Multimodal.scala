@@ -179,10 +179,80 @@ object Multimodal {
     FROM ff a JOIN ff b ON a.fh = b.fh AND a.doc_id < b.doc_id
     GROUP BY 1, 2"""
 
+  // =========================================================================
+  // m3 — batched embedding extraction (the batch-inference shape)
+  // =========================================================================
+
+  private val EmbDim = 8
+
+  /** The embedding-model pass: payloads → fixed-dim vectors, processed
+    * in BATCHES inside each partition — the JVM analog of a
+    * `mapInPandas` batch UDF, and the shape a GPU inference stage
+    * needs (one model invocation per batch of `batchSize` payloads,
+    * bounded memory, no collect). The "model" is a deterministic stub
+    * (md5 nibbles → 8 int16-ish dims, marked below); the batching,
+    * typing, and partition-parallelism are the real contract.
+    *
+    * At 100 TB: batch size bounds accelerator memory, partition count
+    * bounds concurrency, and the output is exactly the `embeddings`
+    * table shape the s-family consumes — this stage is how that table
+    * gets BUILT.
+    */
+  def encodeBatched(spark: SparkSession, dir: String,
+                    batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.grouped(batchSize).flatMap { batch =>
+          // ===== STUB model call: one invocation per BATCH =====
+          // real impl: model.encode(batch.map(_._2)) -> float matrix
+          batch.map { case (id, bytes) =>
+            val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+            val emb = (0 until EmbDim).map { j =>
+              java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)
+            }
+            (id, emb)
+          }
+          // ===== end STUB =====
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
+  /** m3 — the oracle-checked twin of [[encodeBatched]]: the same stub
+    * embedding computed declaratively (md5 is SQL in both engines), so
+    * the batched mapPartitions path can be asserted equal to a
+    * hash-gated reference (MultimodalSpec does exactly that).
+    * Serialized embedding + integer norm — the array cell itself can't
+    * hash-compare.
+    */
+  val m3EmbedPayload: Q = (s, dir) => {
+    val nibbles = (0 until EmbDim)
+      .map(j => s"cast(conv(substr(md5(payload), ${j * 4 + 1}, 4), 16, 10) as bigint)")
+    withPayload(s, dir).select(
+      col("doc_id"),
+      concat_ws(",", nibbles.map(expr): _*).as("embedding_csv"),
+      expr(nibbles.map(n => s"$n * $n").mkString(" + ")).as("norm2"))
+  }
+
+  val m3EmbedPayloadSql: String = {
+    val nibbles = (0 until EmbDim)
+      .map(j => s"(('0x' || substr(md5(text), ${j * 4 + 1}, 4))::BIGINT)")
+    s"""SELECT doc_id,
+           ${nibbles.map(n => s"CAST($n AS VARCHAR)").mkString(" || ',' || ")} AS embedding_csv,
+           CAST(${nibbles.map(n => s"$n * $n").mkString(" + ")} AS BIGINT) AS norm2
+    FROM documents"""
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
-    "m2_frame_dedup"    -> m2FrameDedup)
+    "m2_frame_dedup"    -> m2FrameDedup,
+    "m3_embed_payload"  -> m3EmbedPayload)
   val oracleSql: Map[String, String] = Map(
     "m1_media_features" -> m1MediaFeaturesSql,
-    "m2_frame_dedup"    -> m2FrameDedupSql)
+    "m2_frame_dedup"    -> m2FrameDedupSql,
+    "m3_embed_payload"  -> m3EmbedPayloadSql)
 }

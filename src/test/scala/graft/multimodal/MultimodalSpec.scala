@@ -58,4 +58,17 @@ class MultimodalSpec extends SparkSpec {
     assert(overlapViolation.isEmpty)
     wins.unpersist(): Unit
   }
+  test("batched encode (mapPartitions, one model call per batch) equals " +
+       "the declarative stub embedding") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val batched = Multimodal.encodeBatched(s, sfDir, batchSize = 7)
+      .select(col("doc_id"),
+        concat_ws(",", col("embedding")).as("embedding_csv"))
+    val declarative = Multimodal.m3EmbedPayload(s, sfDir)
+      .select(col("doc_id"), col("embedding_csv"))
+    assert(batched.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(batched).isEmpty)
+  }
+
 }
