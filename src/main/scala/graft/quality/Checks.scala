@@ -92,8 +92,67 @@ object Checks {
     UNION ALL SELECT 'matches_o_orderpriority', matches_o_orderpriority, total, matches_o_orderpriority = 0 FROM m
     UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey, total, unique_o_orderkey = 0 FROM m"""
 
+  // =========================================================================
+  // q68 — distribution drift (PSI) between two event populations
+  // =========================================================================
+
+  /** Population-stability-index drift monitoring — the DQ check that
+    * catches "the data changed shape" when every q32-style constraint
+    * still passes: event values bucketed into 10 equal-width bins,
+    * the first half of the time range (baseline) against the second
+    * (current), add-one smoothed. Per-bucket PSI contribution
+    * `(pa−pb)·ln(pa/pb)` is quantized to integer micros from exact
+    * integer counts — both engines compute identical doubles from
+    * identical longs, and no float SUM happens (the total is the
+    * reader's integer sum). Plan: one scan, one 20-cell aggregate (10
+    * buckets × 2 sides via conditional sums), broadcast midpoint row;
+    * drift over 100 TB of events costs one pass.
+    */
+  val q68DriftReport: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val mid = ev.agg(
+      ((min(unix_millis(col("ts"))) + max(unix_millis(col("ts")))) / 2)
+        .cast("long").as("mid_ms"))
+    val bucketed = ev.crossJoin(broadcast(mid))
+      .select(
+        least(floor(col("value") / 50.0), lit(9)).cast("int").as("bucket"),
+        (unix_millis(col("ts")) < col("mid_ms")).as("is_base"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = bucketed.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"))
+    bucketed.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        expr("""cast(round(1e6 *
+            ((n_base + 1) / cast(tb + 10 as double) - (n_cur + 1) / cast(tc + 10 as double)) *
+            ln(((n_base + 1) / cast(tb + 10 as double)) / ((n_cur + 1) / cast(tc + 10 as double)))
+          ) as bigint)""").as("psi_micro"))
+  }
+
+  val q68DriftReportSql: String = """
+    WITH mid AS (
+      SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) / 2 AS BIGINT) AS mid_ms
+      FROM events),
+    b AS (
+      SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bucket,
+             epoch_ms(ts) < mid_ms AS is_base
+      FROM events CROSS JOIN mid),
+    g AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM b GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb, CAST(SUM(n_cur) AS BIGINT) AS tc FROM g)
+    SELECT bucket, n_base, n_cur,
+           CAST(round(1e6 *
+             ((n_base + 1) / CAST(tb + 10 AS DOUBLE) - (n_cur + 1) / CAST(tc + 10 AS DOUBLE)) *
+             ln(((n_base + 1) / CAST(tb + 10 AS DOUBLE)) / ((n_cur + 1) / CAST(tc + 10 AS DOUBLE)))
+           ) AS BIGINT) AS psi_micro
+    FROM g CROSS JOIN t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q32_dq_report" -> q32DqReport)
+    Map("q32_dq_report" -> q32DqReport, "q68_drift_report" -> q68DriftReport)
   val oracleSql: Map[String, String] =
-    Map("q32_dq_report" -> q32DqReportSql)
+    Map("q32_dq_report" -> q32DqReportSql, "q68_drift_report" -> q68DriftReportSql)
 }
