@@ -80,6 +80,46 @@ class CorpusSpec extends SparkSpec {
     assert(kept.filter(col("n_tokens") < col("lang_median")).isEmpty)
   }
 
+  test("c6: packing is gapless per shard — offsets chain by token count " +
+       "and every context window is referenced contiguously") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    val packed = graft.queries.Registry.queries("c6_sequence_packing")(s, sfDir)
+    // within a shard, next doc's global position = prev position + tokens
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val chained = packed
+      .withColumn("pos", col("seq_id") * 2048 + col("offset"))
+      .withColumn("next_pos", lead(col("pos"), 1).over(w))
+      .withColumn("expected_next", col("pos") + col("n_tokens"))
+      .filter(col("next_pos").isNotNull &&
+        col("next_pos") =!= col("expected_next"))
+    assert(chained.count() == 0, "token stream has gaps or overlaps")
+    // seq ids per shard are contiguous from 0
+    val seqs = packed.groupBy("shard")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"),
+        countDistinct("seq_id").as("n"))
+      .filter(col("lo") =!= 0L || col("n") =!= col("hi") - col("lo") + 1)
+    assert(seqs.count() == 0, "sequence ids are not contiguous per shard")
+  }
+
+  test("c7: temperature weights flatten the mix — small sources gain " +
+       "share, large sources lose it, shares sum to ~1e6") {
+    val s = spark
+    val mix = graft.queries.Registry.queries("c7_temperature_mix")(s, sfDir)
+      .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("share_micro")))
+    val totDocs = mix.map(_._1).sum.toDouble
+    for ((n, share) <- mix) {
+      val rawShare = n / totDocs * 1e6
+      if (n / totDocs < 1.0 / mix.length) assert(share >= rawShare.toLong,
+        s"small source lost share: n=$n share=$share raw=$rawShare")
+      else if (n / totDocs > 1.0 / mix.length) assert(share <= rawShare.toLong + 1,
+        s"large source gained share: n=$n share=$share raw=$rawShare")
+    }
+    val sumShare = mix.map(_._2).sum
+    assert(math.abs(sumShare - 1000000L) <= mix.length,
+      s"shares should sum to ~1e6, got $sumShare")
+  }
+
   test("c5: exactly min(k, |stratum|) docs per source, stable across runs") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val sample = Corpus.c5StratifiedSample(spark, sfDir).cache()
