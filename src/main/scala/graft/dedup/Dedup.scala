@@ -634,7 +634,93 @@ object Dedup {
     FROM c JOIN df USING (chunk_hash)
     GROUP BY doc_id"""
 
+  // =========================================================================
+  // d13 — prefix-filtering set-similarity join (PPJoin-style)
+  // =========================================================================
+
+  /** The OTHER classic at-scale candidate generator, orthogonal to LSH
+    * banding: order each doc's distinct SHINGLES by global rarity and
+    * block on the 2 rarest (the "prefix") — two docs with Jaccard ≥ t
+    * must share an element of their rarity prefix (prefix length
+    * ⌈(1−t)·n⌉+1 in full PPJoin; 2 is the fixture-sized stand-in), so
+    * joining on prefix shingles alone finds high-overlap pairs while
+    * the join key is by construction the LOWEST-df element either doc
+    * owns. Where LSH banding pays 16 hashes per doc and trades recall
+    * for cost knobs, prefix filtering is deterministic for its
+    * threshold, and the hot-key blowup (d7's cap) cannot happen
+    * because frequent shingles never enter a prefix. Prefixes must be
+    * built over SHINGLES, not raw tokens: a small-vocabulary corpus
+    * (this fixture, or any templated domain) makes even the rarest
+    * token df=O(corpus) and the candidate join quadratic — the
+    * 3-gram shingle space is large enough that rarity is real.
+    * Candidates verify with exact Jaccard, d11-style.
+    *
+    * Plan: shingle df (one shuffle), per-doc rank window (doc-keyed),
+    * prefix self-join on a low-df key, verification join on shingles
+    * — every shuffle keyed, no quadratic corpus step.
+    */
+  val d13PrefixJoin: Q = (s, dir) => {
+    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("shingles"))
+      .persist()
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+      .persist()
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val prefix = sh.join(df, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
+    cand
+      .join(sh.as("sa"), cand("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        cand("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared") / (col("ca.nsh") + col("cb.nsh") - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  val d13PrefixJoinSql: String = s"""
+    WITH t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    d AS (SELECT doc_id, $oracleShingles AS sh FROM t),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    df AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
+    prefix AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, e.g,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df.df, e.g) AS rn
+        FROM e JOIN df USING (g))
+      WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
+    shared AS (
+      SELECT doc_a, doc_b, count(*) AS shared
+      FROM cand
+      JOIN e sa ON sa.doc_id = doc_a
+      JOIN e sb ON sb.doc_id = doc_b AND sa.g = sb.g
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, len(sh) AS nsh FROM d)
+    SELECT doc_a, doc_b, shared,
+           shared / (ca.nsh + cb.nsh - shared) AS jaccard
+    FROM shared
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE shared / (ca.nsh + cb.nsh - shared) >= 0.5"""
+
   val queries: Map[String, Q] = Map(
+    "d13_prefix_join"      -> d13PrefixJoin,
     "d12_chunk_dedup"      -> d12ChunkDedup,
     "d11_lsh_verified"     -> d11LshVerified,
     "d10_survivorship"     -> d10Survivorship,
@@ -650,6 +736,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d13_prefix_join"      -> d13PrefixJoinSql,
     "d12_chunk_dedup"      -> d12ChunkDedupSql,
     "d11_lsh_verified"     -> d11LshVerifiedSql,
     "d10_survivorship"     -> d10SurvivorshipSql,
