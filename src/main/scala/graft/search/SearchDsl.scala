@@ -262,10 +262,87 @@ object SearchDsl {
            array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
     FROM toks GROUP BY term"""
 
+  // =========================================================================
+  // q69 — index-SERVED boolean retrieval (AND of two terms)
+  // =========================================================================
+
+  /** Answers `data AND spark` from the INDEX STRUCTURE — build the two
+    * posting lists, intersect them — while the oracle answers the same
+    * query by direct corpus scan (DuckDB INTERSECT over the token
+    * stream). Hash-matching the two proves index-serving correctness
+    * against first principles, the same discipline as TokenStore's
+    * store-vs-recompute check. At 100 TB the index path reads two
+    * posting lists (two term-key lookups on a term-partitioned store);
+    * the scan path reads the corpus — that asymmetry is the point of
+    * having the index.
+    */
+  val q69IndexServed: (SparkSession, String) => DataFrame = (s, dir) => {
+    val postings = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+          .as("term"))
+      .filter(col("term").isin("data", "spark"))
+      .groupBy("term")
+      .agg(collect_set(col("doc_id")).as("ids"))
+    postings.agg(
+        expr("array_intersect(min(case when term = 'data' then ids end), " +
+             "min(case when term = 'spark' then ids end))").as("hits"))
+      .select(explode(col("hits")).as("doc_id"))
+  }
+
+  val q69IndexServedSql: String = """
+    SELECT doc_id FROM (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS t
+        FROM documents) WHERE t = 'data'
+      INTERSECT
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS t
+        FROM documents) WHERE t = 'spark')"""
+
+  // =========================================================================
+  // q70 — phrase query via a positional index
+  // =========================================================================
+
+  /** The adjacency query an inverted index alone cannot answer:
+    * `"data spark"` as consecutive tokens. The engine builds
+    * POSITIONAL postings (term → (doc, position)) and joins
+    * `pos(spark) = pos(data) + 1`; the oracle matches the normalized
+    * text directly with a space-padded LIKE — two entirely different
+    * algorithms, one hash. The positional join is keyed on (doc_id),
+    * tiny after the term filter; at scale the position lists live in
+    * the same term-partitioned store as q40's postings.
+    */
+  val q70PhraseQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pos = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+          .as(Seq("p", "term")))
+    val a = pos.filter(col("term") === "data")
+      .select(col("doc_id").as("da"), col("p").as("pa"))
+    val b = pos.filter(col("term") === "spark")
+      .select(col("doc_id").as("db"), col("p").as("pb"))
+    a.join(b, col("da") === col("db") && col("pb") === col("pa") + 1)
+      .select(col("da").as("doc_id")).distinct()
+      .withColumn("phrase", lit("data spark"))
+  }
+
+  val q70PhraseQuerySql: String = """
+    SELECT DISTINCT doc_id, 'data spark' AS phrase
+    FROM documents
+    WHERE ' ' || regexp_replace(lower(trim(text)), ' +', ' ', 'g') || ' '
+          LIKE '% data spark %'"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q27_search_dsl" -> q27SearchDsl, "q39_bm25" -> q39Bm25,
-      "q40_inverted_index" -> q40InvertedIndex)
+      "q40_inverted_index" -> q40InvertedIndex,
+      "q69_index_served" -> q69IndexServed,
+      "q70_phrase_query" -> q70PhraseQuery)
   val oracleSql: Map[String, String] =
     Map("q27_search_dsl" -> q27SearchDslSql, "q39_bm25" -> q39Bm25Sql,
-      "q40_inverted_index" -> q40InvertedIndexSql)
+      "q40_inverted_index" -> q40InvertedIndexSql,
+      "q69_index_served" -> q69IndexServedSql,
+      "q70_phrase_query" -> q70PhraseQuerySql)
 }
