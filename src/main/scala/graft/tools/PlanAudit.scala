@@ -19,10 +19,13 @@ object PlanAudit {
   // ...q50/q52/c7 broadcast-cross a ONE-ROW global aggregate (total /
   // (sum,n) average / (Σweight, Σdocs)) into the big side — the
   // scalar-subquery shape, bounded at exactly one row
+  // ...s8 embeds s1's declared brute-force baseline as its truth side;
+  // q68's crosses are its one-row midpoint/totals scalars
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
       "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
-      "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix")
+      "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix",
+      "s8_ann_recall", "q68_drift_report")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
