@@ -247,12 +247,58 @@ object Multimodal {
     FROM documents"""
   }
 
+  // =========================================================================
+  // m4 — resize / downsample to a bounded payload
+  // =========================================================================
+
+  private val ResizeTarget = 64
+
+  /** The resize stage: every payload reduced to ≤ [[ResizeTarget]]
+    * units by a deterministic STRIDE (keep every ⌈len/target⌉-th
+    * element) — the nearest-neighbor-downsample shape, with the codec
+    * stubbed the way m1/m3 stub theirs (real impl: decode → resample
+    * pixels → re-encode; the stride over payload units stands in for
+    * the resample). Char-granular rather than byte-granular for the
+    * same DuckDB-blob reason as m2. Zero shuffle, pure map over array
+    * HOFs; output carries (orig_len, stride, resized_len, resized) —
+    * the metadata a thumbnail tier stores beside the blob. At 100 TB
+    * this pass bounds the derived tier's size by |corpus|·target
+    * regardless of input skew.
+    */
+  val m4Resize: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("orig_len"),
+        expr(s"cast(ceil(length(text) / $ResizeTarget.0) as bigint)").as("stride"))
+      .select(col("doc_id"), col("orig_len"), col("stride"),
+        expr(s"""concat_ws('', transform(
+            sequence(0, cast((length(text) - 1) / stride as int)),
+            i -> substring(text, cast(i * stride + 1 as int), 1)))""").as("resized"))
+      .withColumn("resized_len", length(col("resized")).cast("long"))
+
+  val m4ResizeSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS orig_len,
+             CAST(ceil(length(text) / $ResizeTarget.0) AS BIGINT) AS stride
+      FROM documents)
+    SELECT doc_id, orig_len, stride,
+           array_to_string(list_transform(
+             range(0, CAST((length(text) - 1) // stride AS INT) + 1),
+             i -> substring(text, CAST(i * stride + 1 AS INT), 1)), '') AS resized,
+           CAST(length(array_to_string(list_transform(
+             range(0, CAST((length(text) - 1) // stride AS INT) + 1),
+             i -> substring(text, CAST(i * stride + 1 AS INT), 1)), '')) AS BIGINT) AS resized_len
+    FROM t"""
+
   val queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_dedup"    -> m2FrameDedup,
-    "m3_embed_payload"  -> m3EmbedPayload)
+    "m3_embed_payload"  -> m3EmbedPayload,
+    "m4_resize"         -> m4Resize)
   val oracleSql: Map[String, String] = Map(
     "m1_media_features" -> m1MediaFeaturesSql,
     "m2_frame_dedup"    -> m2FrameDedupSql,
-    "m3_embed_payload"  -> m3EmbedPayloadSql)
+    "m3_embed_payload"  -> m3EmbedPayloadSql,
+    "m4_resize"         -> m4ResizeSql)
 }
