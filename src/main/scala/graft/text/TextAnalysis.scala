@@ -290,7 +290,41 @@ object TextAnalysis {
                 * 100 // len(toks) AS BIGINT) AS mean_wlen_centi
     FROM t"""
 
+  /** t8 — rolling polynomial fingerprint (Rabin-Karp form): the char
+    * stream folded through `h ← (h·131 + code) mod (2³¹−1)`, plus the
+    * same polynomial over just the first 64 chars as a blocking
+    * prefix. The full-document value changes on ANY edit (t4's
+    * token-set fingerprint deliberately doesn't — word order and
+    * repetition are invisible to it), so the pair (t4, t8) separates
+    * "same vocabulary" from "same byte stream". The polynomial form
+    * is what makes O(1) sliding-window updates possible in a
+    * substring-search engine; here the fold is per-document, a
+    * zero-shuffle codegen'd map stage, int64-exact in both engines.
+    */
+  val t8RollingFingerprint: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""aggregate(
+            transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint)),
+            0L, (a, c) -> (a * 131 + c) % 2147483647)""").as("roll_hash"),
+        expr("""aggregate(
+            transform(sequence(1, least(length(text), 64)), i -> cast(ascii(substring(text, i, 1)) as bigint)),
+            0L, (a, c) -> (a * 131 + c) % 2147483647)""").as("prefix_hash"))
+
+  val t8RollingFingerprintSql: String = """
+    SELECT doc_id,
+           CAST(list_reduce(
+             [0] || list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+             (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS roll_hash,
+           CAST(list_reduce(
+             [0] || list_transform(range(1, least(length(text), 64) + 1),
+                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+             (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS prefix_hash
+    FROM documents"""
+
   val queries: Map[String, Q] = Map(
+    "t8_rolling_fingerprint" -> t8RollingFingerprint,
     "t7_lexical_diversity" -> t7LexicalDiversity,
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
@@ -301,6 +335,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t8_rolling_fingerprint" -> t8RollingFingerprintSql,
     "t7_lexical_diversity" -> t7LexicalDiversitySql,
     "t1_lang_id"       -> t1LangIdSql,
     "t2_quality_score" -> t2QualityScoreSql,
