@@ -513,7 +513,55 @@ object Analytics {
            CAST(SUM(wc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS winsorized_mean
     FROM w GROUP BY c_mktsegment"""
 
+  /** q71 — MAD (median-absolute-deviation) outlier detection: the
+    * robust companion to q65's z-score — a single extreme value moves
+    * a mean/stddev arbitrarily but barely moves the median, so MAD
+    * flags outliers even in contaminated data. Exactness: balances
+    * quantize to cents (longs); the median of longs interpolates to
+    * exact halves, absolute deviations are then exact multiples of
+    * 0.5, and THEIR median is an exact quarter — every intermediate is
+    * representable, so both engines compare identical doubles and the
+    * 3·MAD test cannot drift. Two grouped percentile passes (segment-
+    * keyed, |segments| rows broadcast back); nothing shuffles twice.
+    */
+  val q71MadOutliers: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_mktsegment"), cents(col("c_acctbal")).as("vc"))
+    val med = c.groupBy(col("c_mktsegment").as("seg1"))
+      .agg(expr("percentile(vc, 0.5)").as("med"))
+    val dev = c.join(broadcast(med), col("c_mktsegment") === col("seg1"))
+      .withColumn("dev", abs(col("vc").cast("double") - col("med")))
+    val mad = dev.groupBy(col("c_mktsegment").as("seg2"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), col("c_mktsegment") === col("seg2"))
+      .groupBy("c_mktsegment")
+      .agg(first(col("med")).as("med_cents"),
+           first(col("mad")).as("mad_cents"),
+           count(lit(1)).as("n_cust"),
+           sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L))
+             .as("n_outliers"))
+  }
+
+  val q71MadOutliersSql: String = """
+    WITH c AS (
+      SELECT c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS vc
+      FROM customer),
+    med AS (SELECT c_mktsegment AS seg1, quantile_cont(vc, 0.5) AS med
+            FROM c GROUP BY 1),
+    dev AS (SELECT c_mktsegment, abs(CAST(vc AS DOUBLE) - med) AS dev, med
+            FROM c JOIN med ON c_mktsegment = seg1),
+    mad AS (SELECT c_mktsegment AS seg2, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT c_mktsegment,
+           any_value(med) AS med_cents,
+           any_value(mad) AS mad_cents,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CASE WHEN dev > mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON c_mktsegment = seg2
+    GROUP BY c_mktsegment"""
+
   val queries: Map[String, Q] = Map(
+    "q71_mad_outliers"     -> q71MadOutliers,
     "q65_anomaly_zscore"   -> q65AnomalyZscore,
     "q66_winsorized_mean"  -> q66WinsorizedMean,
     "q56_time_weighted"    -> q56TimeWeighted,
@@ -532,6 +580,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q71_mad_outliers"     -> q71MadOutliersSql,
     "q65_anomaly_zscore"   -> q65AnomalyZscoreSql,
     "q66_winsorized_mean"  -> q66WinsorizedMeanSql,
     "q56_time_weighted"    -> q56TimeWeightedSql,
