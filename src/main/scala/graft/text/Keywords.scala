@@ -245,7 +245,72 @@ object Keywords {
     SELECT doc_id, term AS keyword, tf, df, tfidf_micros, kywr_rank
     FROM ranked WHERE kywr_rank <= 3"""
 
+  /** k5 — PMI collocations: term pairs that co-occur in documents far
+    * more than independence predicts — the collocation/phrase-mining
+    * signal a keyword tier feeds on (`pmi = ln(N·c(ab)/(c(a)·c(b)))`).
+    * Counts are document-level presence (distinct terms per doc), so
+    * the quadratic dimension is the VOCABULARY, not the corpus — the
+    * per-doc pair explode is |terms|²/2 per doc and the shuffle key is
+    * the pair. The ln quantizes to micros from exact integer counts
+    * (q39's discipline); pairs below [[MinPairDocs]] docs are noise
+    * and dropped before the join back.
+    */
+  private val MinPairDocs = 5
+
+  val k5PmiCollocations: Q = (s, dir) => {
+    val docTerms = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + ")))")
+          .as("ts"))
+      .persist()
+    val present = docTerms.select(col("doc_id"), explode(col("ts")).as("t"))
+    val ct = present.groupBy("t").agg(count(lit(1)).as("c1"))
+    val n = docTerms.agg(count(lit(1)).as("n_docs"))
+    val pairs = docTerms
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+             transform(slice(ts, i + 2, size(ts)), b ->
+               struct(a AS ta, b AS tb))))""")).as("p"))
+      .select(
+        least(col("p.ta"), col("p.tb")).as("ta"),
+        greatest(col("p.ta"), col("p.tb")).as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= MinPairDocs)
+    pairs
+      .join(ct.select(col("t").as("ta"), col("c1").as("ca")), "ta")
+      .join(ct.select(col("t").as("tb"), col("c1").as("cb")), "tb")
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("cab"), col("ca"), col("cb"),
+        expr("cast(round(1e6 * ln(cast(n_docs as double) * cab / (cast(ca as double) * cb))) as bigint)")
+          .as("pmi_micro"))
+  }
+
+  val k5PmiCollocationsSql: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+               t -> t NOT IN ($stop))) AS ts
+      FROM documents),
+    present AS (SELECT doc_id, unnest(ts) AS t FROM d),
+    ct AS (SELECT t, count(*) AS c1 FROM present GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    pairs AS (
+      SELECT least(a.t, b.t) AS ta, greatest(a.t, b.t) AS tb, count(*) AS cab
+      FROM present a JOIN present b
+        ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+      HAVING count(*) >= $MinPairDocs)
+    SELECT ta, tb, cab, ca.c1 AS ca, cb.c1 AS cb,
+           CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE) * cab
+                / (CAST(ca.c1 AS DOUBLE) * cb.c1))) AS BIGINT) AS pmi_micro
+    FROM pairs
+    JOIN ct ca ON ta = ca.t
+    JOIN ct cb ON tb = cb.t
+    CROSS JOIN n"""
+
   val queries: Map[String, Q] = Map(
+    "k5_pmi_collocations" -> k5PmiCollocations,
     "k4_tfidf" -> k4Tfidf,
     "k1_top_keywords"    -> k1TopKeywords,
     "k2_tf_cosine_pairs" -> k2TfCosinePairs,
@@ -253,6 +318,7 @@ object Keywords {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k5_pmi_collocations" -> k5PmiCollocationsSql,
     "k4_tfidf"           -> k4TfidfSql,
     "k1_top_keywords"    -> k1TopKeywordsSql,
     "k2_tf_cosine_pairs" -> k2TfCosinePairsSql,
