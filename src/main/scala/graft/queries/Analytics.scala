@@ -560,7 +560,68 @@ object Analytics {
     FROM dev JOIN mad ON c_mktsegment = seg2
     GROUP BY c_mktsegment"""
 
+  /** q72 — RFM segmentation: the classic customer-value analytics —
+    * recency (days since last order, against the corpus's max date so
+    * the query is reproducible), frequency (order count), monetary
+    * (lifetime cents) — each cut into quintiles by `ntile(5)`, with
+    * custkey tie-breaks making every bucket boundary deterministic
+    * (ntile's floor-based bucket sizing is the same in both engines
+    * ONLY once the order is total). Plan: one groupBy(custkey) over
+    * orders, one broadcast anchor row, three ntile windows sharing ONE
+    * global sort each (|customers| rows — metadata next to the fact
+    * table); the composite segment string is the tier label a
+    * marketing mart stores.
+    */
+  val q72Rfm: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val anchor = o.agg(max(col("o_orderdate")).as("maxd"))
+    val perCust = o.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+           count(lit(1)).as("frequency"),
+           sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("maxd"), col("last_order")).cast("long"))
+    def tile(c: String, asc: Boolean) = ntile(5).over(
+      Window.orderBy(
+        (if (asc) col(c).asc else col(c).desc), col("o_custkey")))
+    perCust
+      .withColumn("r_score", tile("recency_days", asc = true))
+      .withColumn("f_score", tile("frequency", asc = false))
+      .withColumn("m_score", tile("monetary_cents", asc = false))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        col("r_score").cast("long").as("r_score"),
+        col("f_score").cast("long").as("f_score"),
+        col("m_score").cast("long").as("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+
+  val q72RfmSql: String = """
+    WITH pc AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1),
+    a AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    scored AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_order, maxd) AS BIGINT) AS recency_days,
+             frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY date_diff('day', last_order, maxd), o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      FROM pc CROSS JOIN a)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           r_score || '' || f_score || '' || m_score AS segment
+    FROM scored"""
+
   val queries: Map[String, Q] = Map(
+    "q72_rfm"              -> q72Rfm,
     "q71_mad_outliers"     -> q71MadOutliers,
     "q65_anomaly_zscore"   -> q65AnomalyZscore,
     "q66_winsorized_mean"  -> q66WinsorizedMean,
@@ -580,6 +641,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q72_rfm"              -> q72RfmSql,
     "q71_mad_outliers"     -> q71MadOutliersSql,
     "q65_anomaly_zscore"   -> q65AnomalyZscoreSql,
     "q66_winsorized_mean"  -> q66WinsorizedMeanSql,
