@@ -411,8 +411,68 @@ object Tpch {
     ORDER BY rev_cents DESC, c_custkey LIMIT 20"""
 
   // =========================================================================
+  // q73 — market-basket lift (co-purchase association)
+  // =========================================================================
+
+  /** Brand pairs bought together in one order beyond what independent
+    * popularity predicts: `lift = N·c(ab)/(c(a)·c(b))` in integer
+    * micros — the association-rule core, k5's PMI shape at order
+    * grain. Baskets are distinct brands per order (broadcast part
+    * dim), so the quadratic dimension is |brands| (~25), never
+    * order-grain data; the pair explode is per-order over a ≤25-element
+    * array and shuffles on the pair key. Support floor drops noise
+    * pairs before the count joins.
+    */
+  val q73BasketLift: Q = (s, dir) => {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    val baskets = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .persist()
+    val present = baskets.select(col("l_orderkey"), explode(col("bs")).as("b"))
+    val cb = present.groupBy("b").agg(count(lit(1)).as("c1"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(bs, (a, i) ->
+             transform(slice(bs, i + 2, size(bs)), x ->
+               struct(a AS ba, x AS bb))))""")).as("p"))
+      .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 20)
+      .join(cb.select(col("b").as("ba"), col("c1").as("ca")), "ba")
+      .join(cb.select(col("b").as("bb"), col("c1").as("cb")), "bb")
+      .crossJoin(broadcast(n))
+      .select(col("ba"), col("bb"), col("cab"), col("ca"), col("cb"),
+        expr("cast(round(1e6 * cast(n_orders as double) * cab / (cast(ca as double) * cb)) as bigint)")
+          .as("lift_micro"))
+  }
+
+  val q73BasketLiftSql: String = """
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS bs
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+    present AS (SELECT l_orderkey, unnest(bs) AS b FROM baskets),
+    cb AS (SELECT b, count(*) AS c1 FROM present GROUP BY 1),
+    n AS (SELECT count(*) AS n_orders FROM baskets),
+    pairs AS (
+      SELECT a.b AS ba, x.b AS bb, count(*) AS cab
+      FROM present a JOIN present x
+        ON a.l_orderkey = x.l_orderkey AND a.b < x.b
+      GROUP BY 1, 2 HAVING count(*) >= 20)
+    SELECT ba, bb, cab, ca.c1 AS ca, cb2.c1 AS cb,
+           CAST(round(1e6 * CAST(n_orders AS DOUBLE) * cab
+                / (CAST(ca.c1 AS DOUBLE) * cb2.c1)) AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN cb ca ON ba = ca.b
+    JOIN cb cb2 ON bb = cb2.b
+    CROSS JOIN n"""
 
   val queries: Map[String, Q] = Map(
+    "q73_basket_lift"        -> q73BasketLift,
     "q67_returned_revenue"   -> q67ReturnedRevenue,
     "q57_volume_shipping"    -> q57VolumeShipping,
     "q58_market_share"       -> q58MarketShare,
@@ -425,6 +485,7 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q73_basket_lift"        -> q73BasketLiftSql,
     "q67_returned_revenue"   -> q67ReturnedRevenueSql,
     "q57_volume_shipping"    -> q57VolumeShippingSql,
     "q58_market_share"       -> q58MarketShareSql,
