@@ -21,11 +21,14 @@ object PlanAudit {
   // scalar-subquery shape, bounded at exactly one row
   // ...s8 embeds s1's declared brute-force baseline as its truth side;
   // q68's crosses are its one-row midpoint/totals scalars
+  // ...k5/q73 cross their one-row corpus/basket-count frames; q72
+  // crosses its one-row max-date anchor — all the same scalar shape
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
       "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
       "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix",
-      "s8_ann_recall", "q68_drift_report")
+      "s8_ann_recall", "q68_drift_report",
+      "k5_pmi_collocations", "q72_rfm", "q73_basket_lift")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
