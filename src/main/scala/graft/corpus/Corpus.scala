@@ -309,7 +309,41 @@ object Corpus {
                       * CAST(tot_docs AS DOUBLE)) AS BIGINT) AS expect_docs
     FROM w CROSS JOIN t"""
 
+  /** c8 — packing efficiency: per (shard, context window), how many
+    * tokens landed and the fill rate in basis points — the metric that
+    * tells a training pipeline whether c6's packing is wasting context
+    * budget (fill ≪ 100% ⇒ too many overlong docs or a bad shard key).
+    * Windows a doc merely STARTS in count its full token mass here
+    * (greedy packing attributes a doc to its starting window), so the
+    * last window per shard can exceed 100% — that asymmetry is itself
+    * the overflow signal. Derived entirely from c6's output by one
+    * (shard, seq) aggregate.
+    */
+  val c8PackingStats: Q = (s, dir) =>
+    c6SequencePacking(s, dir)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("tokens_in_window"))
+      .withColumn("fill_bp",
+        (col("tokens_in_window") * 10000L / CtxLen).cast("long"))
+
+  val c8PackingStatsSql: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % $NShards AS shard
+      FROM documents),
+    p AS (SELECT *, coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+          FROM d)
+    SELECT shard, CAST(tokens_before // $CtxLen AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_window,
+           CAST(SUM(n_tokens) * 10000 // $CtxLen AS BIGINT) AS fill_bp
+    FROM p GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "c8_packing_stats" -> c8PackingStats,
     "c7_temperature_mix" -> c7TemperatureMix,
     "c1_hash_split"    -> c1HashSplit,
     "c2_corpus_mix"    -> c2CorpusMix,
@@ -320,6 +354,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c8_packing_stats" -> c8PackingStatsSql,
     "c7_temperature_mix" -> c7TemperatureMixSql,
     "c1_hash_split"    -> c1HashSplitSql,
     "c2_corpus_mix"    -> c2CorpusMixSql,

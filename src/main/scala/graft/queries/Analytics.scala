@@ -620,7 +620,49 @@ object Analytics {
            r_score || '' || f_score || '' || m_score AS segment
     FROM scored"""
 
+  /** q74 — year-over-year growth: yearly revenue with lag(1) deltas
+    * and growth in basis points (exact-cents cross-multiplied — the
+    * ratio divides two exact longs). The lag window runs over the
+    * |years|-row aggregate, not the fact table; at 100 TB this is one
+    * partial-final aggregate plus a window over a handful of rows.
+    */
+  val q74YoyGrowth: Q = (s, dir) => {
+    val yearly = Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"),
+           count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("o_year")
+    yearly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      // round(), not a floor/truncate cast: growth can be NEGATIVE and
+      // Spark's double→long cast truncates toward zero while DuckDB's
+      // // floors toward -inf — round() is symmetric in both engines
+      .withColumn("growth_bp",
+        when(col("prev_cents").isNotNull,
+          round((col("rev_cents") - col("prev_cents")).cast("double") *
+            10000.0 / col("prev_cents").cast("double")).cast("long")))
+      .select("o_year", "rev_cents", "n_orders", "prev_cents",
+        "delta_cents", "growth_bp")
+  }
+
+  val q74YoyGrowthSql: String = """
+    WITH y AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT o_year, rev_cents, n_orders,
+           lag(rev_cents, 1) OVER (ORDER BY o_year) AS prev_cents,
+           rev_cents - lag(rev_cents, 1) OVER (ORDER BY o_year) AS delta_cents,
+           CASE WHEN lag(rev_cents, 1) OVER (ORDER BY o_year) IS NOT NULL
+                THEN CAST(round(CAST(rev_cents - lag(rev_cents, 1) OVER (ORDER BY o_year) AS DOUBLE)
+                          * 10000.0 / CAST(lag(rev_cents, 1) OVER (ORDER BY o_year) AS DOUBLE)) AS BIGINT)
+           END AS growth_bp
+    FROM y"""
+
   val queries: Map[String, Q] = Map(
+    "q74_yoy_growth"       -> q74YoyGrowth,
     "q72_rfm"              -> q72Rfm,
     "q71_mad_outliers"     -> q71MadOutliers,
     "q65_anomaly_zscore"   -> q65AnomalyZscore,
@@ -641,6 +683,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q74_yoy_growth"       -> q74YoyGrowthSql,
     "q72_rfm"              -> q72RfmSql,
     "q71_mad_outliers"     -> q71MadOutliersSql,
     "q65_anomaly_zscore"   -> q65AnomalyZscoreSql,
