@@ -41,4 +41,31 @@ class PlanSpec extends SparkSpec {
     val plan = physicalPlan("q8_semi_join")
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("q55 aggregates lineitem BEFORE joining orders (no order-grain join)") {
+    val plan = physicalPlan("q55_big_orders")
+    // plans print root-first: in the aggregate-then-join shape the join
+    // is the ROOT side and its HAVING-filtered aggregate child prints
+    // below it; a join-then-aggregate plan would print the final
+    // aggregate first
+    val firstAgg = plan.indexOf("HashAggregate")
+    val firstJoin = math.min(
+      wrap(plan.indexOf("BroadcastHashJoin")),
+      wrap(plan.indexOf("SortMergeJoin")))
+    assert(firstAgg >= 0 && firstJoin < firstAgg,
+      s"aggregate planned above the join:\n$plan")
+  }
+
+  test("q62 exclusion set plans as a broadcast ANTI join") {
+    val plan = physicalPlan("q62_supplier_variety")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q67 global top-20 plans as TakeOrderedAndProject, not a full sort") {
+    val plan = physicalPlan("q67_returned_revenue")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  private def wrap(i: Int): Int = if (i < 0) Int.MaxValue else i
 }
