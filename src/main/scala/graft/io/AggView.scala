@@ -64,14 +64,55 @@ object AggView {
           aggs.tail.map { case (n, _) => sum(n).as(n) }: _*)
 
     // stage data AND ledger, then swap the whole directory
+    swapIn(spark, viewDir, merged, have ++ fresh)
+    fresh
+  }
+
+  /** Streaming flavor — the `foreachBatch` body for maintaining the
+    * same view from a stream: merge micro-batch `batchId` into the
+    * stored totals, EXACTLY ONCE. Structured Streaming replays a batch
+    * (same id, same data) after a crash between the sink write and the
+    * checkpoint commit; recording the batch id in the co-committed
+    * ledger makes the replay a no-op instead of a double-count — the
+    * additive-merge analog of the idempotent-partition-sink contract
+    * `ExactlyOnce.fileIngest` uses.
+    *
+    * Usage: `stream.writeStream.foreachBatch { (df, id) =>
+    *   AggView.mergeBatch(spark, viewDir, id, df, keys, aggs) }`.
+    *
+    * @return true if the batch merged, false if it was already applied.
+    */
+  def mergeBatch(spark: SparkSession, viewDir: String, batchId: Long,
+                 batch: DataFrame, keyCols: Seq[String],
+                 aggs: Seq[(String, Column)]): Boolean = {
+    val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = s"batch=$batchId"
+    val have = ledger(spark, viewDir)
+    if (have.contains(tag)) return false
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val merged =
+      if (!fs.exists(new Path(viewDir, DataDir))) partial
+      else read(spark, viewDir)
+        .unionByName(partial)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(aggs.head._1).as(aggs.head._1),
+          aggs.tail.map { case (n, _) => sum(n).as(n) }: _*)
+    swapIn(spark, viewDir, merged, have + tag)
+    true
+  }
+
+  private def swapIn(spark: SparkSession, viewDir: String,
+                     merged: DataFrame, newLedger: Set[String]): Unit = {
+    val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(viewDir + ".staging")
     fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(new Path(staging, DataDir).toString)
     val out = fs.create(new Path(staging, LedgerFile), true)
-    try out.write((have ++ fresh).toSeq.sorted.mkString("\n")
+    try out.write(newLedger.toSeq.sorted.mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-
     val target = new Path(viewDir)
     val old = new Path(viewDir + ".old")
     fs.delete(old, true)
@@ -79,8 +120,7 @@ object AggView {
       throw new IllegalStateException(s"agg-view swap failed for $viewDir")
     if (!fs.rename(staging, target))
       throw new IllegalStateException(s"agg-view swap failed for $viewDir")
-    fs.delete(old, true)
-    fresh
+    fs.delete(old, true): Unit
   }
 
   /** The current view contents. */

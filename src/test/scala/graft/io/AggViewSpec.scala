@@ -52,4 +52,23 @@ class AggViewSpec extends SparkSpec {
     // batch 3: nothing new — refresh is a no-op
     assert(AggView.refresh(s, src, "day", view, keys, aggs).isEmpty)
   }
+
+  test("streaming mergeBatch is exactly-once: a replayed batch id is a no-op") {
+    val s = spark
+    import s.implicits._
+    val view = tmpDir("aggview-stream") + "/totals"
+    def keys = Seq("k")
+    def aggs = Seq("n" -> count(lit(1)), "total" -> sum(col("v")))
+    val b0 = Seq(("a", 10L), ("b", 5L)).toDF("k", "v")
+    val b1 = Seq(("a", 1L), ("c", 2L)).toDF("k", "v")
+
+    assert(AggView.mergeBatch(s, view, 0L, b0, keys, aggs))
+    assert(AggView.mergeBatch(s, view, 1L, b1, keys, aggs))
+    // crash-replay of batch 1: same id, same data — must not double-count
+    assert(!AggView.mergeBatch(s, view, 1L, b1, keys, aggs))
+
+    val got = AggView.read(s, view).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 11L), ("b", 1L, 5L), ("c", 1L, 2L)), got)
+  }
 }
