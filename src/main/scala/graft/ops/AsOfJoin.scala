@@ -66,4 +66,37 @@ object AsOfJoin {
     FROM events e
     ASOF LEFT JOIN o
       ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)"""
+
+  /** q75 — last-touch attribution: every purchase matched to the same
+    * user's most recent click AT-OR-BEFORE it — the marketing-
+    * attribution shape, the as-of join applied within one event
+    * stream. Clicks dedupe to max event_id per (user, ts) so both
+    * engines' tie rules coincide; unattributed purchases survive with
+    * null click columns (the orphan signal the outer stream join also
+    * surfaces). Same plan as q21: per-user range join narrowed by one
+    * row_number window, fan-out bounded by per-user click history.
+    */
+  val q75LastTouch: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max("event_id").as("click_id"))
+    asOf(purchases, clicks,
+      key = (col("user_id"), col("c_user")),
+      time = (col("ts"), col("c_ts")),
+      rightCols = Seq(col("click_id"), col("c_ts").as("click_ts")))
+  }
+
+  val q75LastTouchSql: String = """
+    WITH c AS (
+      SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           c.click_id, c.c_ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN c
+      ON p.user_id = c.c_user AND p.ts >= c.c_ts"""
 }

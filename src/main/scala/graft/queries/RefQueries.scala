@@ -469,6 +469,7 @@ object RefQueries {
     "q19_set_ops"          -> q19SetOps,
     "q20_correlated_subquery" -> q20CorrelatedSubquery,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoin,
+    "q75_last_touch"       -> graft.ops.AsOfJoin.q75LastTouch,
     "q23_window_family"    -> q23WindowFamily,
     "q24_percentiles"      -> q24Percentiles,
     "q25_range_join"       -> q25RangeJoin,
@@ -495,6 +496,7 @@ object RefQueries {
     "q19_set_ops"          -> q19SetOpsSql,
     "q20_correlated_subquery" -> q20CorrelatedSubquerySql,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoinSql,
+    "q75_last_touch"       -> graft.ops.AsOfJoin.q75LastTouchSql,
     "q23_window_family"    -> q23WindowFamilySql,
     "q24_percentiles"      -> q24PercentilesSql,
     "q25_range_join"       -> q25RangeJoinSql,
