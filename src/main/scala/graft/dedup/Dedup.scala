@@ -719,7 +719,50 @@ object Dedup {
     JOIN counts cb ON doc_b = cb.doc_id
     WHERE shared / (ca.nsh + cb.nsh - shared) >= 0.5"""
 
+  // =========================================================================
+  // d14 — ensemble agreement across the lexical dedup families
+  // =========================================================================
+
+  /** Which families flag each candidate pair: MinHash-LSH banding
+    * (d3), SimHash hamming (d6), and prefix-filtered exact Jaccard
+    * (d13) are three INDEPENDENT algorithms over the same corpus — a
+    * pair flagged by two or more is high-precision dedup evidence; a
+    * pair flagged by exactly one maps each family's characteristic
+    * false-positive mode (band collisions, hamming near-misses,
+    * shared-rare-shingle coincidences). This is the ensemble
+    * decisioning a production clean thresholds on, as a query. Each
+    * family's pair set is ≪ corpus (their own blocking guarantees
+    * it), so the union + pair-keyed rollup costs nothing next to the
+    * families themselves.
+    */
+  val d14FamilyAgreement: Q = (s, dir) => {
+    val lsh = d3LshPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit("lsh").as("family"))
+    val sim = d6SimhashHamming(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit("simhash").as("family"))
+    val pfx = d13PrefixJoin(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit("prefix").as("family"))
+    lsh.unionByName(sim).unionByName(pfx)
+      .groupBy("doc_a", "doc_b")
+      .agg(array_join(sort_array(collect_set(col("family"))), ",")
+        .as("families"),
+        countDistinct(col("family")).as("n_families"))
+  }
+
+  val d14FamilyAgreementSql: String = s"""
+    SELECT doc_a, doc_b,
+           array_to_string(list_sort(list(DISTINCT family)), ',') AS families,
+           CAST(count(DISTINCT family) AS BIGINT) AS n_families
+    FROM (
+      SELECT doc_a, doc_b, 'lsh' AS family FROM ($d3LshPairsSql)
+      UNION ALL
+      SELECT doc_a, doc_b, 'simhash' AS family FROM ($d6SimhashHammingSql)
+      UNION ALL
+      SELECT doc_a, doc_b, 'prefix' AS family FROM ($d13PrefixJoinSql))
+    GROUP BY doc_a, doc_b"""
+
   val queries: Map[String, Q] = Map(
+    "d14_family_agreement" -> d14FamilyAgreement,
     "d13_prefix_join"      -> d13PrefixJoin,
     "d12_chunk_dedup"      -> d12ChunkDedup,
     "d11_lsh_verified"     -> d11LshVerified,
@@ -736,6 +779,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d14_family_agreement" -> d14FamilyAgreementSql,
     "d13_prefix_join"      -> d13PrefixJoinSql,
     "d12_chunk_dedup"      -> d12ChunkDedupSql,
     "d11_lsh_verified"     -> d11LshVerifiedSql,
