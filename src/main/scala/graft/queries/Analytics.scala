@@ -661,7 +661,45 @@ object Analytics {
            END AS growth_bp
     FROM y"""
 
+  /** q76 — inter-event gap distribution: per event type, the p50/p90/
+    * p99 of the millisecond gap between a user's consecutive events of
+    * that type — the latency/cadence profile an eventing system
+    * monitors (rising p99 gaps = a stalling producer). Gaps come from
+    * one lead() per (user, type) partition; percentiles interpolate
+    * over exact int64 milliseconds (q24's discipline). One shuffle for
+    * the window, one |types|-row aggregate reusing nothing wider.
+    */
+  val q76GapPercentiles: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_ms",
+        unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts")))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_ms, 0.5)").as("p50_ms"),
+        expr("percentile(gap_ms, 0.9)").as("p90_ms"),
+        expr("percentile(gap_ms, 0.99)").as("p99_ms"))
+  }
+
+  val q76GapPercentilesSql: String = """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(lead(ts, 1) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id))
+               - epoch_ms(ts) AS gap_ms
+      FROM events)
+    SELECT event_type, COUNT(*) AS n_gaps,
+           quantile_cont(gap_ms, 0.5) AS p50_ms,
+           quantile_cont(gap_ms, 0.9) AS p90_ms,
+           quantile_cont(gap_ms, 0.99) AS p99_ms
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "q76_gap_percentiles"  -> q76GapPercentiles,
     "q74_yoy_growth"       -> q74YoyGrowth,
     "q72_rfm"              -> q72Rfm,
     "q71_mad_outliers"     -> q71MadOutliers,
@@ -683,6 +721,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q76_gap_percentiles"  -> q76GapPercentilesSql,
     "q74_yoy_growth"       -> q74YoyGrowthSql,
     "q72_rfm"              -> q72RfmSql,
     "q71_mad_outliers"     -> q71MadOutliersSql,
