@@ -44,6 +44,11 @@ object CleanPipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           logPath: String, jobRunId: String = "clean-1"): Report = {
     val t0 = System.currentTimeMillis()
+    // every persist() registers here and unpersists in the finally:
+    // the failure path must not leak cached blocks into a long-lived
+    // session (LEAKCHECK tracks exactly this)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
     try {
       val docs = graft.core.Tables.loadParallel(spark, sfDir, "documents")
 
@@ -58,15 +63,14 @@ object CleanPipeline {
         .drop("content_hash")
 
       // 2-3. shingle ONCE; LSH candidates over exact survivors only
-      val shingled = Dedup.withShingles(exactSurvivors)
-        .select(col("doc_id"), col("n_chars"), col("shingles"))
-        .persist()
+      val shingled = cache(Dedup.withShingles(exactSurvivors)
+        .select(col("doc_id"), col("n_chars"), col("shingles")))
       val pairs = Dedup.lshPairsOf(Dedup.signaturesOf(shingled))
 
       // 4. verify candidates with exact Jaccard over the SAME shingles
       val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("g"))
       val counts = shingled.select(col("doc_id"), size(col("shingles")).as("nsh"))
-      val verified = pairs
+      val verified = cache(pairs
         .join(sh.as("sa"), pairs("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
           pairs("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
@@ -75,11 +79,10 @@ object CleanPipeline {
         .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
         .filter(col("shared") /
           (col("ca.nsh") + col("cb.nsh") - col("shared")) >= JaccardThreshold)
-        .select("doc_a", "doc_b")
-        .persist()
+        .select("doc_a", "doc_b"))
 
       // 5. components over verified pairs; 6. elect by quality
-      val comp = Dedup.components(verified).persist()
+      val comp = cache(Dedup.components(verified))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("component")
         .orderBy(col("n_chars").desc, col("doc_id"))
@@ -113,7 +116,6 @@ object CleanPipeline {
         error_msg = "",
         job_run_id = jobRunId,
         platform_dt = new Timestamp(System.currentTimeMillis())))
-      shingled.unpersist(); verified.unpersist(); comp.unpersist()
       report
     } catch {
       case e: Throwable =>
@@ -128,6 +130,8 @@ object CleanPipeline {
           job_run_id = jobRunId,
           platform_dt = new Timestamp(System.currentTimeMillis())))
         throw e
+    } finally {
+      cached.foreach(_.unpersist())
     }
   }
 }

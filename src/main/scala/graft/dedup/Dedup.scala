@@ -621,10 +621,13 @@ object Dedup {
              str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS tokens
       FROM documents),
     c AS (
-      SELECT doc_id, i,
+      -- indices generated per-row from the doc's own length: a fixed
+      -- range(0, N) cap would silently truncate docs longer than N*20
+      -- tokens and fail the hash gate on a bigger fixture
+      SELECT doc_id,
              md5(array_to_string(tokens[(i*20 + 1):(i*20 + 20)], ' ')) AS chunk_hash
-      FROM t, (SELECT unnest(range(0, 100)) AS i) idx
-      WHERE len(tokens) >= 20 AND i < len(tokens) // 20),
+      FROM (SELECT doc_id, tokens, unnest(range(0, len(tokens) // 20)) AS i
+            FROM t WHERE len(tokens) >= 20)),
     df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS docs_with_chunk
            FROM c GROUP BY 1)
     SELECT doc_id, count(*) AS n_chunks,

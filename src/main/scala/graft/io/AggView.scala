@@ -44,6 +44,7 @@ object AggView {
               viewDir: String,
               keyCols: Seq[String], aggs: Seq[(String, Column)]): Seq[String] = {
     val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfCrashed(fs, viewDir)
     val have = ledger(spark, viewDir)
     val fresh = Incremental.sourcePartitions(spark, srcDir, partCol)
       .filterNot(have)
@@ -86,6 +87,7 @@ object AggView {
                  batch: DataFrame, keyCols: Seq[String],
                  aggs: Seq[(String, Column)]): Boolean = {
     val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfCrashed(fs, viewDir)
     val tag = s"batch=$batchId"
     val have = ledger(spark, viewDir)
     if (have.contains(tag)) return false
@@ -101,6 +103,24 @@ object AggView {
           aggs.tail.map { case (n, _) => sum(n).as(n) }: _*)
     swapIn(spark, viewDir, merged, have + tag)
     true
+  }
+
+  // swapIn is two renames, not one atomic op: a crash after
+  // rename(target, old) but before rename(staging, target) leaves the
+  // view absent at its path — data AND ledger — so an unrecovered
+  // replay would merge into an empty view and silently drop every
+  // prior batch. Every entry point therefore rolls the `.old` copy
+  // back in first when the target is missing; the interrupted batch
+  // is not in the rolled-back ledger, so it simply re-applies.
+  private def recoverIfCrashed(fs: org.apache.hadoop.fs.FileSystem,
+                               viewDir: String): Unit = {
+    val target = new Path(viewDir)
+    val old = new Path(viewDir + ".old")
+    if (!fs.exists(new Path(target, DataDir)) && fs.exists(new Path(old, DataDir))) {
+      fs.delete(target, true)
+      if (!fs.rename(old, target))
+        throw new IllegalStateException(s"agg-view crash recovery failed for $viewDir")
+    }
   }
 
   private def swapIn(spark: SparkSession, viewDir: String,
@@ -124,8 +144,11 @@ object AggView {
   }
 
   /** The current view contents. */
-  def read(spark: SparkSession, viewDir: String): DataFrame =
+  def read(spark: SparkSession, viewDir: String): DataFrame = {
+    val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfCrashed(fs, viewDir)
     spark.read.parquet(s"$viewDir/$DataDir")
+  }
 
   /** Partitions the view already includes (from the co-committed ledger). */
   def ledger(spark: SparkSession, viewDir: String): Set[String] = {

@@ -51,17 +51,21 @@ object TargetedDelete {
     val rowsDeleted = affected.filter(col(idCol).isin(ids: _*)).count()
     val kept = affected.filter(!col(idCol).isin(ids: _*))
 
-    // rewrite survivors of the affected files into a staging dir,
-    // then swap: remove the old affected files, move staged files in
+    // rewrite survivors of the affected files into a staging dir, then
+    // swap move-in-BEFORE-delete: if we crash after the renames but
+    // before the deletes, readers see survivor rows twice (and a re-run
+    // of the same delete converges — survivors carry no target ids);
+    // the opposite order would make a crash between delete and rename
+    // silently LOSE the survivor rows, which is unrecoverable
     val staging = new Path(table + ".delete-staging")
     fs.delete(staging, true)
     kept.write.mode("overwrite").parquet(staging.toString)
-    affectedFiles.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     val staged = fs.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
     staged.zipWithIndex.foreach { case (st, i) =>
       val dest = new Path(table, f"deleted-rewrite-${System.currentTimeMillis()}%d-$i%04d.parquet")
       require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
     }
+    affectedFiles.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     fs.delete(staging, true)
     Report(rowsDeleted, affectedFiles.length.toLong, filesTotal)
   }

@@ -62,7 +62,13 @@ final class QueryMetrics(maxRecords: Int = 10000) extends QueryExecutionListener
       records.add(Record(
         funcName, durationNs,
         outputRows = math.max(out, 0L),
-        shuffleBytes = metricSum(qe, Set("dataSize", "shuffleBytesWritten")),
+        // Only the shuffle writer's own byte counter: every
+        // ShuffleExchangeExec exposes BOTH `dataSize` (uncompressed rows
+        // materialized) and `shuffleBytesWritten` (compressed on the wire),
+        // and BroadcastExchangeExec exposes `dataSize` too — summing both
+        // double-counts each shuffle and folds broadcast bytes into the
+        // "shuffle volume" this listener exists to isolate.
+        shuffleBytes = metricSum(qe, Set("shuffleBytesWritten")),
         shuffleRecords = metricSum(qe, Set("shuffleRecordsWritten")),
         spillBytes = metricSum(qe, Set("spillSize")),
         failed = failed)): Unit
