@@ -49,30 +49,26 @@ object DocAssembly {
     * (`Elastic_indexing.py:133-147`). `sort_array` pins the order that
     * Redshift `listagg(distinct)` leaves unspecified (SURVEY §7).
     */
-  private def trngSide(orders: DataFrame): DataFrame = {
+  private def trngSide(orders: DataFrame): DataFrame =
     // One aggregation pass instead of two filtered groupBys + union:
     // collect both branch sets conditionally (collect_set drops the
-    // CASE's nulls), then explode into the reference's two-row-per-key
-    // union shape, keeping rows only for branches that had input — the
-    // exact row set the filtered branches produced, at half the
-    // shuffles and one orders scan.
+    // CASE's nulls), and keep BOTH branch lists in ONE row per
+    // customer instead of re-creating the reference's two-row union
+    // shape. The union shape only existed so a downstream
+    // max()-per-document could pick each branch back out; emitting
+    // (y_list, n_list) directly makes that downstream merge a 1:1
+    // join — same values, one less order-grain shuffle (see [[docs]]).
     orders.groupBy(col("o_custkey").as("trng_emp_no"))
       .agg(
         sort_array(collect_set(when(col("o_orderstatus") === "F",
           col("o_orderpriority")))).as("y_set"),
         sort_array(collect_set(when(col("o_orderstatus") =!= "F",
           col("o_orderpriority")))).as("n_set"))
-      .select(col("trng_emp_no"), explode(expr(
-        """filter(array(
-             named_struct('y_list', array_join(y_set, ','),
-                          'n_list', CAST(NULL AS STRING),
-                          'nonempty', size(y_set) > 0),
-             named_struct('y_list', CAST(NULL AS STRING),
-                          'n_list', array_join(n_set, ','),
-                          'nonempty', size(n_set) > 0)),
-           b -> b.nonempty)""")).as("b"))
-      .select(col("trng_emp_no"), col("b.y_list"), col("b.n_list"))
-  }
+      .select(col("trng_emp_no"),
+        when(size(col("y_set")) > 0, array_join(col("y_set"), ","))
+          .as("y_list"),
+        when(size(col("n_set")) > 0, array_join(col("n_set"), ","))
+          .as("n_list"))
 
   /** Scalar + list document columns, grouped per `dre_cd`. Oracle-safe:
     * doubles are per-row arithmetic carried through `max`, lists are
@@ -83,29 +79,44 @@ object DocAssembly {
     val customer = Tables.load(spark, dir, "customer")
     val nation   = Tables.load(spark, dir, "nation")
 
-    val ruleout = customer.select(
-      col("c_custkey").as("r_emp_no"),
-      when(col("c_mktsegment") === "BUILDING", "Y").otherwise("N").as("ruleout_yn"))
-    val info = customer
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey").as("i_emp_no"), col("n_name").as("info_nation"))
+    // ruleout + info fused into ONE customer-grain dim: both of the
+    // reference's subqueries key on the same unique customer key, so
+    // two left joins == one left join against their 1:1 merge — one
+    // customer scan and one join instead of two of each. nation is a
+    // left join here where the reference's info subquery was inner,
+    // but the only surviving column is info_nation, which coalesces
+    // to '' either way — identical output, and no customer row can
+    // vanish from the dim.
+    val custDim = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey").as("cd_emp_no"),
+        when(col("c_mktsegment") === "BUILDING", "Y").otherwise("N").as("ruleout_yn"),
+        col("n_name").as("info_nation"))
 
+    // Every join side is exactly one row per customer key, and dre_cd
+    // is unique per fact row — so the reference's final
+    // groupBy(document).agg(max(...)) merge (`Elastic_indexing.py:
+    // 226-328`, driver-side dict) is the identity here and is elided
+    // entirely. That removes the widest shuffle in the old plan: a
+    // re-hash of the full order-grain join result on dre_cd (a key
+    // Catalyst can't know is a superset of the join key). Remaining
+    // wide work: ONE order-grain shuffle onto the customer key for
+    // the join, plus the customer-grain trng aggregation that partial
+    // (map-side) aggregation shrinks before it ships.
     val fact = factSide(orders)
-    val joined = fact
+    fact
       .join(trngSide(orders), fact("emp_no") === col("trng_emp_no"), "left")
-      .join(ruleout, fact("emp_no") === col("r_emp_no"), "left")
-      .join(info, fact("emp_no") === col("i_emp_no"), "left")
-
-    joined.groupBy("dre_cd").agg(
-      max("emp_no").as("dre_emp_no"),
-      max("dre_dty_cd").as("dre_dty_cd"),
-      coalesce(max("ruleout_yn"), lit("")).as("ruleout_yn"),
-      coalesce(max("info_nation"), lit("")).as("info_nation"),
-      coalesce(max("y_list"), lit("")).as("trng_y_list"),
-      coalesce(max("n_list"), lit("")).as("trng_n_list"),
-      max("f01").as("f01"), max("f02").as("f02"), max("f03").as("f03"),
-      max("f04").as("f04"), max("f05").as("f05"), max("f06").as("f06"),
-      max("f07").as("f07"), max("f08").as("f08"))
+      .join(custDim, fact("emp_no") === col("cd_emp_no"), "left")
+      .select(
+        col("dre_cd"),
+        col("emp_no").as("dre_emp_no"),
+        col("dre_dty_cd"),
+        coalesce(col("ruleout_yn"), lit("")).as("ruleout_yn"),
+        coalesce(col("info_nation"), lit("")).as("info_nation"),
+        coalesce(col("y_list"), lit("")).as("trng_y_list"),
+        coalesce(col("n_list"), lit("")).as("trng_n_list"),
+        col("f01"), col("f02"), col("f03"), col("f04"),
+        col("f05"), col("f06"), col("f07"), col("f08"))
   }
 
   /** Full document shape with real array/vector columns — the ES doc
