@@ -30,16 +30,99 @@ object Keywords {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // ---- T1 Korean morphological stand-in -------------------------------
+  // The reference analyzes Korean with pynori's KoreanAnalyzer
+  // (`pynori_test.py:4-28`, `Keyword.py:95-102`); the Lucene nori
+  // dictionary is unavailable offline, so Hangul words are segmented
+  // by longest-suffix match against small PUBLIC closed-class
+  // morpheme lists (Korean particles/josa and verb endings/eomi are
+  // closed classes — the lists, not a statistical model, are what
+  // makes this deterministic) plus a basic-vocabulary verb-stem
+  // lexicon that licenses eomi splits. Surface-concatenative splits
+  // only: no jamo recombination (않고 → 않+고 works; contracted forms
+  // like 했다 → 하+았다 do not), and tags are COARSE BUCKETS of the
+  // nori tagset (NNG = nominal, VV = verbal stem incl. VA/VX, J = any
+  // josa, E = any eomi, SF = sentence punctuation) — the granularity
+  // nori distinctions (JKO vs JKB, EC vs ETM) need the dictionary we
+  // don't have. KeywordsSpec pins the whole reference sample sentence
+  // against pynori's published-shape output at this bucket level.
+
+  private val josaOnly = Seq(
+    "께서", "에서", "에게", "한테", "으로", "까지", "부터", "보다", "처럼",
+    "마다", "조차", "마저", "를", "을", "이", "가", "에", "의", "와", "과",
+    "로", "도", "만")
+
+  private val eomiOnly = Seq(
+    "았습니다", "었습니다", "습니다", "아서", "어서", "는데", "지만", "면서",
+    "려고", "도록", "았다", "었다", "지", "고", "게", "기", "며", "면", "다")
+
+  /** 는/은 are a topic josa after a noun and an eomi after a verb stem. */
+  private val ambigSfx = Seq("는", "은")
+
+  /** Basic-vocabulary verb/adjective stems that license an eomi split. */
+  private val verbStems = Seq(
+    "하", "되", "가", "오", "보", "먹", "만들", "미루", "다하", "좋", "않",
+    "있", "없", "크", "작", "받", "주", "쓰", "읽", "말")
+
+  private def sqlArr(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("array(", ", ", ")")
+
+  // longest-first so the first VALID match is the longest one
+  private val allSfx = sqlArr((josaOnly ++ eomiOnly ++ ambigSfx)
+    .sortBy(s => (-s.length, s)))
+  private val eomiArr  = sqlArr(eomiOnly)
+  private val verbsArr = sqlArr(verbStems)
+
   /** T1: `text` → array of (term, tag) structs; tag is a coarse POS
     * bucket (`pynori_test.py:22-28` smoke shape: list of (term, POS)).
+    * Hangul words go through the morphological split above (trailing
+    * punctuation emitted separately, pynori's
+    * `discard_punctuation=False`); everything else keeps the original
+    * latin/digit bucketing unchanged. All built-in expressions — the
+    * whole analyzer stays inside whole-stage codegen.
     */
   val tokenizeExpr: String =
-    """transform(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '),
-       t -> struct(
-         t AS term,
-         CASE WHEN t rlike '^[0-9]+$' THEN 'SN'
-              WHEN t rlike '^[a-z]+$' THEN 'NNG'
-              ELSE 'SY' END AS tag))"""
+    s"""flatten(transform(
+       transform(
+         filter(split(regexp_replace(trim(text), ' +', ' '), ' '), w -> w != ''),
+         w -> named_struct(
+           'w', w,
+           'base', regexp_replace(w, '[.,!?]+$$', ''),
+           'punct', regexp_extract(w, '([.,!?]+)$$', 1))),
+       p -> concat(
+         CASE WHEN p.base rlike '^[가-힣]+$$' THEN
+           flatten(transform(
+             array(try_element_at(
+               filter($allSfx, s ->
+                 endswith(p.base, s) AND length(p.base) > length(s)
+                 AND (NOT array_contains($eomiArr, s)
+                      OR array_contains($verbsArr,
+                           substring(p.base, 1, length(p.base) - length(s))))),
+               1)),
+             sfx -> CASE WHEN sfx IS NULL THEN
+                 array(named_struct('term', p.base, 'tag', 'NNG'))
+               ELSE array(
+                 named_struct(
+                   'term', substring(p.base, 1, length(p.base) - length(sfx)),
+                   'tag', IF(array_contains($verbsArr,
+                       substring(p.base, 1, length(p.base) - length(sfx))),
+                     'VV', 'NNG')),
+                 named_struct('term', sfx, 'tag',
+                   CASE WHEN array_contains($eomiArr, sfx) THEN 'E'
+                        WHEN sfx IN ('는', '은') THEN
+                          IF(array_contains($verbsArr,
+                               substring(p.base, 1, length(p.base) - length(sfx))),
+                             'E', 'J')
+                        ELSE 'J' END))
+               END))
+         ELSE array(named_struct('term', lower(p.w), 'tag',
+           CASE WHEN lower(p.w) rlike '^[0-9]+$$' THEN 'SN'
+                WHEN lower(p.w) rlike '^[a-z]+$$' THEN 'NNG'
+                ELSE 'SY' END))
+         END,
+         IF(p.base rlike '^[가-힣]+$$' AND p.punct != '',
+            array(named_struct('term', p.punct, 'tag', 'SF')),
+            CAST(array() AS array<struct<term:string,tag:string>>)))))"""
 
   def tokenize(df: DataFrame): DataFrame =
     df.withColumn("tokens", expr(tokenizeExpr))

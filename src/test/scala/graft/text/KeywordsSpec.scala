@@ -16,6 +16,42 @@ class KeywordsSpec extends SparkSpec {
     assert(toks.toSeq == Seq(("spark", "NNG"), ("30", "SN"), ("rows!", "SY")))
   }
 
+  test("golden: reference pynori sample sentence segments to the same term stream") {
+    val s = spark
+    import s.implicits._
+    // The reference's analyzer smoke test (`pynori_test.py:22-28`) runs
+    // KoreanAnalyzer(decompound_mode='NONE', discard_punctuation=False)
+    // over this sentence and prints zip(termAtt, posTagAtt). This
+    // fixture is that output; the engine must reproduce the TERM stream
+    // exactly and the tags at the documented coarse-bucket granularity
+    // (NNG=nominal, VV=verbal incl. VA/VX, J=josa, E=eomi, SF=punct —
+    // finer nori distinctions need the unavailable dictionary).
+    val pynoriFixture = Seq(
+      ("업무", "NNG"), ("를", "JKO"),
+      ("미루", "VV"), ("지", "EC"),
+      ("않", "VX"), ("고", "EC"),
+      ("매사", "NNG"), ("에", "JKB"),
+      ("최선", "NNG"), ("을", "JKO"),
+      ("다하", "VV"), ("는", "ETM"),
+      ("모습", "NNG"),
+      ("보", "VV"), ("기", "ETN"),
+      ("좋", "VA"), ("습니다", "EF"),
+      (".", "SF"))
+    def bucket(noriTag: String): String = noriTag match {
+      case t if t.startsWith("N") => "NNG"
+      case t if t.startsWith("V") => "VV"
+      case t if t.startsWith("J") => "J"
+      case t if t.startsWith("E") => "E"
+      case _                      => "SF"
+    }
+    val sample = "업무를 미루지 않고 매사에 최선을 다하는 모습 보기 좋습니다."
+    val toks = Keywords.tokenize(Seq(sample).toDF("text"))
+      .select(explode(col("tokens")).as("t"))
+      .select("t.term", "t.tag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(toks == pynoriFixture.map { case (term, tag) => (term, bucket(tag)) })
+  }
+
   test("CountVectorizer TF vectors match the sparse token counts") {
     val tf = Keywords.tfVectors(spark, sfDir)
     val row = tf.filter(col("doc_id") === 0).collect()(0)
