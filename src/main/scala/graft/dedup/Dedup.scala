@@ -371,7 +371,20 @@ object Dedup {
     * on `src` so every round's propagation join reuses that exchange
     * instead of re-shuffling the (larger) edge side.
     */
-  def components(pairs: DataFrame): DataFrame = {
+  def components(pairs: DataFrame, durable: Boolean = false): DataFrame = {
+    // Lineage truncation seam: `localCheckpoint` keeps round state in
+    // executor storage — fastest locally, but on a real cluster one
+    // lost executor mid-loop discards every completed round (local
+    // checkpoint blocks are unrecoverable). `durable = true` routes
+    // the same truncation through a reliable `checkpoint()` to the
+    // session's cluster-FS checkpoint dir, making round state survive
+    // executor loss at the cost of one FS write per round — the right
+    // trade at 100 TB where a components loop is hours, not seconds.
+    val sc = pairs.sparkSession.sparkContext
+    require(!durable || sc.getCheckpointDir.isDefined,
+      "durable components needs spark.sparkContext.setCheckpointDir (cluster FS)")
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(false) else df.localCheckpoint(false)
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -380,12 +393,12 @@ object Dedup {
     // seed with round one's result directly: from identity labels the
     // first propagation yields min(node, min(neighbors)) — one
     // aggregate instead of a join + union + aggregate cycle.
-    // localCheckpoint is LAZY: the convergence-sum action materializes
-    // it, so each round runs ONE job (an eager checkpoint + separate
-    // sum ran two), while still truncating the loop lineage.
-    var labels = sym.groupBy(col("src").as("node"))
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint(false)
+    // checkpoints are LAZY (eager=false): the convergence-sum action
+    // materializes them, so each round runs ONE job (an eager
+    // checkpoint + separate sum ran two), while still truncating the
+    // loop lineage.
+    var labels = truncate(sym.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
@@ -393,9 +406,8 @@ object Dedup {
     while (!converged) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(false)
+      val next = truncate(labels.union(prop)
+        .groupBy("node").agg(min("label").as("label")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

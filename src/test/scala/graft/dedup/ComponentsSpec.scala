@@ -24,6 +24,31 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("durable (cluster-FS checkpoint) path yields identical labels") {
+    // the durable seam must change WHERE round state lives (reliable
+    // checkpoint dir, survives executor loss), never the labels
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L), (10L, 12L),
+        (20L, 21L),
+      ).toDF("doc_a", "doc_b")
+      val local = Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val durable = Dedup.components(pairs, durable = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(durable == local)
+      // round state actually landed in the reliable checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
+
   test("d8 components are consistent with d3 pairs: endpoints share a component") {
     val pairs = Dedup.d3LshPairs(spark, sfDir)
     val comp = Dedup.components(pairs)
