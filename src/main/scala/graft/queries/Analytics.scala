@@ -67,20 +67,44 @@ object Analytics {
     * instead). `levenshtein` is the standard DP edit distance in both
     * engines.
     */
+  /** Candidate ordered name pairs for [[q36FuzzyPairs]], blocked by
+    * length band — the d13-style bounded candidate generator for edit
+    * distance. Two names within levenshtein distance 4 differ in
+    * length by ≤ 4, so with bands 5 chars wide (threshold + 1) a
+    * qualifying pair never spans more than adjacent bands: the left
+    * side probes its own and both neighbor bands, the right side
+    * keeps its own, and each eligible ordered pair meets on exactly
+    * one key (the right name's band). DP invocations are bounded by
+    * Σ_band |band|·|3 adjacent bands| — occupancy of the length
+    * histogram, never vocab² — the same block-size-not-corpus bound
+    * d7's df cap and d13's rarity prefix give the shingle joins.
+    */
+  private[graft] def q36NamePairs(names: DataFrame): DataFrame = {
+    val n = names.withColumn("len", length(col("p_name")))
+    val left = n.select(col("p_name").as("na"), col("len").as("la"),
+      explode(expr(
+        "array(len div 5 - 1, len div 5, len div 5 + 1)")).as("band"))
+    val right = n.select(col("p_name").as("nb"), col("len").as("lb"),
+      expr("len div 5").as("band"))
+    left.join(right, "band")
+      .filter(abs(col("la") - col("lb")) <= 4)
+      .select("na", "nb")
+  }
+
   val q36FuzzyPairs: Q = (s, dir) => {
     val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_name")
     // The string vocabulary is tiny relative to the table (64 distinct
     // names across 20k parts at sf0.1), so the edit-distance DP runs
-    // vocab² times — NOT row-pair times — and the row-level work is
-    // two hash joins proportional to the OUTPUT size. The banded
-    // 3-arg levenshtein stops at the threshold (O(k·n) per pair);
-    // `dist >= 0` keeps exactly the pairs within it. The name-pair
-    // table keeps both orders + self-pairs because part pairs order
-    // on partkey, not on name.
+    // over candidate name pairs — NOT row pairs — and the row-level
+    // work is two hash joins proportional to the OUTPUT size.
+    // Candidates come length-band-blocked from [[q36NamePairs]]; the
+    // banded 3-arg levenshtein stops at the threshold (O(k·n) per
+    // pair); `dist >= 0` keeps exactly the pairs within it. The
+    // name-pair table keeps both orders + self-pairs because part
+    // pairs order on partkey, not on name.
     val names = p.select("p_name").distinct()
-    val np = names.select(col("p_name").as("na"))
-      .join(names.select(col("p_name").as("nb")),
-        levenshtein(col("na"), col("nb"), 4) >= 0)
+    val np = q36NamePairs(names)
+      .filter(levenshtein(col("na"), col("nb"), 4) >= 0)
       .withColumn("dist", levenshtein(col("na"), col("nb")))
     p.as("a")
       .join(broadcast(np), col("a.p_name") === col("na"))

@@ -34,6 +34,30 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q36 candidate generator is length-banded: complete for the threshold, bounded below vocab²") {
+    val s = spark
+    import s.implicits._
+    // synthetic large vocab with a spread length histogram: 60 lengths
+    // × 20 names each = 1200 names, 1.44M unblocked ordered pairs
+    val names = (0 until 1200)
+      .map(i => "x" * (5 + i % 60) + f"-${i}%04d").toDF("p_name")
+    val cand = Analytics.q36NamePairs(names).cache()
+    val n = cand.count()
+    // completeness: exactly the ordered pairs with |Δlen| <= 4 —
+    // nothing eligible for distance ≤ 4 is lost, nothing else kept
+    val withLen = names.select(col("p_name"), length(col("p_name")).as("l"))
+    val eligible = withLen.as("a").join(withLen.as("b"),
+      abs(col("a.l") - col("b.l")) <= 4).count()
+    assert(n == eligible)
+    // boundedness: ≤ vocab × (names in 3 adjacent 5-wide bands),
+    // far below the 1200² unblocked cross
+    val vocab = 1200L
+    val maxBand3 = 3 * 5 * 20L // 3 bands × 5 lengths × 20 names/length
+    assert(n <= vocab * maxBand3)
+    assert(n < vocab * vocab / 4)
+    cand.unpersist()
+  }
+
   test("q37 gap fill conserves event counts and actually fills gaps") {
     val out = Analytics.q37GapFill(spark, sfDir).cache()
     val total = out.agg(sum("n")).collect()(0).getLong(0)
