@@ -41,6 +41,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == staged)
   }
 
+  test("kill-mid-batch: view merged but checkpoint uncommitted replays as a no-op") {
+    // THE exactly-once crash window: the foreachBatch body completes
+    // (view data + ledger swapped in atomically by AggView) but the
+    // query dies before Structured Streaming commits the batch to its
+    // checkpoint. On restart the source replays the SAME batch id over
+    // the SAME offset range; the co-committed ledger must turn that
+    // replay into a no-op or the view double-counts.
+    val s = spark
+    import s.implicits._
+    val base = tmpDir("crash")
+    val in = s"$base/in"; val view = s"$base/view"; val ckpt = s"$base/ckpt"
+    Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").json(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = s.readStream.schema(schema).json(in)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.io.AggView.mergeBatch(s, view, id, df,
+          Seq("k"), Seq("total" -> sum(col("v")))): Unit
+        if (crash.get)
+          throw new RuntimeException("injected crash: after view swap, before checkpoint commit")
+      }
+      .start()
+
+    intercept[Exception] { val q1 = start(); q1.awaitTermination() }
+    // the batch DID apply - data and ledger moved together pre-crash
+    def totals = graft.io.AggView.read(s, view).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == Map("a" -> 3L, "b" -> 5L))
+    assert(graft.io.AggView.ledger(s, view) == Set("batch=0"))
+
+    // restart: batch 0 replays over the same offsets and must no-op
+    crash.set(false)
+    val q2 = start(); q2.awaitTermination()
+    assert(totals == Map("a" -> 3L, "b" -> 5L))
+    assert(graft.io.AggView.ledger(s, view) == Set("batch=0"))
+
+    // new data after recovery still flows: the ledger gates batch ids,
+    // not progress
+    Seq(("b", 7L)).toDF("k", "v").coalesce(1).write.mode("append").json(in)
+    val q3 = start(); q3.awaitTermination()
+    assert(totals == Map("a" -> 3L, "b" -> 12L))
+  }
+
   test("windowed counts with watermark aggregate per hour and type") {
     val events = graft.core.Tables.load(spark, sfDir, "events")
     val agg = ExactlyOnce.windowedCounts(events)
