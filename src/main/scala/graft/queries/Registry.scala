@@ -179,7 +179,8 @@ object Registry {
     graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
     graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
     graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
-    graft.search.SearchDsl.queries ++ graft.io.Scd2.queries ++
+    graft.search.SearchDsl.queries ++ graft.search.QueryIntents.queries ++
+    graft.io.Scd2.queries ++
     graft.functions.CountMin.queries ++ graft.quality.Checks.queries ++
     Analytics.queries ++ Relational.queries ++ Tpch.queries ++
     graft.graph.Graph.queries
@@ -196,7 +197,8 @@ object Registry {
     graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
     graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
     graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
-    graft.search.SearchDsl.oracleSql ++ graft.io.Scd2.oracleSql ++
+    graft.search.SearchDsl.oracleSql ++ graft.search.QueryIntents.oracleSql ++
+    graft.io.Scd2.oracleSql ++
     graft.functions.CountMin.oracleSql ++ graft.quality.Checks.oracleSql ++
     Analytics.oracleSql ++ Relational.oracleSql ++ Tpch.oracleSql ++
     graft.graph.Graph.oracleSql
