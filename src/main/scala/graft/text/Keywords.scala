@@ -227,6 +227,80 @@ object Keywords {
     JOIN norms nb ON doc_b = nb.doc_id
     WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.8"""
 
+  /** k6 — k2's declared 100 TB path: tf-cosine over df-CAPPED vectors
+    * (the d7 knob applied to cosine). k2 is exact but intrinsically
+    * pairwise: with a fixed number of sources, docs-per-source grows
+    * with the corpus and the shared-term self-join grows ~block² —
+    * measured exponent 1.65 in shuffle bytes vs corpus rows
+    * (scale_probe.json, sf0.01→sf0.1). Capping within-source document
+    * frequency at [[K6DfCap]] bounds the join: each (source, term) key
+    * yields ≤ cap² pairs, so total candidates are O(vocab·cap²) —
+    * linear in corpus growth. The similarity becomes the TRUE cosine
+    * of the truncated vectors (norms computed over the same capped
+    * term space, df=1 singletons included; dots over 2 ≤ df ≤ cap), so
+    * the computation stays deterministic and the DuckDB oracle
+    * hash-matches it exactly — approximate vs k2, exact vs its own
+    * definition. High-df terms are boilerplate by construction; for
+    * near-dup detection dropping them loses little signal (same
+    * argument as d7's stop-shingles).
+    */
+  val K6DfCap = 20
+
+  val k6TfCosineCapped: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("term"))
+    val tf = toks.groupBy("source", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    // persisted: norms and both self-join sides read the capped frame
+    val capped = tf.withColumn("ndocs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "term")))
+      .filter(col("ndocs") <= K6DfCap)
+      .persist()
+    val norms = capped.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val shared = capped.filter(col("ndocs") >= 2)
+      .select("source", "doc_id", "term", "tf")
+    val dots = shared.as("x")
+      .join(shared.as("y"),
+        col("x.source") === col("y.source") && col("x.term") === col("y.term") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+    dots
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .withColumn("cos_sim",
+        col("dot").cast("double") / sqrt(col("na.n2").cast("double") * col("nb.n2").cast("double")))
+      .filter(col("cos_sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("cos_sim"))
+  }
+
+  val k6TfCosineCappedSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT source, doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+    capped AS (
+      SELECT * FROM (
+        SELECT source, doc_id, term, tf,
+               count(*) OVER (PARTITION BY source, term) AS ndocs
+        FROM tf)
+      WHERE ndocs <= $K6DfCap),
+    norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM capped GROUP BY 1),
+    dots AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, sum(x.tf * y.tf) AS dot
+      FROM capped x JOIN capped y
+        ON x.source = y.source AND x.term = y.term AND x.doc_id < y.doc_id
+      WHERE x.ndocs >= 2 AND y.ndocs >= 2
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cos_sim
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) >= 0.8"""
+
   /** T2 via spark.ml — `CountVectorizer` fit over the token column
     * (`Keyword.py:25`), yielding sparse TF vectors sized to the corpus
     * vocabulary. The sparse explode+count path (k1/k2) is the
@@ -397,6 +471,7 @@ object Keywords {
     "k4_tfidf" -> k4Tfidf,
     "k1_top_keywords"    -> k1TopKeywords,
     "k2_tf_cosine_pairs" -> k2TfCosinePairs,
+    "k6_tf_cosine_capped" -> k6TfCosineCapped,
     "k3_kywr_contract"   -> k3KywrContract,
   )
 
@@ -405,6 +480,7 @@ object Keywords {
     "k4_tfidf"           -> k4TfidfSql,
     "k1_top_keywords"    -> k1TopKeywordsSql,
     "k2_tf_cosine_pairs" -> k2TfCosinePairsSql,
+    "k6_tf_cosine_capped" -> k6TfCosineCappedSql,
     "k3_kywr_contract"   -> k3KywrContractSql,
   )
 }

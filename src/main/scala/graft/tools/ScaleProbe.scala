@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.QueryMetrics
+
+/** The 100×-question answered by measurement: run the quadratic-risk
+  * queries at two scale factors, record shuffle volume via
+  * [[QueryMetrics]], and report the growth exponent relative to input
+  * rows. A blocked/pruned plan shows ~linear shuffle growth; a
+  * candidate generator that secretly scales with block² shows up here
+  * long before it shows up as a 100 TB incident.
+  *
+  * Usage: `run_class.sh graft.tools.ScaleProbe <sfDirSmall> <sfDirBig> [names...]`
+  * (defaults to the quadratic-risk family). Prints one JSON line and
+  * mirrors it to /root/repo/scale_probe.json.
+  */
+object ScaleProbe {
+
+  private val DefaultSuspects = Seq(
+    "q36_fuzzy_pairs", "k2_tf_cosine_pairs", "k5_pmi_collocations",
+    "c3_decontaminate", "d5_ngram_jaccard")
+
+  /** Primary input table per query — the denominator of the growth rate. */
+  private val inputTable = Map(
+    "q36_fuzzy_pairs" -> "part").withDefaultValue("documents")
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val big   = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val names = if (args.length > 2) args.drop(2).toSeq else DefaultSuspects
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val report = names.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def run(dir: String): (Long, Long) = shuffleBytes(spark) {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      } -> spark.read.parquet(s"$dir/${inputTable(name)}.parquet").count()
+      val (bSmall, rowsSmall) = run(small)
+      val (bBig, rowsBig)     = run(big)
+      val rowRatio = rowsBig.toDouble / rowsSmall
+      val shufRatio = if (bSmall == 0) 0.0 else bBig.toDouble / bSmall
+      // growth exponent: shuffle ~ rows^e  =>  e = log(shufRatio)/log(rowRatio)
+      val e = if (bSmall == 0 || shufRatio <= 0) 0.0
+              else math.log(shufRatio) / math.log(rowRatio)
+      name -> (bSmall, bBig, rowRatio, shufRatio, e)
+    }
+
+    val body = report.map { case (n, (bs, bb, rr, sr, e)) =>
+      f""""$n":{"bytes_small":$bs,"bytes_big":$bb,"row_ratio":$rr%.1f,"shuffle_ratio":$sr%.2f,"exponent":$e%.2f}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"small":"$small","big":"$big","queries":$body}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/scale_probe.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case _: Throwable => () }
+    spark.stop()
+    println(line)
+  }
+
+  /** Run `action` under a fresh listener; return total shuffle bytes.
+    * A query with internal persists emits SEVERAL records (one per
+    * materializing action) on the async execution-listener bus, so
+    * wait for the bus to go quiet, not just for the first arrival.
+    */
+  def shuffleBytes(spark: SparkSession)(action: => Unit): Long = {
+    val l = QueryMetrics.attach(spark)
+    try {
+      val before = l.snapshot.size
+      action
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      while ({
+        val n = l.snapshot.size
+        val grew = n != last || n == before
+        last = n
+        grew && System.nanoTime() < deadline
+      }) Thread.sleep(300)
+      l.snapshot.drop(before).map(_.shuffleBytes).sum
+    } finally QueryMetrics.detach(spark, l)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** The 100×-question answered by measurement instead of plan-reading:
+  * shuffle volume of the quadratic-risk production paths must grow
+  * ≤ linearly in input rows across a real 10× scale step
+  * (sf0.01 → sf0.1 — the largest driver-provided TESTDATA).
+  *
+  * d5 and k2 are intentionally absent: they are the DECLARED exact
+  * pairwise baselines (recall denominators / oracle anchors) whose
+  * blocked production paths are d7 and k6 — those are pinned here.
+  * q36's vocabulary matrix is covered by its own bounded-candidates
+  * spec (AnalyticsSpec).
+  */
+class ScaleLinearitySpec extends SparkSpec {
+
+  private val Small = "/root/testdata/sf0.01"
+  private val Big   = "/root/testdata/sf0.1"
+  private val RowRatio = 10.0
+  // linear + measurement slack: 10^1.25 ≈ 17.8× allowed vs the
+  // unblocked quadratic paths' measured 22-44×
+  private val MaxExponent = 1.25
+
+  private val productionPaths = Seq(
+    "c3_decontaminate", "k5_pmi_collocations",
+    "d7_jaccard_prefiltered", "k6_tf_cosine_capped")
+
+  test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
+    val fails = productionPaths.flatMap { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def bytes(dir: String): Long = ScaleProbe.shuffleBytes(spark) {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      val bSmall = bytes(Small)
+      val bBig = bytes(Big)
+      assert(bSmall > 0, s"$name recorded no shuffle at $Small — probe broken?")
+      val e = math.log(bBig.toDouble / bSmall) / math.log(RowRatio)
+      if (e > MaxExponent)
+        Some(f"$name: $bSmall -> $bBig bytes, exponent $e%.2f > $MaxExponent")
+      else None
+    }
+    assert(fails.isEmpty, fails.mkString("; "))
+  }
+}
