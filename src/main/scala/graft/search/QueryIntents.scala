@@ -37,6 +37,9 @@ object QueryIntents {
   case object DateField   extends FieldType
   /** Reference `속성:array` — multi-valued keyword fields. */
   case object ArrayField  extends FieldType
+  /** Reference `속성:nested` — array-of-struct sub-documents
+    * (`nested_duty`/`nested_trin`, `openai_elasticsearch.py:47-54`). */
+  case object NestedField extends FieldType
 
   /** One taxonomy row (`{이름:…, 필드명:…, 속성:…}`). */
   final case class Field(display: String, name: String, tpe: FieldType)
@@ -80,6 +83,10 @@ object QueryIntents {
   final case class HasField(field: String) extends Intent
   /** Negation → the bool `must_not` clause. */
   final case class Not(intent: Intent) extends Intent
+  /** Sub-document match on a NestedField → the `nested` node with the
+    * reference's `{"path", "query"}` format (`:89-90`); matches when
+    * ANY sub-document satisfies all inner intents. */
+  final case class Nested(path: String, inner: Seq[Intent]) extends Intent
 
   private val mapper = new ObjectMapper()
 
@@ -124,6 +131,20 @@ object QueryIntents {
       lt.foreach(putValue(bounds, "lt", _))
     case HasField(f) =>
       arr.addObject().putObject("exists").put("field", tax.resolve(f).name): Unit
+    case Nested(path, inner) =>
+      val fld = tax.resolve(path)
+      require(fld.tpe == NestedField,
+        s"nested needs a nested field, got ${fld.tpe} for '$path'")
+      val o = arr.addObject().putObject("nested")
+      o.put("path", fld.name)
+      val bool = o.putObject("query").putObject("bool")
+      val must = bool.putArray("must")
+      val mustNot = bool.putArray("must_not")
+      inner.foreach {
+        case Not(i) => appendIntent(tax, mustNot, i)
+        case i      => appendIntent(tax, must, i)
+      }
+      if (mustNot.isEmpty) bool.remove("must_not"): Unit
     case Not(_) =>
       throw new IllegalArgumentException("nested Not is not in the reference grammar")
   }
@@ -188,8 +209,56 @@ object QueryIntents {
       AND user_id IS NOT NULL
       AND NOT event_type IN ('error')"""
 
+  // =========================================================================
+  // q78 — nested sub-document retrieval through the whole chain
+  // =========================================================================
+
+  /** Taxonomy for the per-customer document with its orders as nested
+    * sub-documents — the `nested_duty`-style shape (`:47-50`).
+    */
+  val customerOrdersTaxonomy: Taxonomy = Taxonomy(Seq(
+    Field("order history", "nested_orders", NestedField),
+    Field("order status",  "status",        StringField),
+    Field("order price",   "price",         NumberField)))
+
+  /** q78 — the full ES-parity chain for nested documents: assemble
+    * array<struct> sub-documents per customer (the J2/A5 document
+    * model), express "customers with a finished order ≥ 400k" as a
+    * [[Nested]] intent, compile to the reference's `{"path","query"}`
+    * nested node, and execute via [[SearchDsl]]'s `exists`
+    * higher-order function — per-row lambda over the array, no
+    * explode, no join. The oracle answers the same question from the
+    * FLAT orders table (`bool_or` under GROUP BY), so the hash gate
+    * proves nested-document semantics against first principles,
+    * q69-style.
+    */
+  val q78NestedQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    val nested = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        struct(col("o_orderkey").as("okey"),
+               col("o_orderstatus").as("status"),
+               col("o_totalprice").as("price")).as("o"))
+      .groupBy("o_custkey")
+      .agg(collect_list(col("o")).as("nested_orders"))
+    val dsl = toDsl(customerOrdersTaxonomy, Seq(
+      Nested("order history", Seq(
+        Equals("order status", "F"),
+        InRange("order price", gte = Some(400000.0))))))
+    nested.filter(SearchDsl.compile(dsl))
+      .select(col("o_custkey"),
+        size(col("nested_orders")).cast("long").as("n_orders"))
+  }
+
+  val q78NestedQuerySql: String = """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING bool_or(o_orderstatus = 'F' AND o_totalprice >= 400000.0)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q77_intent_query" -> q77IntentQuery)
+    Map("q77_intent_query" -> q77IntentQuery,
+        "q78_nested_query" -> q78NestedQuery)
   val oracleSql: Map[String, String] =
-    Map("q77_intent_query" -> q77IntentQuerySql)
+    Map("q77_intent_query" -> q77IntentQuerySql,
+        "q78_nested_query" -> q78NestedQuerySql)
 }

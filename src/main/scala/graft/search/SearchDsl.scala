@@ -28,6 +28,8 @@ import graft.core.Tables
   *  - `{"query_string": {"query": q, "fields": [f1, f2]}}`  any-field contains
   *  - `{"range": {field: {"gte"/"gt"/"lte"/"lt": v}}}`
   *  - `{"exists": {"field": f}}`         not null
+  *  - `{"nested": {"path": p, "query": {...}}}`  any sub-document of the
+  *                                       array<struct> column matches
   *  - `{"bool": {"must": [...], "must_not": [...], "should": [...],
   *               "filter": [...]}}`      and / and-not / or / and
   *
@@ -45,10 +47,15 @@ object SearchDsl {
     */
   def compile(json: String): Column = {
     val root = mapper.readTree(json)
-    compileNode(if (root.has("query")) root.get("query") else root)
+    compileNode(if (root.has("query")) root.get("query") else root, col)
   }
 
-  private def compileNode(n: JsonNode): Column = {
+  /** Field references resolve through `fld` so the same node compiler
+    * serves top-level queries (plain `col`) and nested sub-queries
+    * (struct-field access on the higher-order-function lambda
+    * variable).
+    */
+  private def compileNode(n: JsonNode, fld: String => Column): Column = {
     require(n != null && n.isObject && n.size() == 1,
       s"query node must have exactly one key: $n")
     val op = n.fieldNames().next()
@@ -56,36 +63,50 @@ object SearchDsl {
     op match {
       case "term" =>
         val f = body.fieldNames().next()
-        col(f) === literal(body.get(f))
+        fld(f) === literal(body.get(f))
       case "terms" =>
         val f = body.fieldNames().next()
         val vs = jsonArray(body.get(f)).map(literal)
-        col(f).isin(vs: _*)
+        fld(f).isin(vs: _*)
       case "match" =>
         val f = body.fieldNames().next()
-        col(f).contains(literal(body.get(f)))
+        fld(f).contains(literal(body.get(f)))
       case "query_string" =>
         val q = body.get("query").asText()
         val fields = jsonArray(body.get("fields")).map(_.asText())
         require(fields.nonEmpty, "query_string needs fields")
-        fields.map(f => col(f).contains(lit(q))).reduce(_ || _)
+        fields.map(f => fld(f).contains(lit(q))).reduce(_ || _)
       case "range" =>
         val f = body.fieldNames().next()
         val bounds = body.get(f)
         val conds = Seq(
-          Option(bounds.get("gte")).map(v => col(f) >= literal(v)),
-          Option(bounds.get("gt")).map(v => col(f) > literal(v)),
-          Option(bounds.get("lte")).map(v => col(f) <= literal(v)),
-          Option(bounds.get("lt")).map(v => col(f) < literal(v)),
+          Option(bounds.get("gte")).map(v => fld(f) >= literal(v)),
+          Option(bounds.get("gt")).map(v => fld(f) > literal(v)),
+          Option(bounds.get("lte")).map(v => fld(f) <= literal(v)),
+          Option(bounds.get("lt")).map(v => fld(f) < literal(v)),
         ).flatten
         require(conds.nonEmpty, s"empty range for $f")
         conds.reduce(_ && _)
       case "exists" =>
-        col(body.get("field").asText()).isNotNull
+        fld(body.get("field").asText()).isNotNull
+      case "nested" =>
+        // ES nested query (`openai_elasticsearch.py:89-90`: "type:nested
+        // is use format {path, query}"): matches a row when ANY element
+        // of the array<struct> column at `path` satisfies the inner
+        // query. Compiles to the `exists` higher-order function — a
+        // per-row lambda over the array, no explode, no join, stays in
+        // codegen. Inner field names may be path-prefixed (ES style
+        // `path.field`) or bare.
+        val path = body.get("path").asText()
+        val inner = body.get("query")
+        require(inner != null, s"nested query for '$path' needs a query")
+        exists(fld(path), x =>
+          compileNode(inner, f => x.getField(
+            if (f.startsWith(path + ".")) f.substring(path.length + 1) else f)))
       case "bool" =>
-        val must = clause(body, "must") ++ clause(body, "filter")
-        val mustNot = clause(body, "must_not").map(!_)
-        val should = clause(body, "should")
+        val must = clause(body, "must", fld) ++ clause(body, "filter", fld)
+        val mustNot = clause(body, "must_not", fld).map(!_)
+        val should = clause(body, "should", fld)
         val parts = (must ++ mustNot) ++
           (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil)
         require(parts.nonEmpty, "empty bool query")
@@ -95,11 +116,12 @@ object SearchDsl {
     }
   }
 
-  private def clause(body: JsonNode, name: String): Seq[Column] = {
+  private def clause(body: JsonNode, name: String,
+                     fld: String => Column): Seq[Column] = {
     val node = body.get(name)
     if (node == null) Nil
-    else if (node.isArray) jsonArray(node).map(compileNode)
-    else Seq(compileNode(node))
+    else if (node.isArray) jsonArray(node).map(compileNode(_, fld))
+    else Seq(compileNode(node, fld))
   }
 
   private def jsonArray(n: JsonNode): Seq[JsonNode] =

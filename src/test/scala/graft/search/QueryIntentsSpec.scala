@@ -40,6 +40,34 @@ class QueryIntentsSpec extends SparkSpec {
     }
   }
 
+  test("nested intent compiles to the {path, query} node and matches per sub-document") {
+    val s = spark
+    import s.implicits._
+    val dsl = toDsl(customerOrdersTaxonomy, Seq(
+      Nested("order history", Seq(
+        Equals("order status", "F"),
+        InRange("order price", gte = Some(100.0))))))
+    // the reference's nested format rule (`openai_elasticsearch.py:89-90`)
+    assert(dsl.contains(""""nested":{"path":"nested_orders","query":{"bool":"""))
+    // semantics: BOTH inner conditions must hold on the SAME
+    // sub-document — the thing a flattened AND would get wrong
+    val docs = Seq(
+      (1L, Seq(("F", 50.0), ("O", 500.0))),  // F but cheap; pricey but O -> no
+      (2L, Seq(("F", 150.0))),               // one sub-doc satisfies both -> yes
+      (3L, Seq.empty[(String, Double)]))     // no sub-docs -> no
+      .toDF("cust", "raw")
+      .select(col("cust"), expr(
+        "transform(raw, r -> named_struct('okey', 0L, 'status', r._1, 'price', r._2))")
+        .as("nested_orders"))
+    val hits = docs.filter(SearchDsl.compile(dsl)).select("cust")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(2L))
+    // type discipline: nesting on a non-nested field is rejected
+    intercept[IllegalArgumentException] {
+      toDsl(customerOrdersTaxonomy, Seq(Nested("order status", Seq.empty)))
+    }
+  }
+
   test("returnQuery template: FreeText compiles to query_string over resolved fields") {
     val dsl = toDsl(eventsTaxonomy,
       Seq(FreeText("refund", Seq("event type", "properties"))))
