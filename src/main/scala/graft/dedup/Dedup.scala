@@ -136,17 +136,21 @@ object Dedup {
     * buckets are tiny relative to the corpus, so the self-join inside a
     * bucket is bounded — the whole point of banding at scale.
     */
-  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_hash) — the LSH bucket keys. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       md5(concat_ws("|", (0 until BandSize).map(r => col(mhCol(b * BandSize + r))): _*))
     }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
     // persist: both sides of the self-join read the same tiny
     // (doc, band) frame instead of recomputing the shingle+hash
     // pipeline twice (cache-manager dedupes identical plans, so
     // repeated invocations share one entry)
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-      .persist()
+    val bands = bandsOf(sig).persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -776,7 +780,66 @@ object Dedup {
       SELECT doc_a, doc_b, 'prefix' AS family FROM ($d13PrefixJoinSql))
     GROUP BY doc_a, doc_b"""
 
+  // =========================================================================
+  // d15 — incremental dedup: new batch vs the standing corpus
+  // =========================================================================
+
+  /** The shape a production ingest actually runs daily: dedup ONLY the
+    * arriving batch against the standing corpus, never re-pairing the
+    * corpus with itself. The new slice's band keys equi-join the
+    * corpus's band index — work per batch is O(|batch| + matched
+    * buckets), independent of corpus size once the corpus bands are a
+    * standing table partitioned on `band_hash` (here both sides derive
+    * from one in-query band frame; the seam is the same join). Every
+    * new doc is reported, matched or not, with its corpus-candidate
+    * count — the downstream gate (verify-then-drop, d11-style) needs
+    * the misses too.
+    *
+    * The batch is the deterministic `doc_id % 10 = 7` slice so the
+    * DuckDB oracle can reproduce the split exactly.
+    */
+  val d15IncrementalDedup: Q = (s, dir) => {
+    // persisted: the new-side and corpus-side filters both read it
+    val bands = bandsOf(signatures(s, dir)).persist()
+    val hits = bands.filter(col("doc_id") % 10 === 7).as("n")
+      .join(bands.filter(col("doc_id") % 10 =!= 7).as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+        col("n.band_hash") === col("c.band_hash"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(countDistinct(col("c.doc_id")).as("n_corpus_matches"))
+    Tables.loadParallel(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 7)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
+  val d15IncrementalDedupSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => s"CAST(${mhCol(b * BandSize + r)} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH $signatureCte,
+    bands AS (
+      $bandSelects),
+    hits AS (
+      SELECT n.doc_id AS doc_id,
+             CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_matches
+      FROM bands n JOIN bands c
+        ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+      WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+      GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(h.n_corpus_matches, CAST(0 AS BIGINT)) AS n_corpus_matches,
+           coalesce(h.n_corpus_matches, CAST(0 AS BIGINT)) > 0 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+    LEFT JOIN hits h USING (doc_id)"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "d15_incremental_dedup" -> d15IncrementalDedup,
     "d14_family_agreement" -> d14FamilyAgreement,
     "d13_prefix_join"      -> d13PrefixJoin,
     "d12_chunk_dedup"      -> d12ChunkDedup,
@@ -794,6 +857,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d15_incremental_dedup" -> d15IncrementalDedupSql,
     "d14_family_agreement" -> d14FamilyAgreementSql,
     "d13_prefix_join"      -> d13PrefixJoinSql,
     "d12_chunk_dedup"      -> d12ChunkDedupSql,

@@ -62,6 +62,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the win is reading LESS: when one join side is
+    // selectively filtered, Spark can inject a bloom filter of its
+    // join keys into the other side's scan so non-matching rows die
+    // at the source instead of crossing the shuffle. Thresholds are
+    // scaled down to fixture size; the rule under test
+    // (InjectRuntimeFilter) is the one production runs.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = graft.core.Tables.load(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom filter on the probe side:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("q67 global top-20 plans as TakeOrderedAndProject, not a full sort") {
     val plan = physicalPlan("q67_returned_revenue")
     assert(plan.contains("TakeOrderedAndProject"), plan)
