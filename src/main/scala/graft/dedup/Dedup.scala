@@ -183,15 +183,18 @@ object Dedup {
   /** Majority vote per bit over the token hash stream; token repeats
     * weight the vote, as in the original SimHash. Per-row map stage.
     */
-  val d4Simhash: Q = (s, dir) => {
+  private[graft] def simhashOf(shingled: DataFrame): DataFrame = {
     val bitSum = (0 until 32).map { b =>
       s"(case when 2*size(filter(hs, h -> shiftright(h, $b) % 2 = 1)) > size(hs) then ${1L << b} else 0 end)"
     }.mkString(" + ")
-    withShingles(Tables.loadParallel(s, dir, "documents"))
+    shingled
       .withColumn("hs",
         expr("transform(tokens, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"))
       .select(col("doc_id"), expr(s"cast($bitSum as bigint)").as("simhash"))
   }
+
+  val d4Simhash: Q = (s, dir) =>
+    simhashOf(withShingles(Tables.loadParallel(s, dir, "documents")))
 
   val d4SimhashSql: String = {
     val bitSum = (0 until 32).map { b =>
@@ -321,8 +324,8 @@ object Dedup {
     * rotations as alternate block keys). `bit_count(xor)` is a single
     * codegen'd instruction per pair.
     */
-  val d6SimhashHamming: Q = (s, dir) => {
-    val sh = d4Simhash(s, dir)
+  private[graft] def simhashPairsOf(simhash: DataFrame): DataFrame = {
+    val sh = simhash
       .withColumn("block", expr("shiftright(simhash, 16)"))
       .persist()
     sh.as("a")
@@ -334,6 +337,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("hamming"))
   }
+
+  val d6SimhashHamming: Q = (s, dir) => simhashPairsOf(d4Simhash(s, dir))
 
   val d6SimhashHammingSql: String = {
     val bitSum = (0 until 32).map { b =>
@@ -678,8 +683,8 @@ object Dedup {
     * prefix self-join on a low-df key, verification join on shingles
     * — every shuffle keyed, no quadratic corpus step.
     */
-  val d13PrefixJoin: Q = (s, dir) => {
-    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
+  private[graft] def prefixJoinOf(shingled: DataFrame): DataFrame = {
+    val docs = shingled
       .select(col("doc_id"), col("shingles"))
       .persist()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
@@ -709,6 +714,9 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
+
+  val d13PrefixJoin: Q = (s, dir) =>
+    prefixJoinOf(withShingles(Tables.loadParallel(s, dir, "documents")))
 
   val d13PrefixJoinSql: String = s"""
     WITH t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
@@ -755,11 +763,18 @@ object Dedup {
     * families themselves.
     */
   val d14FamilyAgreement: Q = (s, dir) => {
-    val lsh = d3LshPairs(s, dir)
+    // ONE corpus scan + tokenize + shingle feeds all three families —
+    // the tokenize/shingle map stage is the dominant shared prefix,
+    // and each family's own persists then cache only their narrow
+    // derivations of this frame
+    val shingled = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("tokens"), col("shingles"))
+      .persist()
+    val lsh = lshPairsOf(signaturesOf(shingled))
       .select(col("doc_a"), col("doc_b"), lit("lsh").as("family"))
-    val sim = d6SimhashHamming(s, dir)
+    val sim = simhashPairsOf(simhashOf(shingled))
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("family"))
-    val pfx = d13PrefixJoin(s, dir)
+    val pfx = prefixJoinOf(shingled)
       .select(col("doc_a"), col("doc_b"), lit("prefix").as("family"))
     lsh.unionByName(sim).unionByName(pfx)
       .groupBy("doc_a", "doc_b")
