@@ -690,12 +690,16 @@ object Dedup {
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
       .persist()
     val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    // the 2 rarest shingles per doc via the bounded-buffer aggregate
+    // (ObjectHashAggregate, ≤2 elements per doc per partition on the
+    // wire) — the window/row_number form sorts the whole doc×shingle
+    // stream to keep 2 rows per doc, a corpus-scale sort at 100 TB.
+    // Ordering (df asc, g asc) matches the window orderBy exactly.
+    val min2 = udaf(new graft.ops.MinKStrAggregator(2))
     val prefix = sh.join(df, "g")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .select(col("doc_id"), col("g"))
+      .groupBy("doc_id")
+      .agg(min2(col("df"), col("g")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

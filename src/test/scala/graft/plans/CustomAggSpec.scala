@@ -34,6 +34,29 @@ class CustomAggSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("MinKStrAggregator agrees with the window-function 2-rarest selection") {
+    val s = spark
+    import s.implicits._
+    // shingle-df-shaped fixture with rank ties that must break on the
+    // lexicographically smaller value, exactly like row_number over
+    // (df asc, g asc)
+    val rows = Seq(
+      (1L, 5L, "zeta"), (1L, 1L, "beta"), (1L, 1L, "alpha"), (1L, 2L, "gamma"),
+      (2L, 7L, "only"),
+      (3L, 3L, "b"), (3L, 3L, "a"), (3L, 3L, "c"))
+      .toDF("doc_id", "df", "g")
+    val min2 = udaf(new graft.ops.MinKStrAggregator(2))
+    val viaAgg = rows.groupBy("doc_id")
+      .agg(min2(col("df"), col("g")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val viaWindow = rows
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 2).select("doc_id", "g")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("TopKAggregator agrees with the window-function top-k") {
     val s = spark
     import s.implicits._
