@@ -144,13 +144,19 @@ object Keywords {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    // top-5 per doc via the bounded-buffer aggregate (≤5 tuples per
+    // doc per partition on the wire) — the row_number window form
+    // sorts the whole doc×term stream to keep 5 rows per doc, a
+    // corpus-scale sort at 100 TB. Ordering identical to the window's
+    // (tf desc, df asc, term asc); list position is the rank.
+    val top5 = udaf(new graft.ops.KeywordTopKAggregator(5))
     tf.join(df, "term")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"),
-        col("rank").as("kywr_rank"))
+      .groupBy("doc_id")
+      .agg(top5(col("term"), col("tf"), col("df")).as("ks"))
+      .select(col("doc_id"), posexplode(col("ks")).as(Seq("i", "k")))
+      .select(col("doc_id"), col("k._1").as("keyword"),
+        col("k._2").as("tf"), col("k._3").as("df"),
+        (col("i") + 1).cast("int").as("kywr_rank"))
   }
 
   val k1TopKeywordsSql: String = s"""
