@@ -86,4 +86,63 @@ object AtomicPublish {
       throw new IllegalStateException(s"no committed version under $table"))
     spark.read.parquet(s"$table/v=$v")
   }
+
+  // -------------------------------------------------------------------------
+  // Multi-table snapshot publish — the reference's alias flip, cross-table
+  // -------------------------------------------------------------------------
+
+  private val ManifestDir = "_manifest"
+
+  /** Publish SEVERAL tables as one atomic snapshot. The reference's
+    * T4/T5 tier builds date-suffixed indexes (`hr_emp_center_20230301`
+    * etc., `Elastic_indexing.py:193-214`, the index families in
+    * `index_counts.ipynb`) and flips serving to the new set at once —
+    * the per-table pointer ([[publishVersioned]]) can't give that
+    * cross-table guarantee: a reader could see table A at v2 joined
+    * against table B at v1. Here every table writes under
+    * `base/<name>/v=<n>/` and ONE manifest file `base/_manifest/v=<n>`
+    * — written last, listing the member tables — is the commit point.
+    * A crash after some table writes but before the manifest leaves
+    * the previous snapshot fully visible; the orphaned `v=<n>` dirs
+    * are retried/overwritten by the next publish.
+    *
+    * @return the committed snapshot version.
+    */
+  def publishSnapshot(tables: Map[String, DataFrame], base: String): Long = {
+    require(tables.nonEmpty, "empty snapshot")
+    val spark = tables.head._2.sparkSession
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentSnapshot(spark, base).getOrElse(0L) + 1
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$base/$name/v=$next")
+    }
+    val mf = new Path(basePath, s"$ManifestDir/v=$next")
+    fs.mkdirs(mf.getParent)
+    val out = fs.create(mf, true)
+    try out.write(tables.keys.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
+
+  /** Highest committed snapshot (manifest is the commit record). */
+  def currentSnapshot(spark: SparkSession, base: String): Option[Long] = {
+    val dir = new Path(base, ManifestDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Read `table` at the latest COMMITTED snapshot — never a newer
+    * per-table version whose snapshot didn't commit.
+    */
+  def readSnapshot(spark: SparkSession, base: String, table: String): DataFrame = {
+    val v = currentSnapshot(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $base"))
+    spark.read.parquet(s"$base/$table/v=$v")
+  }
 }

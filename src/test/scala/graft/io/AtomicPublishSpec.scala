@@ -41,4 +41,32 @@ class AtomicPublishSpec extends SparkSpec {
     // old version still present as a snapshot
     assert(spark.read.parquet(s"$table/v=1").count() == nation.count())
   }
+
+  test("snapshot publish: readers never see a torn cross-table state") {
+    val base = tmpDir("atomic-snap")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region")
+    val v1 = AtomicPublish.publishSnapshot(
+      Map("nation" -> nation, "region" -> region), base)
+    assert(v1 == 1)
+    val v2 = AtomicPublish.publishSnapshot(
+      Map("nation" -> nation.limit(5), "region" -> region.limit(2)), base)
+    assert(v2 == 2)
+    assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 5)
+    assert(AtomicPublish.readSnapshot(spark, base, "region").count() == 2)
+
+    // simulated crash: one member table written at v3, manifest never
+    // committed -> BOTH reads must stay at the v2 pair (the per-table
+    // pointer would already serve the torn nation v3 here)
+    nation.limit(1).write.mode("overwrite").parquet(s"$base/nation/v=3")
+    assert(AtomicPublish.currentSnapshot(spark, base).contains(2L))
+    assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 5)
+    assert(AtomicPublish.readSnapshot(spark, base, "region").count() == 2)
+
+    // the next successful publish overwrites the orphan and commits
+    val v3 = AtomicPublish.publishSnapshot(
+      Map("nation" -> nation.limit(7), "region" -> region), base)
+    assert(v3 == 3)
+    assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 7)
+  }
 }
