@@ -52,6 +52,24 @@ class KeywordsSpec extends SparkSpec {
     assert(toks == pynoriFixture.map { case (term, tag) => (term, bucket(tag)) })
   }
 
+  test("tokenizer generalizes: unseen sentence from the same closed-class lists") {
+    val s = spark
+    import s.implicits._
+    // not the pinned fixture sentence — composed of different words
+    // whose particles/endings/stems are in the same public lists, so
+    // the analyzer (not memorization of the golden case) must segment
+    val toks = Keywords.tokenize(Seq("회사에서 업무를 하고 있습니다.").toDF("text"))
+      .select(explode(col("tokens")).as("t"))
+      .select("t.term", "t.tag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(toks == Seq(
+      ("회사", "NNG"), ("에서", "J"),
+      ("업무", "NNG"), ("를", "J"),
+      ("하", "VV"), ("고", "E"),
+      ("있", "VV"), ("습니다", "E"),
+      (".", "SF")))
+  }
+
   test("CountVectorizer TF vectors match the sparse token counts") {
     val tf = Keywords.tfVectors(spark, sfDir)
     val row = tf.filter(col("doc_id") === 0).collect()(0)
