@@ -41,8 +41,15 @@ object CleanPipeline {
 
   private val JaccardThreshold = 0.5
 
+  /** @param durableComponents route the components loop's lineage
+    *   truncation through the session's cluster-FS checkpoint dir
+    *   (`Dedup.components(durable = true)`) — the right setting for a
+    *   real cluster run, where an hours-long clean must survive
+    *   executor loss mid-loop; default keeps the fast local path.
+    */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          logPath: String, jobRunId: String = "clean-1"): Report = {
+          logPath: String, jobRunId: String = "clean-1",
+          durableComponents: Boolean = false): Report = {
     val t0 = System.currentTimeMillis()
     // every persist() registers here and unpersists in the finally:
     // the failure path must not leak cached blocks into a long-lived
@@ -82,7 +89,7 @@ object CleanPipeline {
         .select("doc_a", "doc_b"))
 
       // 5. components over verified pairs; 6. elect by quality
-      val comp = cache(Dedup.components(verified))
+      val comp = cache(Dedup.components(verified, durable = durableComponents))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("component")
         .orderBy(col("n_chars").desc, col("doc_id"))

@@ -45,4 +45,22 @@ class CleanPipelineSpec extends SparkSpec {
     val b = s.read.parquet(base + "/c2").select("doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("durable-components flavour publishes the identical canonical set") {
+    val s = spark
+    val base = tmpDir("clean3")
+    val ckpt = java.nio.file.Files.createTempDirectory("clean-ckpt").toString
+    try {
+      s.sparkContext.setCheckpointDir(ckpt)
+      val r1 = CleanPipeline.run(s, sfDir, base + "/local", base + "/log", "run-l")
+      val r2 = CleanPipeline.run(s, sfDir, base + "/durable", base + "/log", "run-d",
+        durableComponents = true)
+      assert(r1 == r2)
+      val a = s.read.parquet(base + "/local").select("doc_id")
+      val b = s.read.parquet(base + "/durable").select("doc_id")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
+    }
+  }
 }
