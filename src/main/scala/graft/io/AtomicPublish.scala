@@ -32,6 +32,15 @@ object AtomicPublish {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(table + ".staging")
     val target = new Path(table)
+    // crash recovery: the swap below is two renames; dying between
+    // them leaves the table absent with the only copy in `.old` — and
+    // an unrecovered NEXT publish would delete that copy first thing.
+    // Roll the old copy back in before doing anything else.
+    val oldPath = new Path(table + ".old")
+    if (!fs.exists(target) && fs.exists(oldPath)) {
+      if (!fs.rename(oldPath, target))
+        throw new IllegalStateException(s"publish crash recovery failed for $table")
+    }
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     val written = spark.read.parquet(staging.toString).count()

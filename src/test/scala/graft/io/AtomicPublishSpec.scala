@@ -30,6 +30,28 @@ class AtomicPublishSpec extends SparkSpec {
       "gate failure must not clobber the published table")
   }
 
+  test("crash between the swap renames: next publish restores, never destroys, the old copy") {
+    val table = tmpDir("atomic-crash") + "/nation"
+    val nation = Tables.load(spark, sfDir, "nation")
+    AtomicPublish.publish(nation, table)
+    // simulate dying after rename(target -> old): table gone, only
+    // copy in .old — the window where an unrecovered publish would
+    // fs.delete the sole surviving data first
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + ".old")))
+    // a count-gate FAILURE after recovery must leave the restored table
+    intercept[IllegalStateException] {
+      AtomicPublish.publish(nation.limit(1), table, expectedRows = Some(999L))
+    }
+    assert(spark.read.parquet(table).count() == nation.count(),
+      "recovery must roll the .old copy back in before the gate runs")
+    // and a successful publish proceeds normally from the recovered state
+    AtomicPublish.publish(nation.limit(4), table)
+    assert(spark.read.parquet(table).count() == 4)
+  }
+
   test("versioned publish: reader follows the highest committed version") {
     val table = tmpDir("atomic-ver") + "/nation"
     val nation = Tables.load(spark, sfDir, "nation")
