@@ -392,8 +392,21 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     require(!durable || sc.getCheckpointDir.isDefined,
       "durable components needs spark.sparkContext.setCheckpointDir (cluster FS)")
-    def truncate(df: DataFrame): DataFrame =
-      if (durable) df.checkpoint(false) else df.localCheckpoint(false)
+    // Durable path: persist BEFORE checkpoint — a reliable checkpoint
+    // of an unpersisted frame runs a SECOND job that recomputes the
+    // whole round from lineage just to write the files (2× compute per
+    // round, exactly on the cluster path built for long runs); cached
+    // blocks make that job a read. The cache is released right after
+    // the round's action materializes the checkpoint. Checkpoint FILES
+    // are managed by Spark's ContextCleaner: run clusters with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (or sweep
+    // the checkpoint dir post-job) so per-round label sets don't
+    // accumulate on the cluster FS.
+    def truncate(df: DataFrame): (DataFrame, () => Unit) =
+      if (durable) {
+        val p = df.persist()
+        (p.checkpoint(false), () => { p.unpersist(): Unit })
+      } else (df.localCheckpoint(false), () => ())
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -406,18 +419,21 @@ object Dedup {
     // materializes them, so each round runs ONE job (an eager
     // checkpoint + separate sum ran two), while still truncating the
     // loop lineage.
-    var labels = truncate(sym.groupBy(col("src").as("node"))
+    val (labels0, release0) = truncate(sym.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    var labels = labels0
     var prevSum = labelSum(labels)
+    release0()
     var converged = prevSum == 0L && labels.isEmpty
     while (!converged) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = truncate(labels.union(prop)
+      val (next, release) = truncate(labels.union(prop)
         .groupBy("node").agg(min("label").as("label")))
       val s = labelSum(next)
+      release()
       converged = s == prevSum
       prevSum = s
       labels = next

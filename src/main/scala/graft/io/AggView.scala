@@ -109,9 +109,17 @@ object AggView {
   // rename(target, old) but before rename(staging, target) leaves the
   // view absent at its path — data AND ledger — so an unrecovered
   // replay would merge into an empty view and silently drop every
-  // prior batch. Every entry point therefore rolls the `.old` copy
-  // back in first when the target is missing; the interrupted batch
-  // is not in the rolled-back ledger, so it simply re-applies.
+  // prior batch. WRITERS (refresh/mergeBatch — one writer per view,
+  // the usual streaming-sink contract) roll the `.old` copy back in
+  // before starting; the interrupted batch is not in the rolled-back
+  // ledger, so it simply re-applies. READERS must never perform that
+  // rename: a reader that "recovers" while the writer is between its
+  // two renames would make the writer's rename(staging, target) drop
+  // the staging dir INSIDE the restored target — the swap reports
+  // success, the checkpoint commits, and the batch is silently lost.
+  // Readers instead RESOLVE to the `.old` copy read-only (see
+  // [[resolveDir]]): correct in both the crashed and the mid-swap
+  // case, mutating in neither.
   private def recoverIfCrashed(fs: org.apache.hadoop.fs.FileSystem,
                                viewDir: String): Unit = {
     val target = new Path(viewDir)
@@ -122,6 +130,14 @@ object AggView {
         throw new IllegalStateException(s"agg-view crash recovery failed for $viewDir")
     }
   }
+
+  /** Read-only resolution for readers: the live dir normally, the
+    * `.old` copy when the view is mid-swap or crashed mid-swap. */
+  private def resolveDir(fs: org.apache.hadoop.fs.FileSystem,
+                         viewDir: String): String =
+    if (fs.exists(new Path(new Path(viewDir), DataDir))) viewDir
+    else if (fs.exists(new Path(new Path(viewDir + ".old"), DataDir))) viewDir + ".old"
+    else viewDir
 
   private def swapIn(spark: SparkSession, viewDir: String,
                      merged: DataFrame, newLedger: Set[String]): Unit = {
@@ -143,17 +159,17 @@ object AggView {
     fs.delete(old, true): Unit
   }
 
-  /** The current view contents. */
+  /** The current view contents (read-only — never mutates the dirs). */
   def read(spark: SparkSession, viewDir: String): DataFrame = {
     val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverIfCrashed(fs, viewDir)
-    spark.read.parquet(s"$viewDir/$DataDir")
+    spark.read.parquet(s"${resolveDir(fs, viewDir)}/$DataDir")
   }
 
-  /** Partitions the view already includes (from the co-committed ledger). */
+  /** Partitions the view already includes (from the co-committed
+    * ledger). Read-only: resolves to the `.old` copy mid-swap. */
   def ledger(spark: SparkSession, viewDir: String): Set[String] = {
-    val p = new Path(viewDir, LedgerFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(resolveDir(fs, viewDir), LedgerFile)
     if (!fs.exists(p)) Set.empty
     else {
       val in = fs.open(p)

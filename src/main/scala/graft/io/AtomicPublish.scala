@@ -146,12 +146,32 @@ object AtomicPublish {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Read `table` at the latest COMMITTED snapshot — never a newer
-    * per-table version whose snapshot didn't commit.
+  private def manifestTables(fs: org.apache.hadoop.fs.FileSystem,
+                             base: String, v: Long): Set[String] = {
+    val in = fs.open(new Path(base, s"$ManifestDir/v=$v"))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Read `table` at its latest COMMITTED snapshot, resolved through
+    * the manifest's MEMBER LIST — never by directory presence. A
+    * crashed publish can leave an orphaned uncommitted `<table>/v=N`
+    * dir whose version number a LATER commit of a different table set
+    * reuses; trusting `currentSnapshot` alone would serve that orphan
+    * as committed. Walking manifests newest-first also resolves a
+    * table that simply wasn't part of the most recent publish to its
+    * own last committed version.
     */
   def readSnapshot(spark: SparkSession, base: String, table: String): DataFrame = {
-    val v = currentSnapshot(spark, base).getOrElse(
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = currentSnapshot(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $base"))
+    val v = (top to 1L by -1L)
+      .find(v => fs.exists(new Path(base, s"$ManifestDir/v=$v")) &&
+                 manifestTables(fs, base, v).contains(table))
+      .getOrElse(throw new IllegalStateException(
+        s"table '$table' is in no committed snapshot under $base"))
     spark.read.parquet(s"$base/$table/v=$v")
   }
 }

@@ -69,10 +69,14 @@ object ScaleProbe {
     println(line)
   }
 
-  /** Run `action` under a fresh listener; return total shuffle bytes.
-    * A query with internal persists emits SEVERAL records (one per
-    * materializing action) on the async execution-listener bus, so
-    * wait for the bus to go quiet, not just for the first arrival.
+  /** Run `action` under a fresh listener; return the query's shuffle
+    * bytes. A query with internal persists emits SEVERAL records on
+    * the async execution-listener bus (one per materializing action),
+    * so: wait for the first arrival, then for the bus to go quiet —
+    * and take the MAX record, not the sum. Cached-plan SQLMetrics are
+    * CUMULATIVE and are re-read by every record whose plan scans the
+    * cache, so the final action's record already contains the cache
+    * build's shuffles; summing would count them once per record.
     */
   def shuffleBytes(spark: SparkSession)(action: => Unit): Long = {
     val l = QueryMetrics.attach(spark)
@@ -80,14 +84,16 @@ object ScaleProbe {
       val before = l.snapshot.size
       action
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (l.snapshot.size == before && System.nanoTime() < deadline)
+        Thread.sleep(100)
       var last = -1
       while ({
         val n = l.snapshot.size
-        val grew = n != last || n == before
+        val settling = n != last
         last = n
-        grew && System.nanoTime() < deadline
+        settling && System.nanoTime() < deadline
       }) Thread.sleep(300)
-      l.snapshot.drop(before).map(_.shuffleBytes).sum
+      l.snapshot.drop(before).map(_.shuffleBytes).maxOption.getOrElse(0L)
     } finally QueryMetrics.detach(spark, l)
   }
 }

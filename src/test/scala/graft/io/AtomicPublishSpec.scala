@@ -90,5 +90,16 @@ class AtomicPublishSpec extends SparkSpec {
       Map("nation" -> nation.limit(7), "region" -> region), base)
     assert(v3 == 3)
     assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 7)
+
+    // orphan-dir collision: a crashed publish left region-less v4 dirs
+    // for ANOTHER table, then a nation-only publish commits v4. region
+    // must resolve through manifest membership to its own last
+    // committed version (v3), not to any v4 directory that exists
+    region.limit(1).write.mode("overwrite").parquet(s"$base/region/v=4")
+    val v4 = AtomicPublish.publishSnapshot(Map("nation" -> nation.limit(9)), base)
+    assert(v4 == 4)
+    assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 9)
+    assert(AtomicPublish.readSnapshot(spark, base, "region").count() == region.count(),
+      "region must come from its last COMMITTED snapshot, not the orphaned v=4 dir")
   }
 }
