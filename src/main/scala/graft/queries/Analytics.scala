@@ -722,7 +722,116 @@ object Analytics {
     FROM g WHERE gap_ms IS NOT NULL
     GROUP BY event_type"""
 
+
+  /** q79 — ordered funnel WITHIN a session: per (user, session) the
+    * funnel depth of view → click → purchase where each later stage
+    * must happen strictly after the earlier one INSIDE the same
+    * 30-minute-gap session. Composes q17's gaps-and-islands
+    * sessionization with q41's staged-min funnel — the question a
+    * product team actually asks ("did the user convert in that
+    * visit"), which neither alone answers. Each stage is one
+    * session-keyed aggregate + one co-partitioned join; no window
+    * beyond the session derivation itself.
+    */
+  val q79SessionFunnel: Q = (s, dir) => {
+    val gap = graft.streaming.Sessionize.GapUs
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_type")
+    val sess = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev", lag("us", 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("us") - col("prev") > gap, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sid", "event_type", "us")
+      .persist()
+    val t1 = sess.groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
+    val t2 = sess.join(t1, Seq("user_id", "sid"))
+      .groupBy("user_id", "sid", "t1")
+      .agg(min(when(col("event_type") === "click" && col("us") > col("t1"),
+        col("us"))).as("t2"))
+    sess.join(t2, Seq("user_id", "sid"))
+      .groupBy("user_id", "sid", "t1", "t2")
+      .agg(min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+        col("us"))).as("t3"))
+      .select(col("user_id"), col("sid"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("depth"))
+  }
+
+  val q79SessionFunnelSql: String = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_type) AS prev
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, us,
+             CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_type
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM e),
+    s1 AS (SELECT user_id, sid,
+                  min(CASE WHEN event_type = 'view' THEN us END) AS t1
+           FROM g GROUP BY 1, 2),
+    s2 AS (SELECT g.user_id, g.sid, t1,
+                  min(CASE WHEN event_type = 'click' AND us > t1 THEN us END) AS t2
+           FROM g JOIN s1 ON g.user_id = s1.user_id AND g.sid = s1.sid
+           GROUP BY 1, 2, 3),
+    s3 AS (SELECT g.user_id, g.sid, t1, t2,
+                  min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) AS t3
+           FROM g JOIN s2 ON g.user_id = s2.user_id AND g.sid = s2.sid
+           GROUP BY 1, 2, 3, 4)
+    SELECT user_id, sid,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS depth
+    FROM s3"""
+
+  /** q80 — decile lift / gains table: customers ranked by lifetime
+    * spend into ntile(10) buckets, with per-decile and cumulative
+    * revenue in exact cents — the marketing "top decile drives X% of
+    * revenue" table. ntile is deterministic under a TOTAL order
+    * (spend desc, custkey), and both engines distribute the remainder
+    * to the leading buckets identically; the cumulative sum runs over
+    * 10 aggregated rows, not data.
+    */
+  val q80DecileLift: Q = (s, dir) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val spend = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey").agg(sum(cents).as("cents"))
+    val d = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+    d.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+      .withColumn("cum_cents", sum("cents").over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val q80DecileLiftSql: String = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    d AS (SELECT o_custkey, cents,
+                 ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+          FROM spend)
+    SELECT decile, count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(sum(cents)) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM d GROUP BY decile"""
+
   val queries: Map[String, Q] = Map(
+    "q79_session_funnel"   -> q79SessionFunnel,
+    "q80_decile_lift"      -> q80DecileLift,
     "q76_gap_percentiles"  -> q76GapPercentiles,
     "q74_yoy_growth"       -> q74YoyGrowth,
     "q72_rfm"              -> q72Rfm,
@@ -745,6 +854,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q79_session_funnel"   -> q79SessionFunnelSql,
+    "q80_decile_lift"      -> q80DecileLiftSql,
     "q76_gap_percentiles"  -> q76GapPercentilesSql,
     "q74_yoy_growth"       -> q74YoyGrowthSql,
     "q72_rfm"              -> q72RfmSql,
