@@ -591,9 +591,12 @@ object Analytics {
     * custkey tie-breaks making every bucket boundary deterministic
     * (ntile's floor-based bucket sizing is the same in both engines
     * ONLY once the order is total). Plan: one groupBy(custkey) over
-    * orders, one broadcast anchor row, three ntile windows sharing ONE
-    * global sort each (|customers| rows — metadata next to the fact
-    * table); the composite segment string is the tier label a
+    * orders, one broadcast anchor row, then three quintile passes via
+    * [[graft.ops.DistributedRank.withNtile]] — each a RANGE
+    * repartition + arithmetic bucket, never the partition-less ntile
+    * window whose `Exchange SinglePartition` would sort the whole
+    * customer grain on one task at 100 TB (the round-4 audit
+    * finding); the composite segment string is the tier label a
     * marketing mart stores.
     */
   val q72Rfm: Q = (s, dir) => {
@@ -606,13 +609,14 @@ object Analytics {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("maxd"), col("last_order")).cast("long"))
-    def tile(c: String, asc: Boolean) = ntile(5).over(
-      Window.orderBy(
-        (if (asc) col(c).asc else col(c).desc), col("o_custkey")))
-    perCust
-      .withColumn("r_score", tile("recency_days", asc = true))
-      .withColumn("f_score", tile("frequency", asc = false))
-      .withColumn("m_score", tile("monetary_cents", asc = false))
+    def tile(df: DataFrame, c: String, asc: Boolean, out: String) =
+      graft.ops.DistributedRank.withNtile(df, 5,
+        Seq(if (asc) col(c).asc else col(c).desc, col("o_custkey")), out)
+    val scored = tile(tile(tile(perCust,
+      "recency_days", asc = true, "r_score"),
+      "frequency", asc = false, "f_score"),
+      "monetary_cents", asc = false, "m_score")
+    scored
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
         col("r_score").cast("long").as("r_score"),
@@ -795,19 +799,23 @@ object Analytics {
     FROM s3"""
 
   /** q80 — decile lift / gains table: customers ranked by lifetime
-    * spend into ntile(10) buckets, with per-decile and cumulative
+    * spend into decile buckets, with per-decile and cumulative
     * revenue in exact cents — the marketing "top decile drives X% of
-    * revenue" table. ntile is deterministic under a TOTAL order
-    * (spend desc, custkey), and both engines distribute the remainder
-    * to the leading buckets identically; the cumulative sum runs over
-    * 10 aggregated rows, not data.
+    * revenue" table. Deciles come from
+    * [[graft.ops.DistributedRank.withNtile]] (range repartition +
+    * arithmetic bucket — exact ntile semantics, no single-task global
+    * sort of the customer grain), deterministic under the TOTAL order
+    * (spend desc, custkey): both engines distribute the remainder to
+    * the leading buckets identically. The one remaining
+    * SinglePartition window is the cumulative sum over the 10
+    * aggregated decile rows — bounded by the bucket count, not data.
     */
   val q80DecileLift: Q = (s, dir) => {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val spend = Tables.load(s, dir, "orders")
       .groupBy("o_custkey").agg(sum(cents).as("cents"))
-    val d = spend.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+    val d = graft.ops.DistributedRank.withNtile(spend, 10,
+      Seq(col("cents").desc, col("o_custkey")), "decile")
     d.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
       .withColumn("cum_cents", sum("cents").over(

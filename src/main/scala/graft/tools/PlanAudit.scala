@@ -30,17 +30,42 @@ object PlanAudit {
       "s8_ann_recall", "q68_drift_report",
       "k5_pmi_collocations", "q72_rfm", "q73_basket_lift")
 
+  /** Partition-less windows bounded by construction, per query: the
+    * window runs over a grain capped by a constant (never the data),
+    * so its `Exchange SinglePartition` moves a bounded handful of
+    * rows. DistributedRank's SPARK_PARTITION_ID offsets windows are
+    * auto-exempted structurally by [[PlanCheck]]; everything listed
+    * here carries its bound in the comment. Exceeding the allowance
+    * (e.g. reintroducing a corpus-grain ntile) flags the query.
+    */
+  val boundedPartitionlessWindows: Map[String, Int] = Map(
+    // lag(1) over the yearly aggregate — |years| rows (≈7 in the
+    // corpus, decades at most), judged "bounded grain, fine" in r4
+    "q74_yoy_growth" -> 1,
+    // cumulative revenue over the 10 decile rows of the final
+    // groupBy("decile") — bounded by the ntile bucket count, after
+    // the customer-grain ntile itself moved to DistributedRank
+    "q80_decile_lift" -> 1,
+  )
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     var flags = 0
     for ((name, fn) <- graft.queries.Registry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin")
+      val plWindows = PlanCheck.partitionlessWindows(df)
+      val allowed = boundedPartitionlessWindows.getOrElse(name, 0)
       val smells = Seq(
         if (cartesian) Some("CARTESIAN") else None,
         if (bnlj && !expectedNestedLoop(name)) Some("NESTED-LOOP") else None,
+        if (plWindows.size > allowed)
+          Some(s"SINGLE-PARTITION-WINDOW x${plWindows.size} (allowed $allowed): " +
+            plWindows.mkString("; "))
+        else None,
       ).flatten
       if (smells.nonEmpty) { flags += 1; println(s"FLAG $name: ${smells.mkString(",")}") }
       else println(s"ok   $name")

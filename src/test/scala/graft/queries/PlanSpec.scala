@@ -97,6 +97,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q72 RFM quintiles run with NO partition-less window (r4 verdict #1)") {
+    val df = Registry.queries("q72_rfm")(spark, sfDir)
+    df.collect()
+    assert(graft.tools.PlanCheck.partitionlessWindows(df).isEmpty,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q80 deciles: only the 10-row cumsum window is partition-less") {
+    // DistributedRank handles the customer-grain decile; the one
+    // remaining partition-less window is the cumulative sum over the
+    // 10 aggregated decile rows (bounded by bucket count). A second
+    // offender would mean the corpus-grain ntile crept back.
+    val df = Registry.queries("q80_decile_lift")(spark, sfDir)
+    df.collect()
+    val offenders = graft.tools.PlanCheck.partitionlessWindows(df)
+    assert(offenders.size <= 1, offenders.mkString("; "))
+  }
+
   test("q67 global top-20 plans as TakeOrderedAndProject, not a full sort") {
     val plan = physicalPlan("q67_returned_revenue")
     assert(plan.contains("TakeOrderedAndProject"), plan)
