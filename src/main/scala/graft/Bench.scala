@@ -7,10 +7,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Measures steady-state engine throughput, not JVM cold-start: a
   * warmup pass on sf0.001 triggers class loading, Catalyst analysis and
-  * whole-stage-codegen compilation for every query shape, then each
-  * query is timed three times at the target scale factor and the best
-  * pass is reported (standard min-of-N practice — JIT tiering noise
-  * plus this host's episodic CPU steal inflate the other passes).
+  * whole-stage-codegen compilation for every query shape, then the
+  * suite runs three FULL interleaved passes at the target scale factor
+  * and each query reports its min across passes.
+  *
+  * Interleaving is the round-4 hardening against this host's episodic
+  * CPU steal: three back-to-back runs of one query all fit inside a
+  * single steal episode (r4's driver artifact showed q7 at 11.976s
+  * best-of-3 vs 0.456s re-run), whereas a steal episode shorter than a
+  * full ~25s suite pass can inflate a query in at most one of its
+  * three samples. Per-pass totals land in the JSON (`"passes"`) so an
+  * episode is visible in the artifact instead of masquerading as a
+  * regression. Caches are cleared between queries — each measurement
+  * owns its memory, and registered per-query persists (graft.core
+  * .Caching) can't accumulate GC pressure across 3×132 runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,10 +48,16 @@ object Bench {
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    def release(): Unit = {
+      graft.core.Caching.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // Warmup at the smallest SF: pays codegen + JIT once, off the clock.
     val warmDir = "/root/testdata/sf0.001"
     queries.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
+      release()
     }
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -50,11 +66,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best-of-3: the sandbox host shows episodic CPU steal from
-    // co-tenants; the minimum is the engine's actual cost
-    val results = queries.map { case (name, fn) =>
-      val ts = Seq.fill(3)(timeOne(fn))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    val Passes = 3
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    val passTotals = (1 to Passes).map { _ =>
+      var passTotal = 0.0
+      queries.foreach { case (name, fn) =>
+        val t = timeOne(fn)
+        release() // after the clock stops: measurement, not bookkeeping
+        if (t >= 0) {
+          passTotal += t
+          samples(name) = t :: samples.getOrElse(name, Nil)
+        }
+      }
+      passTotal
+    }
+    // min of the successful samples; -1 only if a query failed ALL passes
+    val results = queries.map { case (name, _) =>
+      name -> samples.get(name).map(_.min).getOrElse(-1.0)
     }
 
     // 3-decimal seconds (ms resolution): full-precision doubles made
@@ -72,15 +100,23 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    val passesJson = passTotals.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"sf":"$sfDir"$failedJson}"""
     // Belt-and-braces against any downstream line-capture limit: the
-    // identical JSON also lands in the repo, uncapped.
+    // identical JSON also lands in a file, uncapped. Path is
+    // overridable (it must not assume the /root/repo checkout), and a
+    // failed write says so instead of silently skipping the mirror.
+    val mirror = sys.props.get("graft.bench.mirror")
+      .orElse(sys.env.get("GRAFT_BENCH_MIRROR"))
+      .getOrElse("bench_last.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_last.json"),
+        java.nio.file.Paths.get(mirror).toAbsolutePath,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mirror write to $mirror failed: $e")
+    }
     // Stop Spark BEFORE printing: shutdown warnings land on the log
     // stream first and the JSON stays the final line of output.
     spark.stop()

@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query registered caches — 132 queries in one
+      // session would otherwise accumulate every persisted stage
+      graft.core.Caching.releaseAll(): Unit
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

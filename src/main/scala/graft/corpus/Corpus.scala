@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** Corpus-level training-data operators over `documents` — the stages
   * between "cleaned documents" and "training mix" in an LLM data
@@ -113,7 +114,7 @@ object Corpus {
       .filter(col("df") <= DfCap).select("sh")
     // persist: the shingle pipeline feeds the df-cap aggregate plus
     // both join sides — one materialization instead of three
-    val filtered = docs.join(rare, "sh").persist()
+    val filtered = docs.join(rare, "sh").registerCache()
     val train = filtered.filter(col("bucket") < 900)
       .select(col("doc_id").as("train_doc"), col("sh"))
     val eval_ = filtered.filter(col("bucket") >= 950)
@@ -122,7 +123,7 @@ object Corpus {
     // lists are array_distinct per doc — so the two "distinct counts"
     // are plain counts over two cheap pre-dedups, not a double-expand
     // aggregate over the join output
-    val joined = train.join(eval_, "sh").persist()
+    val joined = train.join(eval_, "sh").registerCache()
     val bySh = joined.select("train_doc", "sh").distinct()
       .groupBy("train_doc").agg(count(lit(1)).as("n_shared_shingles"))
     val byEval = joined.select("train_doc", "eval_doc").distinct()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** Document deduplication suite over the `documents` table — the
   * training-data-pipeline operators a 100 TB corpus clean needs.
@@ -150,7 +151,7 @@ object Dedup {
     // (doc, band) frame instead of recomputing the shingle+hash
     // pipeline twice (cache-manager dedupes identical plans, so
     // repeated invocations share one entry)
-    val bands = bandsOf(sig).persist()
+    val bands = bandsOf(sig).registerCache()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -221,7 +222,7 @@ object Dedup {
     // persist: the shingled corpus feeds four plan branches (both
     // self-join sides + both count joins); one materialization
     val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"), col("shingles")).persist()
+      .select(col("doc_id"), col("lang"), col("shingles")).registerCache()
     val sh = docs.select(col("doc_id"), col("lang"),
       explode(col("shingles")).as("sh"))
     val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
@@ -278,7 +279,7 @@ object Dedup {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select("sh")
-    val shF = sh.join(rare, "sh").persist()
+    val shF = sh.join(rare, "sh").registerCache()
     val counts = shF.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = shF.as("x")
       .join(shF.as("y"),
@@ -327,7 +328,7 @@ object Dedup {
   private[graft] def simhashPairsOf(simhash: DataFrame): DataFrame = {
     val sh = simhash
       .withColumn("block", expr("shiftright(simhash, 16)"))
-      .persist()
+      .registerCache()
     sh.as("a")
       .join(sh.as("b"),
         col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
@@ -532,7 +533,7 @@ object Dedup {
   val d10Survivorship: Q = (s, dir) => {
     val docs = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val comp = components(d3LshPairs(s, dir)).persist()
+    val comp = components(d3LshPairs(s, dir)).registerCache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -571,7 +572,7 @@ object Dedup {
   val d11LshVerified: Q = (s, dir) => {
     val pairs = d3LshPairs(s, dir)
     val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("shingles")).persist()
+      .select(col("doc_id"), col("shingles")).registerCache()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
     val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
     val shared = pairs
@@ -702,9 +703,9 @@ object Dedup {
   private[graft] def prefixJoinOf(shingled: DataFrame): DataFrame = {
     val docs = shingled
       .select(col("doc_id"), col("shingles"))
-      .persist()
+      .registerCache()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
-      .persist()
+      .registerCache()
     val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
     // the 2 rarest shingles per doc via the bounded-buffer aggregate
     // (ObjectHashAggregate, ≤2 elements per doc per partition on the
@@ -789,7 +790,7 @@ object Dedup {
     // derivations of this frame
     val shingled = withShingles(Tables.loadParallel(s, dir, "documents"))
       .select(col("doc_id"), col("tokens"), col("shingles"))
-      .persist()
+      .registerCache()
     val lsh = lshPairsOf(signaturesOf(shingled))
       .select(col("doc_a"), col("doc_b"), lit("lsh").as("family"))
     val sim = simhashPairsOf(simhashOf(shingled))
@@ -835,7 +836,7 @@ object Dedup {
     */
   val d15IncrementalDedup: Q = (s, dir) => {
     // persisted: the new-side and corpus-side filters both read it
-    val bands = bandsOf(signatures(s, dir)).persist()
+    val bands = bandsOf(signatures(s, dir)).registerCache()
     val hits = bands.filter(col("doc_id") % 10 === 7).as("n")
       .join(bands.filter(col("doc_id") % 10 =!= 7).as("c"),
         col("n.band_idx") === col("c.band_idx") &&

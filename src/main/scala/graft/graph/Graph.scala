@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** Iterative graph analytics beyond d8's connected components: a
   * fixed-round PageRank over the customer→supplier purchase graph
@@ -47,15 +48,15 @@ object Graph {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + SuppOffset).as("dst"))
       .distinct()
-      .persist()
+      .registerCache()
     // persisted: outdeg joins into every round and nodes anchors every
     // round's left join — unpersisted, the union-distinct (a shuffle)
     // and the degree aggregate replay once per unrolled round
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist()
+      .registerCache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .persist()
+      .registerCache()
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to Rounds) {
       val contrib = edges
@@ -138,7 +139,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("eu"),
         greatest(col("u"), col("v")).as("ev"))
       .distinct()
-      .persist()
+      .registerCache()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.ev") === col("e2.eu"))
       .join(edges.as("e3"),
@@ -193,7 +194,7 @@ object Graph {
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + SuppOffset).as("supp"))
       .distinct()
-      .persist()
+      .registerCache()
     val seeds = Tables.load(s, dir, "customer")
       .filter(col("c_nationkey") === 0)
       .select(col("c_custkey").as("node"), lit(0).as("dist"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, with decode/feature-extract as distributed per-partition
@@ -159,7 +160,7 @@ object Multimodal {
           .as("fh"))
     val rare = frames.groupBy("fh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= FrameDfCap).select("fh")
-    val ff = frames.join(rare, "fh").persist()
+    val ff = frames.join(rare, "fh").registerCache()
     ff.as("a").join(ff.as("b"),
         col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** Analytics extensions beyond the reference surface (SURVEY §2.5/§2.6
   * note the reference has no grouping sets, no unpivot, no
@@ -749,7 +750,7 @@ object Analytics {
       .withColumn("sid", sum("brk").over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "sid", "event_type", "us")
-      .persist()
+      .registerCache()
     val t1 = sess.groupBy("user_id", "sid")
       .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
     val t2 = sess.join(t1, Seq("user_id", "sid"))

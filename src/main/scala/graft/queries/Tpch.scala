@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** The remaining classic TPC-H query shapes, adapted to the synthetic
   * star schema (no partsupp table; lineitem carries the part/supplier
@@ -430,7 +431,7 @@ object Tpch {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-      .persist()
+      .registerCache()
     val present = baskets.select(col("l_orderkey"), explode(col("bs")).as("b"))
     val cb = present.groupBy("b").agg(count(lit(1)).as("c1"))
     val n = baskets.agg(count(lit(1)).as("n_orders"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** The reference's search-query surface as a compiled DSL.
   *
@@ -196,7 +197,7 @@ object SearchDsl {
       .groupBy(col("doc_id"),
         when(col("term").isin(qterms: _*), col("term")).as("tag"))
       .agg(count(lit(1)).as("n"))
-      .persist()
+      .registerCache()
     val dl = g.groupBy("doc_id").agg(sum("n").as("dl"))
     val tf = g.filter(col("tag").isNotNull)
       .select(col("doc_id"), col("tag").as("term"), col("n").as("tf"))

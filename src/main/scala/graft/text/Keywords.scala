@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Caching.RegisterSyntax
 
 /** T1-T5 — the reference's keyword-extraction pipeline (`Keyword.py`)
   * rebuilt distributed. The reference collects all rows to the driver
@@ -142,7 +143,7 @@ object Keywords {
     // persisted: df is derived FROM tf and joined back to it — without
     // this the tokenize+explode+count chain runs twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .registerCache()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // top-5 per doc via the bounded-buffer aggregate (≤5 tuples per
     // doc per partition on the wire) — the row_number window form
@@ -185,7 +186,7 @@ object Keywords {
     val toks = docs.select(col("doc_id"), col("source"),
       explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("term"))
     val tf = toks.groupBy("source", "doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .registerCache()
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     // exactness-preserving prune: a term in only ONE doc of a source
     // joins with nothing, so dropping block-singletons shrinks the
@@ -198,7 +199,7 @@ object Keywords {
           .partitionBy("source", "term")))
       .filter(col("ndocs") >= 2)
       .select("source", "doc_id", "term", "tf")
-      .persist()
+      .registerCache()
     val dots = shared.as("x")
       .join(shared.as("y"),
         col("x.source") === col("y.source") && col("x.term") === col("y.term") &&
@@ -262,7 +263,7 @@ object Keywords {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("source", "term")))
       .filter(col("ndocs") <= K6DfCap)
-      .persist()
+      .registerCache()
     val norms = capped.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val shared = capped.filter(col("ndocs") >= 2)
       .select("source", "doc_id", "term", "tf")
@@ -373,7 +374,7 @@ object Keywords {
     // persisted: df AND the corpus-size scalar both derive from tf —
     // unpersisted, the tokenize chain runs three times
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .registerCache()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id")
@@ -425,7 +426,7 @@ object Keywords {
       .select(col("doc_id"),
         expr("array_distinct(filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + ")))")
           .as("ts"))
-      .persist()
+      .registerCache()
     val present = docTerms.select(col("doc_id"), explode(col("ts")).as("t"))
     val ct = present.groupBy("t").agg(count(lit(1)).as("c1"))
     val n = docTerms.agg(count(lit(1)).as("n_docs"))

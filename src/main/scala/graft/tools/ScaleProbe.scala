@@ -13,7 +13,8 @@ import graft.pipeline.QueryMetrics
   *
   * Usage: `run_class.sh graft.tools.ScaleProbe <sfDirSmall> <sfDirBig> [names...]`
   * (defaults to the quadratic-risk family). Prints one JSON line and
-  * mirrors it to /root/repo/scale_probe.json.
+  * mirrors it to scale_probe.json in the working directory (override
+  * with -Dgraft.scaleprobe.mirror / GRAFT_SCALEPROBE_MIRROR).
   */
 object ScaleProbe {
 
@@ -60,11 +61,16 @@ object ScaleProbe {
       f""""$n":{"bytes_small":$bs,"bytes_big":$bb,"row_ratio":$rr%.1f,"shuffle_ratio":$sr%.2f,"exponent":$e%.2f}"""
     }.mkString("{", ",", "}")
     val line = s"""{"small":"$small","big":"$big","queries":$body}"""
+    val mirror = sys.props.get("graft.scaleprobe.mirror")
+      .orElse(sys.env.get("GRAFT_SCALEPROBE_MIRROR"))
+      .getOrElse("scale_probe.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/scale_probe.json"),
+        java.nio.file.Paths.get(mirror).toAbsolutePath,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale-probe] mirror write to $mirror failed: $e")
+    }
     spark.stop()
     println(line)
   }
