@@ -124,10 +124,21 @@ object Graph {
   val g2Triangles: Q = (s, dir) => {
     val ps = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
-    // symmetric shared-part counts (u ≠ v), then per-u top-3
+    // symmetric shared-part counts (u ≠ v), then per-u top-3.
+    // The wedge list (one row per part-shared supplier pair, Σ_p deg²
+    // with deg bounded by suppliers-per-part — a data-model constant)
+    // is shuffled ONCE, keyed by u: on this near-complete graph the
+    // distinct (u,v) grid is ~|suppliers|², so a groupBy(u,v) exchange
+    // degrades quadratically as map-side combine stops reducing
+    // (measured exp 2.05 before this; 112× shuffle on a 10× step) —
+    // whereas hash(u) clusters (u,v) too, so BOTH the count aggregate
+    // and the top-3 window run exchange-free after one wedge-sized,
+    // linear-growth shuffle (re-measured in scale_probe.json).
     val shared = ps.as("a")
       .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sp") =!= col("b.sp"))
-      .groupBy(col("a.sp").as("u"), col("b.sp").as("v"))
+      .select(col("a.sp").as("u"), col("b.sp").as("v"))
+      .repartition(col("u"))
+      .groupBy("u", "v")
       .agg(count(lit(1)).as("shared"))
     val w = Window.partitionBy("u")
       .orderBy(col("shared").desc, col("v"))

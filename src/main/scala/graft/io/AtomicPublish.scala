@@ -126,12 +126,26 @@ object AtomicPublish {
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$base/$name/v=$next")
     }
+    // The manifest IS the commit point, so it must appear atomically:
+    // write the member list to a dot-prefixed temp (invisible to
+    // currentSnapshot's v= filter) and rename into place — the same
+    // rename-commit discipline as TargetedDelete's journal and
+    // AggView's pointer. An in-place create/write/close had a torn
+    // window: a crash mid-write left a truncated member list at v=n
+    // that readers treated as committed (table A at v=n joined with
+    // table B resolving to v=n-1 — exactly the state this API exists
+    // to prevent) and that no later publish retried (next = n+1).
+    // An orphaned temp from a crash is harmless: filtered by the v=
+    // prefix, and overwritten when the version number is retried.
     val mf = new Path(basePath, s"$ManifestDir/v=$next")
+    val tmp = new Path(basePath, s"$ManifestDir/.v=$next.tmp")
     fs.mkdirs(mf.getParent)
-    val out = fs.create(mf, true)
+    val out = fs.create(tmp, true)
     try out.write(tables.keys.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, mf))
+      throw new IllegalStateException(s"snapshot commit rename failed: $tmp -> $mf")
     next
   }
 

@@ -734,14 +734,31 @@ object Analytics {
     * 30-minute-gap session. Composes q17's gaps-and-islands
     * sessionization with q41's staged-min funnel — the question a
     * product team actually asks ("did the user convert in that
-    * visit"), which neither alone answers. Each stage is one
-    * session-keyed aggregate + one co-partitioned join; no window
-    * beyond the session derivation itself.
+    * visit"), which neither alone answers.
+    *
+    * Single linear pipeline, ZERO joins, no persist (the r4 version
+    * staged three aggregates over two session-keyed joins off a
+    * cached frame): the staged mins become RUNNING conditional mins
+    * over the session-grain window, because the strict `us > t1` /
+    * `us > t2` gates only ever look BACKWARD in event-time order —
+    * at any click row, the session-global min view time equals the
+    * running min over rows at or before it (any smaller view
+    * timestamp sorts earlier; an equal-timestamp view can't pass the
+    * strict gate either way), and identically for purchases vs valid
+    * clicks ('click' < 'purchase' in the tie order, so a same-us
+    * valid click is included and the strict gate still rejects).
+    * Shuffles: one by user_id (sessionize), one by (user_id, sid) —
+    * the two stacked windows share the second sort, and the final
+    * groupBy(user_id, sid) is exchange-free on the window's hash
+    * partitioning.
     */
   val q79SessionFunnel: Q = (s, dir) => {
     val gap = graft.streaming.Sessionize.GapUs
     val wOrd = Window.partitionBy("user_id").orderBy("us", "event_type")
-    val sess = Tables.load(s, dir, "events")
+    val wSess = Window.partitionBy("user_id", "sid")
+      .orderBy("us", "event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
       .withColumn("prev", lag("us", 1).over(wOrd))
@@ -750,17 +767,17 @@ object Analytics {
       .withColumn("sid", sum("brk").over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "sid", "event_type", "us")
-      .registerCache()
-    val t1 = sess.groupBy("user_id", "sid")
-      .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
-    val t2 = sess.join(t1, Seq("user_id", "sid"))
-      .groupBy("user_id", "sid", "t1")
-      .agg(min(when(col("event_type") === "click" && col("us") > col("t1"),
-        col("us"))).as("t2"))
-    sess.join(t2, Seq("user_id", "sid"))
-      .groupBy("user_id", "sid", "t1", "t2")
-      .agg(min(when(col("event_type") === "purchase" && col("us") > col("t2"),
-        col("us"))).as("t3"))
+      .withColumn("rv",
+        min(when(col("event_type") === "view", col("us"))).over(wSess))
+      .withColumn("c2",
+        when(col("event_type") === "click" && col("us") > col("rv"), col("us")))
+      .withColumn("rc", min(col("c2")).over(wSess))
+      .withColumn("c3",
+        when(col("event_type") === "purchase" && col("us") > col("rc"), col("us")))
+      .groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t1"),
+           min(col("c2")).as("t2"),
+           min(col("c3")).as("t3"))
       .select(col("user_id"), col("sid"),
         when(col("t3").isNotNull, 3)
           .when(col("t2").isNotNull, 2)

@@ -20,11 +20,18 @@ object ScaleProbe {
 
   private val DefaultSuspects = Seq(
     "q36_fuzzy_pairs", "k2_tf_cosine_pairs", "k5_pmi_collocations",
-    "c3_decontaminate", "d5_ngram_jaccard")
+    "c3_decontaminate", "d5_ngram_jaccard",
+    // round-5 additions (r4 verdict #8): the round-4 queries whose
+    // linearity was claimed-by-construction but not yet measured
+    "d15_incremental_dedup", "g2_triangles", "g3_bfs_hops",
+    "q79_session_funnel")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
-    "q36_fuzzy_pairs" -> "part").withDefaultValue("documents")
+    "q36_fuzzy_pairs" -> "part",
+    "g2_triangles" -> "lineitem",
+    "g3_bfs_hops" -> "lineitem",
+    "q79_session_funnel" -> "events").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -44,9 +51,16 @@ object ScaleProbe {
 
     val report = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
-      def run(dir: String): (Long, Long) = shuffleBytes(spark) {
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-      } -> spark.read.parquet(s"$dir/${inputTable(name)}.parquet").count()
+      def run(dir: String): (Long, Long) = {
+        val b = shuffleBytes(spark) {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        // drop per-query registered caches so consecutive probes
+        // measure from cold and don't accumulate blocks
+        graft.core.Caching.releaseAll()
+        spark.catalog.clearCache()
+        b -> spark.read.parquet(s"$dir/${inputTable(name)}.parquet").count()
+      }
       val (bSmall, rowsSmall) = run(small)
       val (bBig, rowsBig)     = run(big)
       val rowRatio = rowsBig.toDouble / rowsSmall

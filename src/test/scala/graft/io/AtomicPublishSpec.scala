@@ -101,5 +101,26 @@ class AtomicPublishSpec extends SparkSpec {
     assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 9)
     assert(AtomicPublish.readSnapshot(spark, base, "region").count() == region.count(),
       "region must come from its last COMMITTED snapshot, not the orphaned v=4 dir")
+
+    // crash mid-manifest-write: the writer dies between create and
+    // close, leaving a temp file. The temp must be invisible to
+    // version resolution (a torn IN-PLACE manifest at v=5 would be
+    // served as committed with a truncated member list — the ADVICE
+    // r4 finding), and the next publish of v=5 must commit cleanly
+    // over the orphaned temp.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = fs.create(
+      new org.apache.hadoop.fs.Path(base, "_manifest/.v=5.tmp"), true)
+    torn.write("nat".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    torn.close()
+    assert(AtomicPublish.currentSnapshot(spark, base).contains(4L),
+      "an uncommitted manifest temp must not advance the snapshot version")
+    assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 9)
+    val v5 = AtomicPublish.publishSnapshot(
+      Map("nation" -> nation.limit(2), "region" -> region.limit(3)), base)
+    assert(v5 == 5)
+    assert(AtomicPublish.readSnapshot(spark, base, "nation").count() == 2)
+    assert(AtomicPublish.readSnapshot(spark, base, "region").count() == 3)
   }
 }

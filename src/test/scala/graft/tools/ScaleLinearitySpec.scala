@@ -24,13 +24,23 @@ class ScaleLinearitySpec extends SparkSpec {
 
   private val productionPaths = Seq(
     "c3_decontaminate", "k5_pmi_collocations",
-    "d7_jaccard_prefiltered", "k6_tf_cosine_capped")
+    "d7_jaccard_prefiltered", "k6_tf_cosine_capped",
+    // r5: the round-4 additions, measured not just argued — d15's
+    // batch-vs-corpus banding, g2's k-NN edge bound, g3's fixed
+    // rounds, q79's window-only funnel
+    "d15_incremental_dedup", "g2_triangles", "g3_bfs_hops",
+    "q79_session_funnel")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
       val fn = graft.SparkEntry.queries(name)
-      def bytes(dir: String): Long = ScaleProbe.shuffleBytes(spark) {
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      def bytes(dir: String): Long = {
+        val b = ScaleProbe.shuffleBytes(spark) {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        graft.core.Caching.releaseAll()
+        spark.catalog.clearCache()
+        b
       }
       val bSmall = bytes(Small)
       val bBig = bytes(Big)
