@@ -343,7 +343,56 @@ object Corpus {
            CAST(SUM(n_tokens) * 10000 // $CtxLen AS BIGINT) AS fill_bp
     FROM p GROUP BY 1, 2"""
 
+  // =========================================================================
+  // c9 — deterministic weighted sample (Efraimidis–Spirakis)
+  // =========================================================================
+
+  private val WeightedN = 100
+
+  /** Weighted sampling WITHOUT replacement, proportional to document
+    * length — the "draw a training mix by token mass" primitive.
+    * Efraimidis–Spirakis exponential race: each doc gets key
+    * `-ln(u)/w` with u uniform in (0,1] and w = n_chars; the k
+    * SMALLEST keys are a weighted sample without replacement. u is
+    * hash-derived (first 60 bits of md5(doc_id), +1 so u > 0), never
+    * `rand()`: the draw is reproducible across runs, engines and
+    * cluster sizes, and c1/c5's coordinated-sampling stability
+    * argument applies. Keys are quantized to integer micros with a
+    * doc_id tie-break (q39's ln discipline — the one float op rounds
+    * once, then everything is exact integer ordering).
+    *
+    * Plan shape: a pure map stage + global top-k, which Spark plans
+    * as `TakeOrderedAndProject` — per-partition heaps of k, never a
+    * global sort (the same reason PlanCheck exempts limit-fed
+    * windows). At 100 TB this is a scan + k rows per partition on
+    * the wire.
+    */
+  val c9WeightedSample: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("key_micro", expr(
+        "cast(round(-1e6 * ln((cast(h as double) + 1.0) / 1152921504606846976.0)" +
+          " / cast(n_chars as double)) as bigint)"))
+      .orderBy(col("key_micro"), col("doc_id"))
+      .limit(WeightedN)
+      .select("doc_id", "source", "lang", "n_chars", "key_micro")
+
+  val c9WeightedSampleSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents),
+    k AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(round(-1e6 * ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                        / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_micro
+      FROM d)
+    SELECT doc_id, source, lang, n_chars, key_micro
+    FROM k ORDER BY key_micro, doc_id LIMIT $WeightedN"""
+
   val queries: Map[String, Q] = Map(
+    "c9_weighted_sample" -> c9WeightedSample,
     "c8_packing_stats" -> c8PackingStats,
     "c7_temperature_mix" -> c7TemperatureMix,
     "c1_hash_split"    -> c1HashSplit,
@@ -355,6 +404,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c9_weighted_sample" -> c9WeightedSampleSql,
     "c8_packing_stats" -> c8PackingStatsSql,
     "c7_temperature_mix" -> c7TemperatureMixSql,
     "c1_hash_split"    -> c1HashSplitSql,

@@ -874,7 +874,78 @@ object Dedup {
     LEFT JOIN hits h USING (doc_id)"""
   }
 
+  // =========================================================================
+  // d16 — containment (asymmetric near-dup: excerpt inside longer doc)
+  // =========================================================================
+
+  private val ContainmentThreshold = 0.8
+
+  /** Containment `|A∩B| / |A|` over the df-capped shingle sets —
+    * the asymmetric question Jaccard can't answer: a quote or excerpt
+    * A buried in a much longer B has tiny Jaccard (the union is
+    * B-sized) but containment ≈ 1. Training corpora dedup on exactly
+    * this (boilerplate headers, quoted articles, license blocks).
+    *
+    * Candidates come from d7's machinery unchanged: the DfCap
+    * prefilter bounds fan-out per shingle, pairs form once in
+    * canonical doc_a < doc_b order, and ONE shared-count aggregate
+    * serves BOTH directions — each unordered pair explodes into its
+    * two ordered (contained, container) readings and the threshold
+    * keeps whichever holds (both, for same-length near-dups).
+    * Division is long/long → IEEE double — correctly rounded in both
+    * engines, d7's precedent.
+    */
+  val d16Containment: Q = (s, dir) => {
+    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("shingles"))
+    val sh = docs.select(col("doc_id"), col("lang"),
+      explode(col("shingles")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select("sh")
+    val shF = sh.join(rare, "sh").registerCache()
+    val counts = shF.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = shF.as("x")
+      .join(shF.as("y"),
+        col("x.lang") === col("y.lang") && col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(explode(array(
+        struct(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+          (col("shared") / col("ca.nsh")).as("containment")),
+        struct(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+          (col("shared") / col("cb.nsh")).as("containment")))).as("r"))
+      .select("r.*")
+      .filter(col("containment") >= ContainmentThreshold)
+  }
+
+  val d16ContainmentSql: String = s"""
+    WITH t AS (SELECT doc_id, lang, $oracleTokens AS tokens FROM documents),
+    s AS (SELECT doc_id, lang, $oracleShingles AS sh FROM t),
+    e AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+    rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $DfCap),
+    ef AS (SELECT e.* FROM e JOIN rare USING (g)),
+    shared AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+      FROM ef x JOIN ef y ON x.lang = y.lang AND x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, count(*) AS nsh FROM ef GROUP BY doc_id),
+    both_dirs AS (
+      SELECT doc_a AS contained_id, doc_b AS container_id,
+             shared / ca.nsh AS containment
+      FROM shared JOIN counts ca ON doc_a = ca.doc_id
+      UNION ALL
+      SELECT doc_b, doc_a, shared / cb.nsh
+      FROM shared JOIN counts cb ON doc_b = cb.doc_id)
+    SELECT contained_id, container_id, containment
+    FROM both_dirs WHERE containment >= $ContainmentThreshold"""
+
   val queries: Map[String, Q] = Map(
+    "d16_containment" -> d16Containment,
     "d15_incremental_dedup" -> d15IncrementalDedup,
     "d14_family_agreement" -> d14FamilyAgreement,
     "d13_prefix_join"      -> d13PrefixJoin,
@@ -893,6 +964,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d16_containment" -> d16ContainmentSql,
     "d15_incremental_dedup" -> d15IncrementalDedupSql,
     "d14_family_agreement" -> d14FamilyAgreementSql,
     "d13_prefix_join"      -> d13PrefixJoinSql,

@@ -323,7 +323,77 @@ object TextAnalysis {
              (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS prefix_hash
     FROM documents"""
 
+  // =========================================================================
+
+  /** t9 — corpus bigram-LM scoring: each document's mean add-one-
+    * smoothed bigram log-probability under the corpus's own counts —
+    * the KenLM-style perplexity filter every web-scale quality
+    * pipeline runs (low score = word salad / boilerplate the corpus
+    * itself doesn't predict), self-trained so the sandbox needs no
+    * model artifact.
+    *
+    * Determinism discipline: each bigram's
+    * `ln((c12+1)/(c1+V))` rounds ONCE to integer micros, and per-doc
+    * aggregation sums exact longs (order-independent — a double sum
+    * of raw lns would hash differently between engines; q39's BM25
+    * precedent). The mean ships as the exact (sum, n) pair plus one
+    * final correctly-rounded double division.
+    *
+    * Scale: bigram/unigram count tables are corpus-sized aggregates
+    * joined back by equi-key — each doc bigram matches exactly one
+    * count row (fan-out 1, no blocking needed); V is a one-row scalar
+    * broadcast (the allowlisted cross shape).
+    */
+  val t9LmScore: Q = (s, dir) => {
+    val toks = Tables.loadParallel(s, dir, "documents")
+      .withColumn("w", expr(tokensExpr))
+      .filter(size(col("w")) >= 2)
+    val grams = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w)-1)," +
+      " i -> struct(element_at(w, i) as w1, element_at(w, i+1) as w2))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = toks.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    grams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro", expr(
+        "cast(round(1e6 * (ln(cast(c12 + 1 as double))" +
+        " - ln(cast(c1 + v as double)))) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum("lp_micro").as("sum_lp_micro"))
+      .withColumn("mean_lp_micro",
+        col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  val t9LmScoreSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, $oracleTokens AS w FROM documents),
+    t2 AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+    grams AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM t2, unnest(range(1, len(w))) AS t(i)),
+    uni AS (SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(w) AS w1 FROM t2) GROUP BY 1),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(1e6 * (ln(CAST(c12 + 1 AS DOUBLE))
+                               - ln(CAST(c1 + v AS DOUBLE)))) AS BIGINT) AS lp_micro
+      FROM grams JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST(CAST(SUM(lp_micro) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_lp_micro
+    FROM scored GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "t9_lm_score" -> t9LmScore,
     "t8_rolling_fingerprint" -> t8RollingFingerprint,
     "t7_lexical_diversity" -> t7LexicalDiversity,
     "t1_lang_id"       -> t1LangId,
@@ -335,6 +405,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t9_lm_score" -> t9LmScoreSql,
     "t8_rolling_fingerprint" -> t8RollingFingerprintSql,
     "t7_lexical_diversity" -> t7LexicalDiversitySql,
     "t1_lang_id"       -> t1LangIdSql,

@@ -23,12 +23,15 @@ object PlanAudit {
   // q68's crosses are its one-row midpoint/totals scalars
   // ...k5/q73 cross their one-row corpus/basket-count frames; q72
   // crosses its one-row max-date anchor — all the same scalar shape
+  // ...t9 crosses its one-row vocabulary-size frame (the add-one
+  // smoothing denominator), q39's exact pattern
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
       "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
       "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix",
       "s8_ann_recall", "q68_drift_report",
-      "k5_pmi_collocations", "q72_rfm", "q73_basket_lift")
+      "k5_pmi_collocations", "q72_rfm", "q73_basket_lift",
+      "t9_lm_score")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

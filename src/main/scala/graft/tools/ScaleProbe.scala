@@ -21,10 +21,14 @@ object ScaleProbe {
   private val DefaultSuspects = Seq(
     "q36_fuzzy_pairs", "k2_tf_cosine_pairs", "k5_pmi_collocations",
     "c3_decontaminate", "d5_ngram_jaccard",
+    "k6_tf_cosine_capped", "d7_jaccard_prefiltered", "d13_prefix_join",
     // round-5 additions (r4 verdict #8): the round-4 queries whose
     // linearity was claimed-by-construction but not yet measured
     "d15_incremental_dedup", "g2_triangles", "g3_bfs_hops",
-    "q79_session_funnel")
+    "q79_session_funnel",
+    // round-5 additions: weighted sample (top-k), containment (d7's
+    // df-capped generator), bigram-LM scoring (fan-out-1 equi-joins)
+    "c9_weighted_sample", "d16_containment", "t9_lm_score")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

@@ -29,7 +29,9 @@ class ScaleLinearitySpec extends SparkSpec {
     // batch-vs-corpus banding, g2's k-NN edge bound, g3's fixed
     // rounds, q79's window-only funnel
     "d15_incremental_dedup", "g2_triangles", "g3_bfs_hops",
-    "q79_session_funnel")
+    "q79_session_funnel",
+    // r5 new operators: c9 top-k sample, d16 containment, t9 LM score
+    "c9_weighted_sample", "d16_containment", "t9_lm_score")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
