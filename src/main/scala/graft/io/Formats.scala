@@ -35,4 +35,20 @@ object Formats {
     */
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** Raw-file ingest for the multimodal tier: one row per file with
+    * `(path, modificationTime, length, content: binary)` — the entry
+    * point that turns a bucket of images/audio into the opaque-binary
+    * + typed-metadata shape `multimodal/Multimodal` operates on.
+    * `pathGlobFilter` scopes the listing (e.g. `*.jpg`) without a
+    * second pass. Metadata-only pipelines should select everything
+    * BUT `content`: the binaryFile source prunes the payload read
+    * when the column isn't required (FormatsSpec pins this), which at
+    * 100 TB is the difference between listing a bucket and reading it.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
 }

@@ -435,7 +435,93 @@ object Similarity {
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
     GROUP BY e.query_id"""
 
+  // =========================================================================
+  // s9 — scalar-quantized (int8) scan + exact re-rank
+  // =========================================================================
+
+  private val SqCandidates = 20
+
+  /** The quantization member of the ANN family: every vector stores
+    * an int8 code (symmetric per-vector scale, `round(x·127/maxabs)`)
+    * next to its exact form; the candidate scan ranks by the
+    * quantized dot product and only the top `SqCandidates` per query
+    * pay the exact-cosine re-rank — the memory-bandwidth play real
+    * vector stores run (a 64-dim int8 code is 8× smaller than the
+    * int64-micros exact form, so the scan reads an eighth of the
+    * bytes; at 100 TB it composes with s5's IVF so the scan also
+    * touches only nprobe cells).
+    *
+    * Determinism: the approximate key `dot8 × corpus_scale` is EXACT
+    * INT64 arithmetic (the query's own scale multiplies all its
+    * candidates equally and drops out of the ranking) — no float
+    * enters until the re-rank, which reuses s1's quantized-cosine
+    * (exact integer dot + one correctly-rounded division). Zero
+    * vectors clamp scale to 1 (codes all-0, never a divide-by-zero).
+    */
+  val s9SqAnn: Q = (s, dir) => {
+    val base = quantized(s, dir)
+      .withColumn("scale8",
+        greatest(expr("aggregate(qv, 0L, (a, x) -> greatest(a, abs(x)))"), lit(1L)))
+      .withColumn("v8", expr(
+        "transform(qv, x -> cast(round(cast(x as double) * 127.0" +
+          " / cast(scale8 as double)) as bigint))"))
+    val queries = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("v8").as("q_v8"))
+    val approx = broadcast(queries)
+      .join(base, col("query_id") =!= col("vec_id"))
+      .withColumn("adot",
+        graft.plans.LongArrayDot.dot(col("q_v8"), col("v8")) * col("scale8"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adot").desc, col("vec_id"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    approx.withColumn("crank", row_number().over(wA))
+      .filter(col("crank") <= SqCandidates)
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")))
+      .withColumn("cos_sim", cosine(col("dot"), col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  val s9SqAnnSql: String = s"""
+    WITH $oracleQuantized,
+    sq AS (SELECT vec_id, qv, n2,
+             greatest(list_aggregate(list_transform(qv, x -> abs(x)), 'max'), 1) AS scale8
+           FROM qn),
+    q8 AS (SELECT *, list_transform(qv,
+             x -> CAST(round(x::DOUBLE * 127.0 / scale8::DOUBLE) AS BIGINT)) AS v8
+           FROM sq),
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2, v8 AS q_v8
+                FROM q8 WHERE vec_id % 50 = 0),
+    approx AS (
+      SELECT query_id, vec_id, q_qv, q_n2, qv, n2,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_v8, i) * list_extract(v8, i)), 'sum')
+               * scale8 AS adot
+      FROM queries JOIN q8 ON query_id <> vec_id),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adot DESC, vec_id) AS crank
+      FROM approx),
+    exact AS (
+      SELECT query_id, vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * n2::DOUBLE) AS cos_sim
+      FROM cand WHERE crank <= $SqCandidates),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM exact)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
+    "s9_sq_ann"            -> s9SqAnn,
     "s8_ann_recall"        -> s8AnnRecall,
     "s6_multiprobe_ann"    -> s6MultiprobeAnn,
     "s7_vector_stats"      -> s7VectorStats,
@@ -447,6 +533,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s9_sq_ann"            -> s9SqAnnSql,
     "s8_ann_recall"        -> s8AnnRecallSql,
     "s1_cosine_topk"       -> s1CosineTopkSql,
     "s2_lsh_buckets"       -> s2LshBucketsSql,

@@ -25,13 +25,16 @@ object PlanAudit {
   // crosses its one-row max-date anchor — all the same scalar shape
   // ...t9 crosses its one-row vocabulary-size frame (the add-one
   // smoothing denominator), q39's exact pattern
+  // ...s9's query×corpus scan is the declared quantized-scan member
+  // of the ANN family (s1's shape, 8× cheaper bytes; composes with
+  // IVF for the candidate-bounded production path)
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
       "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
       "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix",
       "s8_ann_recall", "q68_drift_report",
       "k5_pmi_collocations", "q72_rfm", "q73_basket_lift",
-      "t9_lm_score")
+      "t9_lm_score", "s9_sq_ann")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

@@ -22,6 +22,31 @@ class FormatsSpec extends SparkSpec {
       s"ORC scan did not push the filter:\n$plan")
   }
 
+  test("binaryFile ingest: one row per file, payload pruned unless selected") {
+    val dir = tmpDir("bin")
+    val payloads = Seq("img-aa" -> "AAAA", "img-bb" -> "BBBBBB", "skip-me" -> "XX")
+    payloads.foreach { case (name, body) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name + (if (name.startsWith("img")) ".jpg" else ".txt")),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    val all = Formats.readBinaryFiles(spark, dir)
+    assert(all.count() == 3)
+    // glob scopes the listing itself, not a post-filter
+    val jpgs = Formats.readBinaryFiles(spark, dir, Some("*.jpg"))
+    assert(jpgs.count() == 2)
+    val sizes = jpgs.select(col("length")).collect().map(_.getLong(0)).sorted
+    assert(sizes.toSeq == Seq(4L, 6L))
+    val content = jpgs.filter(col("path").endsWith("img-bb.jpg"))
+      .select(col("content")).head.getAs[Array[Byte]](0)
+    assert(new String(content, java.nio.charset.StandardCharsets.UTF_8) == "BBBBBB")
+    // metadata-only projection must not carry the payload column into
+    // the scan — the 100 TB list-vs-read distinction
+    val meta = jpgs.select("path", "length")
+    val read = meta.queryExecution.executedPlan.toString
+    assert(!read.contains("content"), read)
+  }
+
   test("text round-trip: one line per document") {
     val docs = Tables.load(spark, sfDir, "documents").select(
       // newlines would break line-oriented storage: strip defensively
