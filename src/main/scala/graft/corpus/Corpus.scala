@@ -106,10 +106,9 @@ object Corpus {
   private val MinShared = 2
 
   val c3Decontaminate: Q = (s, dir) => {
-    val docs = graft.dedup.Dedup
-      .withShingles(Tables.loadParallel(s, dir, "documents"))
-      .withColumn("bucket", splitBucket)
-      .select(col("doc_id"), col("bucket"), explode(col("shingles")).as("sh"))
+    val docs = graft.dedup.Dedup.shingleRows(
+      Tables.loadParallel(s, dir, "documents").withColumn("bucket", splitBucket),
+      keep = Seq("doc_id", "bucket"))
     val rare = docs.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
     // persist: the shingle pipeline feeds the df-cap aggregate plus

@@ -39,6 +39,28 @@ object Dedup {
                             coalesce(element_at(tokens, j+1), ''), ' ',
                             coalesce(element_at(tokens, j+2), ''))))"""))
 
+  /** (keep..., sh) shingle rows with the shingle transform INLINE in
+    * the generator, not projected to a column first. The inline form
+    * matters: over a named `shingles` column, InferFiltersFromGenerate
+    * adds `size(shingles) > 0`, CollapseProject inlines the whole
+    * interpreted higher-order transform into that filter (re-deriving
+    * `split` three times), and the filter then pushes below the
+    * repartition onto the parquet scan's SINGLE partition — the entire
+    * shingle computation runs serially, twice (measured 9.7s vs 0.4s
+    * at sf0.1). A non-attribute generator input skips the inference;
+    * the `tokens` projection stays separate so the split isn't
+    * re-evaluated inside the lambda.
+    */
+  private[graft] def shingleRows(docs: DataFrame,
+                                 keep: Seq[String] = Seq("doc_id", "lang")): DataFrame =
+    docs
+      .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
+      .select(keep.map(col) :+
+        explode(expr("""array_distinct(transform(sequence(1, greatest(size(tokens)-2, 1)),
+                j -> concat(element_at(tokens, j), ' ',
+                            coalesce(element_at(tokens, j+1), ''), ' ',
+                            coalesce(element_at(tokens, j+2), ''))))""")).as("sh"): _*)
+
   /** DuckDB equivalents of the two derived columns above. element_at
     * past the end is NULL in both engines but Spark's concat NULLs out
     * while DuckDB's skips — the explicit coalesce makes sub-3-token
@@ -272,10 +294,7 @@ object Dedup {
   private val DfCap = 20
 
   val d7JaccardPrefiltered: Q = (s, dir) => {
-    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"), col("shingles"))
-    val sh = docs.select(col("doc_id"), col("lang"),
-      explode(col("shingles")).as("sh"))
+    val sh = shingleRows(Tables.loadParallel(s, dir, "documents"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select("sh")
@@ -896,10 +915,7 @@ object Dedup {
     * engines, d7's precedent.
     */
   val d16Containment: Q = (s, dir) => {
-    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"), col("shingles"))
-    val sh = docs.select(col("doc_id"), col("lang"),
-      explode(col("shingles")).as("sh"))
+    val sh = shingleRows(Tables.loadParallel(s, dir, "documents"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select("sh")

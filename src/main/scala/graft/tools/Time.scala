@@ -4,11 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Local perf iteration: time a subset of the registry the same way
   * Bench does (warmup at sf0.001, best-of-3 at the target SF, noop
-  * sink). Usage: `run_class.sh graft.tools.Time <sfDir> <name>...`
+  * sink). Usage: `run_class.sh graft.tools.Time <sfDir> [-cold] <name>...`
+  *
+  * `-cold` releases registered caches between runs exactly like Bench
+  * does — without it, a query that persists an intermediate gets
+  * plan-matching cache reuse in runs 2-3 and `best` reports the warm
+  * cost, which is NOT the number Bench will print.
   */
 object Time {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, names @ _*) = args
+    val Array(sfDir, rest @ _*) = args
+    val cold = rest.contains("-cold")
+    val names = rest.filterNot(_ == "-cold")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,12 +30,18 @@ object Time {
     val sel = graft.SparkEntry.queries.filter(kv => names.contains(kv._1)).toSeq.sortBy(_._1)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-    sel.foreach { case (_, fn) => run(fn, "/root/testdata/sf0.001") }
+    def release(): Unit = if (cold) {
+      graft.core.Caching.releaseAll()
+      spark.catalog.clearCache()
+    }
+    sel.foreach { case (_, fn) => run(fn, "/root/testdata/sf0.001"); release() }
     sel.foreach { case (name, fn) =>
       val ts = Seq.fill(3) {
         val t0 = System.nanoTime()
         run(fn, sfDir)
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        release()
+        t
       }
       println(f"$name%-28s best=${ts.min}%7.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
