@@ -42,17 +42,26 @@ object Graph {
 
   /** g1 — 3-round PageRank over customer→supplier order volume. */
   val g1Pagerank: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + SuppOffset).as("dst"))
+      .repartition(col("src"))
       .distinct()
-      .registerCache()
-    // persisted: outdeg joins into every round and nodes anchors every
-    // round's left join — unpersisted, the union-distinct (a shuffle)
-    // and the degree aggregate replay once per unrolled round
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // ONE cached edge set with outdeg folded in, pre-partitioned on
+    // src: every round's edge⋈rank join then reuses the cached
+    // hash(src) layout against the rank table's hash(node) output (the
+    // previous round's left join emits exactly that partitioning), so
+    // a round's only exchange is the map-combined contribution sum —
+    // ranks are never broadcast (node grain is customer-scale, 10⁸⁺
+    // rows at 100 TB) and edges never move after the build. The build
+    // itself is one exchange: hash(src) satisfies the (src, dst)
+    // dedup's clustering AND the per-src degree window, so distinct
+    // and outdeg both ride the repartition without moving data again.
+    val edges = pairs
+      .withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .registerCache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -61,7 +70,6 @@ object Graph {
     for (_ <- 1 to Rounds) {
       val contrib = edges
         .join(ranks, col("src") === col("node"))
-        .join(outdeg, "src")
         .select(col("dst"),
           (col("rank_micro") / col("outdeg")).cast("long").as("c"))
         .groupBy("dst").agg(sum("c").as("in_micro"))
