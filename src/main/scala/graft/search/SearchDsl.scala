@@ -186,27 +186,30 @@ object SearchDsl {
     */
   val q39Bm25: (SparkSession, String) => DataFrame = (s, dir) => {
     val qterms = Seq("data", "spark", "table")
-    // one explode + one (doc_id, tag) shuffle feeds BOTH document
-    // length and query-term tf: non-query terms collapse to tag=NULL
-    // map-side (partial agg), so the corpus is scanned and shuffled
-    // once, not once per statistic
-    val g = Tables.loadParallel(s, dir, "documents")
+    // ONE doc-grain aggregate carries everything: dl plus a pinned
+    // conditional-sum column per query term, all map-side combinable,
+    // so the token stream shuffles exactly one row per document. The
+    // per-term tf rows then unfold from that cached row WITH dl
+    // already attached — no dl join — and the final per-doc score sum
+    // rides the same hash(doc_id) layout, so the whole query is one
+    // corpus exchange plus two broadcast-sized aggregates.
+    val per = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
           .as("term"))
-      .groupBy(col("doc_id"),
-        when(col("term").isin(qterms: _*), col("term")).as("tag"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        qterms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
       .registerCache()
-    val dl = g.groupBy("doc_id").agg(sum("n").as("dl"))
-    val tf = g.filter(col("tag").isNotNull)
-      .select(col("doc_id"), col("tag").as("term"), col("n").as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+    val stats = per.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum("dl") / count(lit(1))).as("avgdl"))
+    val tf = per.select(col("doc_id"), col("dl"),
+        explode(map(qterms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*))
+          .as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("score_micros", expr(
         """cast(round(1e6 * (

@@ -27,37 +27,43 @@ object Scratch {
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val docs0 = Tables.loadParallel(spark, dir, "documents")
-    t("warm: docs count") { println(docs0.count()) }
+    t("warm") { sink(Tables.load(spark, dir, "lineitem")) }
 
-    val shingleExpr =
-      """array_distinct(transform(sequence(1, greatest(size(tokens)-2, 1)),
-         j -> concat(element_at(tokens, j), ' ',
-                     coalesce(element_at(tokens, j+1), ''), ' ',
-                     coalesce(element_at(tokens, j+2), ''))))"""
-    val docs = docs0
-      .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
-      .withColumn("shingles", expr(shingleExpr))
-      .select(col("doc_id"), col("lang"), col("shingles"))
+    val SuppOffset = 1000000000L
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val edgesPlain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SuppOffset).as("dst"))
+      .distinct()
+    t("edges build") { sink(edgesPlain) }
+    t("edges count") { println(edgesPlain.count()) }
 
-    val sh = docs.select(col("doc_id"), col("lang"),
-      explode(col("shingles")).as("sh"))
-    sh.explain("formatted")
-    t("explode as-is") { sink(sh) }
+    val edges = edgesPlain.persist()
+    t("edges cache materialize") { sink(edges) }
 
-    // variant A: barrier the shingle projection from the generate
-    val docsCached = docs.persist()
-    val shA = docsCached.select(col("doc_id"), col("lang"),
-      explode(col("shingles")).as("sh"))
-    t("explode after persist") { sink(shA) }
-    docsCached.unpersist(blocking = true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    t("outdeg") { sink(outdeg) }
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    t("nodes") { sink(nodes) }
 
-    // variant B: sliding-window shingles via substring-free slice, no HOF in generate
-    val shB = docs0
-      .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
-      .select(col("doc_id"), col("lang"),
-        explode(expr(shingleExpr.replace("tokens", "tokens"))).as("sh"))
-    t("explode inline expr") { sink(shB) }
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (r <- 1 to 3) {
+      val contrib = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          (col("rank_micro") / col("outdeg")).cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_micro"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(150000L) + (lit(850000L) * coalesce(col("in_micro"), lit(0L))
+            / lit(1000000L)).cast("long")).as("rank_micro"))
+      val rr = ranks
+      t(s"after round $r cumulative") { sink(rr) }
+    }
 
     spark.stop()
   }
