@@ -28,11 +28,15 @@ object ScaleProbe {
     "q79_session_funnel",
     // round-5 additions: weighted sample (top-k), containment (d7's
     // df-capped generator), bigram-LM scoring (fan-out-1 equi-joins)
-    "c9_weighted_sample", "d16_containment", "t9_lm_score")
+    "c9_weighted_sample", "d16_containment", "t9_lm_score",
+    // iterative PageRank: rounds ride the cached hash(src) edge layout,
+    // so shuffle growth should track the edge build, not rounds×edges
+    "g1_pagerank")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
     "q36_fuzzy_pairs" -> "part",
+    "g1_pagerank" -> "lineitem",
     "g2_triangles" -> "lineitem",
     "g3_bfs_hops" -> "lineitem",
     "q79_session_funnel" -> "events").withDefaultValue("documents")
