@@ -177,7 +177,8 @@ object Registry {
     "q6_listagg_distinct" -> q6ListaggDistinct,
   ) ++ RefQueries.queries ++ graft.dedup.Dedup.queries ++
     graft.sim.Similarity.queries ++ graft.text.TextAnalysis.queries ++
-    graft.text.Keywords.queries ++ graft.multimodal.Multimodal.queries ++
+    graft.text.Keywords.queries ++ graft.text.Bpe.queries ++
+    graft.multimodal.Multimodal.queries ++
     graft.functions.KMV.queries ++ graft.corpus.Corpus.queries ++
     graft.search.SearchDsl.queries ++ graft.search.QueryIntents.queries ++
     graft.io.Scd2.queries ++
@@ -195,7 +196,8 @@ object Registry {
     "q6_listagg_distinct" -> q6ListaggDistinctSql,
   ) ++ RefQueries.oracleSql ++ graft.dedup.Dedup.oracleSql ++
     graft.sim.Similarity.oracleSql ++ graft.text.TextAnalysis.oracleSql ++
-    graft.text.Keywords.oracleSql ++ graft.multimodal.Multimodal.oracleSql ++
+    graft.text.Keywords.oracleSql ++ graft.text.Bpe.oracleSql ++
+    graft.multimodal.Multimodal.oracleSql ++
     graft.functions.KMV.oracleSql ++ graft.corpus.Corpus.oracleSql ++
     graft.search.SearchDsl.oracleSql ++ graft.search.QueryIntents.oracleSql ++
     graft.io.Scd2.oracleSql ++
