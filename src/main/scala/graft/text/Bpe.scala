@@ -73,17 +73,21 @@ object Bpe {
     (tops, v)
   }
 
+  /** Word-frequency table with the padded char-string start state. */
+  private def v0Of(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(explode(expr(
+        "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("sym",
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+      .registerCache()
+
   /** v1 — the 3-round merge table plus the top-20 learned symbols by
     * weighted frequency (the vocab tail proves the replaces applied
     * corpus-wide, not just that the argmax agreed). */
   val v1BpeMerges: Q = (s, dir) => {
-    val words = Tables.loadParallel(s, dir, "documents")
-      .select(explode(expr(
-        "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-    val v0 = words.withColumn("sym",
-        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
-      .registerCache()
+    val v0 = v0Of(s, dir)
     val (tops, vFinal) = learnMerges(v0)
     val merges = tops.zipWithIndex.map { case (t, i) =>
       t.select(lit("merge").as("kind"), lit((i + 1).toLong).as("bpe_round"),
@@ -97,6 +101,29 @@ object Bpe {
         col("s").as("left_sym"), lit(null).cast("string").as("right_sym"),
         col("cnt"))
     merges.unionByName(vocab)
+  }
+
+  /** v2 — ENCODE with the learned vocab: segment every document
+    * against the trained merge table and report per-doc subword
+    * stats. Segmentation happens ONCE PER DISTINCT WORD (the same
+    * vocab-grain table v1 trains on), then joins back to the corpus
+    * on the word key — at 100 TB that is a vocab-sized build side on
+    * a keyed join, never a per-occurrence re-derivation; the per-doc
+    * rollup rides hash(doc_id). `fertility_micro` is the tokens-per-
+    * word ratio in integer micros (the metric a tokenizer team
+    * watches when a vocab change ships). */
+  val v2BpeTokenize: Q = (s, dir) => {
+    val (_, vFinal) = learnMerges(v0Of(s, dir))
+    val seg = vFinal.select(col("word"),
+      size(expr("split(trim(sym), ' ')")).cast("long").as("n_sub"))
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("word"))
+      .join(seg, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_tokens"))
+      .withColumn("fertility_micro",
+        expr("cast(round(1e6 * cast(n_tokens as double) / n_words) as bigint)"))
   }
 
   private def roundCtes(i: Int): String = s"""
@@ -133,6 +160,29 @@ object Bpe {
       GROUP BY 3 ORDER BY cnt DESC, left_sym LIMIT $VocabTop)
     SELECT * FROM merges UNION ALL SELECT * FROM vocab"""
 
-  val queries: Map[String, Q] = Map("v1_bpe_merges" -> v1BpeMerges)
-  val oracleSql: Map[String, String] = Map("v1_bpe_merges" -> v1BpeMergesSql)
+  val v2BpeTokenizeSql: String = s"""
+    WITH words AS (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS word
+        FROM documents) GROUP BY 1),
+    v0 AS (SELECT word, n,
+             ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS sym
+           FROM words),
+    ${roundCtes(1)},
+    ${roundCtes(2)},
+    ${roundCtes(3)},
+    seg AS (SELECT word, CAST(len(str_split(trim(sym), ' ')) AS BIGINT) AS n_sub FROM v3),
+    toks AS (
+      SELECT doc_id,
+             unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS word
+      FROM documents)
+    SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+           CAST(round(1e6 * CAST(sum(n_sub) AS DOUBLE) / count(*)) AS BIGINT) AS fertility_micro
+    FROM toks JOIN seg USING (word)
+    GROUP BY doc_id"""
+
+  val queries: Map[String, Q] =
+    Map("v1_bpe_merges" -> v1BpeMerges, "v2_bpe_tokenize" -> v2BpeTokenize)
+  val oracleSql: Map[String, String] =
+    Map("v1_bpe_merges" -> v1BpeMergesSql, "v2_bpe_tokenize" -> v2BpeTokenizeSql)
 }
