@@ -28,13 +28,16 @@ object PlanAudit {
   // ...s9's query×corpus scan is the declared quantized-scan member
   // of the ANN family (s1's shape, 8× cheaper bytes; composes with
   // IVF for the candidate-bounded production path)
+  // ...v1/v2 left-join each merge round's ONE-row winner into the
+  // vocab (guarded against the empty degenerate round) — the same
+  // broadcast-scalar shape as q39/t9's stats rows, 3 rounds of it
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
       "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
       "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix",
       "s8_ann_recall", "q68_drift_report",
       "k5_pmi_collocations", "q72_rfm", "q73_basket_lift",
-      "t9_lm_score", "s9_sq_ann")
+      "t9_lm_score", "s9_sq_ann", "v1_bpe_merges", "v2_bpe_tokenize")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),
