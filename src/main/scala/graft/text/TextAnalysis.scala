@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.RegisterSyntax
 import graft.core.Tables
 
 /** Text-analysis operators over `documents` — the per-document scoring
@@ -345,13 +346,19 @@ object TextAnalysis {
     * broadcast (the allowlisted cross shape).
     */
   val t9LmScore: Q = (s, dir) => {
+    // cached: toks feeds the bigram AND unigram branches (and the
+    // cache boundary keeps the unigram explode's inferred size()>0
+    // filter reading materialized arrays instead of re-tokenizing on
+    // the scan side); grams feeds the count table AND the score join
     val toks = Tables.loadParallel(s, dir, "documents")
       .withColumn("w", expr(tokensExpr))
       .filter(size(col("w")) >= 2)
+      .registerCache()
     val grams = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(w)-1)," +
       " i -> struct(element_at(w, i) as w1, element_at(w, i+1) as w2))")).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .registerCache()
     val uni = toks.select(explode(col("w")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
