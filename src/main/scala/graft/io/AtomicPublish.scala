@@ -96,6 +96,44 @@ object AtomicPublish {
     spark.read.parquet(s"$table/v=$v")
   }
 
+  /** Read a specific committed version — the versioned layout's time
+    * travel. Uncommitted (no `_SUCCESS`) or absent versions are an
+    * error, same contract as [[readCurrent]]. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
+    val dir = new Path(s"$table/v=$v")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir, "_SUCCESS")),
+      s"version $v under $table is absent or uncommitted")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Row-level diff between two committed versions keyed by `keyCols`:
+    * one row per changed key with change = insert | delete | update.
+    * Change detection hashes the full row (minus key) on each side of
+    * ONE full outer join on the key — no column enumeration in the
+    * caller, no driver-side compare; at scale this is a single keyed
+    * shuffle of the two versions, the same cost class as the SCD2
+    * merge (q28). The version pair a retention sweep keeps is exactly
+    * what this consumes — audit of what a publish changed, after the
+    * fact. */
+  def diffVersions(spark: SparkSession, table: String, keyCols: Seq[String],
+                   vOld: Long, vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def sided(v: Long, side: String): DataFrame = {
+      val df = readVersion(spark, table, v)
+      val nonKey = df.columns.filterNot(keyCols.contains).sorted
+      df.select(keyCols.map(col) :+
+        hash(nonKey.map(col): _*).as(s"${side}_hash"): _*)
+    }
+    sided(vOld, "old").join(sided(vNew, "new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("old_hash").isNull, "insert")
+          .when(col("new_hash").isNull, "delete")
+          .when(col("old_hash") =!= col("new_hash"), "update"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   // -------------------------------------------------------------------------
   // Multi-table snapshot publish — the reference's alias flip, cross-table
   // -------------------------------------------------------------------------

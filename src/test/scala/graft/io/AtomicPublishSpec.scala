@@ -64,6 +64,33 @@ class AtomicPublishSpec extends SparkSpec {
     assert(spark.read.parquet(s"$table/v=1").count() == nation.count())
   }
 
+  test("version diff: insert/delete/update per key between snapshots") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("atomic-diff") + "/nation"
+    val nation = Tables.load(spark, sfDir, "nation")
+    AtomicPublish.publishVersioned(nation.filter(col("n_nationkey") < 20), table)
+    // v2: drop key 0 (delete), keep 1..19 but rewrite key 5's name
+    // (update), add keys 20.. (inserts)
+    val v2 = nation.filter(col("n_nationkey") >= 1)
+      .withColumn("n_name",
+        when(col("n_nationkey") === 5, lit("rewritten")).otherwise(col("n_name")))
+    AtomicPublish.publishVersioned(v2, table)
+
+    val diff = AtomicPublish.diffVersions(spark, table, Seq("n_nationkey"), 1L, 2L)
+      .collect().map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val inserts = nation.filter(col("n_nationkey") >= 20)
+      .select("n_nationkey").collect().map(_.getInt(0).toLong).toSet
+    assert(diff(0L) == "delete")
+    assert(diff(5L) == "update")
+    assert(inserts.nonEmpty && inserts.forall(k => diff(k) == "insert"))
+    // unchanged keys do not appear
+    assert(diff.size == inserts.size + 2, s"unexpected rows: $diff")
+    // uncommitted/absent versions are an error, not an empty frame
+    intercept[IllegalArgumentException] {
+      AtomicPublish.readVersion(spark, table, 9L)
+    }
+  }
+
   test("snapshot publish: readers never see a torn cross-table state") {
     val base = tmpDir("atomic-snap")
     val nation = Tables.load(spark, sfDir, "nation")
