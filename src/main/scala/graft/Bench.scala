@@ -36,6 +36,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; 138 queries
+      // x ~20 codegen stages evict everything every pass, so the
+      // warmup's compilation work is thrown away and each measured
+      // sample re-Janino-compiles its whole plan. Steady-state
+      // throughput (what this harness measures) assumes warm codegen.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
