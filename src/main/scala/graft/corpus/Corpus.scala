@@ -390,7 +390,51 @@ object Corpus {
     SELECT doc_id, source, lang, n_chars, key_micro
     FROM k ORDER BY key_micro, doc_id LIMIT $WeightedN"""
 
+  /** c10 — LEAKAGE-SAFE split: c1's content-stable hash split, but
+    * decided by the near-dup CLUSTER representative, so a document and
+    * its near-duplicates land in the SAME split by construction.
+    * Doc-level splitting (c1 alone) leaks: a train doc's near-dup in
+    * the eval split inflates eval scores exactly like c3's verbatim
+    * contamination — cluster-level assignment is the standard fix, and
+    * it composes two operators the engine already has (d8's components
+    * over d3's LSH pairs, c1's md5 bucket).
+    *
+    * Scale: components is the d8 loop (edge-list-sized, keyed rounds);
+    * the split itself is a map stage over (doc_id → component) plus
+    * one keyed left join of the corpus onto the component labels —
+    * singletons (docs with no near-dup pair) default to their own id,
+    * so the label table is only as big as the dup-pair node set.
+    */
+  val c10LeakageSafeSplit: Q = (s, dir) => {
+    val comp = graft.dedup.Dedup
+      .components(graft.dedup.Dedup.d3LshPairs(s, dir))
+      .select(col("doc_id"), col("component"))
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("bucket", expr(
+        "cast(conv(substr(md5(cast(component as string)), 1, 4), 16, 10) as bigint) % 1000"))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+  }
+
+  val c10LeakageSafeSplitSql: String = s"""${graft.dedup.Dedup.componentsCte},
+    labeled AS (
+      SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+    SELECT doc_id, component,
+           ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))::BIGINT % 1000 AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))::BIGINT % 1000 < 900 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))::BIGINT % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled"""
+
   val queries: Map[String, Q] = Map(
+    "c10_leakage_safe_split" -> c10LeakageSafeSplit,
     "c9_weighted_sample" -> c9WeightedSample,
     "c8_packing_stats" -> c8PackingStats,
     "c7_temperature_mix" -> c7TemperatureMix,
@@ -403,6 +447,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c10_leakage_safe_split" -> c10LeakageSafeSplitSql,
     "c9_weighted_sample" -> c9WeightedSampleSql,
     "c8_packing_stats" -> c8PackingStatsSql,
     "c7_temperature_mix" -> c7TemperatureMixSql,

@@ -491,7 +491,7 @@ object Dedup {
        AND a.doc_id < b.doc_id)"""
   }
 
-  private val componentsCte: String =
+  private[graft] val componentsCte: String =
     s"""WITH RECURSIVE $bandsPairsCte,
     sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION SELECT doc_b, doc_a FROM pairs),
