@@ -960,7 +960,80 @@ object Dedup {
     SELECT contained_id, container_id, containment
     FROM both_dirs WHERE containment >= $ContainmentThreshold"""
 
+  // =========================================================================
+  // d17 — exact-substring span dedup via winnowing fingerprints
+  // =========================================================================
+
+  private val SpanK = 10   // tokens per exact span (k-gram)
+  private val SpanW = 4    // winnowing window (k-gram hashes per window)
+  private val SpanDfCap = 64 // fingerprint document-frequency cap
+
+  /** Exact contiguous-span dedup — the suffix-array question ("do these
+    * docs share a verbatim run of ≥ k tokens?") answered with MOSS-style
+    * winnowing instead of a suffix array, because winnowing is a pure
+    * map + bounded window per document and distributes for free.
+    *
+    * Per doc: hash every k-token gram (md5 of the joined span, so a
+    * fingerprint match IS a verbatim span match), then keep only each
+    * trailing-window minimum — ~2/(W+1) of the k-gram hashes survive,
+    * yet any shared run of ≥ W+K-1 tokens is guaranteed to surface a
+    * common fingerprint (the winnowing guarantee). Candidate pairs form
+    * by equi-join on fingerprint; a document-frequency cap bounds the
+    * fan-out per fingerprint exactly like d7's stop-shingle prefilter —
+    * that cap is the 100 TB knob (boilerplate spans hit millions of
+    * docs; they are dedup-useless and get dropped before the join).
+    *
+    * Scale shape: one narrow map + per-doc bounded window (partition =
+    * one document's grams, never global), one shuffle on fingerprint
+    * shared by the df-count and the pair join. No driver state.
+    */
+  val d17SpanDedup: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
+      .filter(size(col("tokens")) >= SpanK)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(tokens)-$SpanK+1),
+              j -> cast(conv(substr(md5(array_join(slice(tokens, j, $SpanK), ' ')), 1, 15), 16, 10) as bigint) % $P)"""))
+          .as(Seq("j", "h")))
+    val fp = grams
+      .withColumn("fp", min("h").over(
+        Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, SpanW - 1)))
+      .select("doc_id", "fp").distinct()
+      .registerCache()
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SpanDfCap)
+      .select("fp")
+    val kept = fp.join(rare, "fp")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val d17SpanDedupSql: String = s"""
+    WITH t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    kg AS (
+      SELECT doc_id, len(tokens) - $SpanK + 1 AS m,
+             list_transform(range(1, greatest(len(tokens)-$SpanK+1, 0)+1),
+               j -> ('0x' || substr(md5(array_to_string(tokens[j:j+$SpanK-1], ' ')), 1, 15))::BIGINT % $P) AS hs
+      FROM t WHERE len(tokens) >= $SpanK),
+    pos AS (SELECT doc_id, hs[j] AS h, j FROM kg, unnest(range(1, m+1)) AS r(j)),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY j
+                          ROWS BETWEEN CURRENT ROW AND ${SpanW - 1} FOLLOWING) AS fp
+      FROM pos),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $SpanDfCap),
+    kept AS (SELECT f.* FROM fp f JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "d17_span_dedup" -> d17SpanDedup,
     "d16_containment" -> d16Containment,
     "d15_incremental_dedup" -> d15IncrementalDedup,
     "d14_family_agreement" -> d14FamilyAgreement,
@@ -980,6 +1053,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d17_span_dedup" -> d17SpanDedupSql,
     "d16_containment" -> d16ContainmentSql,
     "d15_incremental_dedup" -> d15IncrementalDedupSql,
     "d14_family_agreement" -> d14FamilyAgreementSql,

@@ -31,7 +31,10 @@ object ScaleProbe {
     "c9_weighted_sample", "d16_containment", "t9_lm_score",
     // iterative PageRank: rounds ride the cached hash(src) edge layout,
     // so shuffle growth should track the edge build, not rounds×edges
-    "g1_pagerank")
+    "g1_pagerank",
+    // winnowing span dedup: fingerprint density ~2/(W+1) of k-grams,
+    // pair join df-capped — should track corpus size, not pairs
+    "d17_span_dedup")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

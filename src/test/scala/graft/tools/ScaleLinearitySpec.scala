@@ -30,8 +30,10 @@ class ScaleLinearitySpec extends SparkSpec {
     // rounds, q79's window-only funnel
     "d15_incremental_dedup", "g2_triangles", "g3_bfs_hops",
     "q79_session_funnel",
-    // r5 new operators: c9 top-k sample, d16 containment, t9 LM score
-    "c9_weighted_sample", "d16_containment", "t9_lm_score")
+    // r5 new operators: c9 top-k sample, d16 containment, t9 LM score,
+    // d17 winnowing span dedup (df-capped fingerprint join)
+    "c9_weighted_sample", "d16_containment", "t9_lm_score",
+    "d17_span_dedup")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
