@@ -60,11 +60,22 @@ object Bench {
     }
 
     // Warmup at the smallest SF: pays codegen + JIT once, off the clock.
+    // A query that can't even analyze must be NAMED here, on the first
+    // pass — swallowing it silently means the failure only surfaces as a
+    // -1 in the JSON tail (r5: 7 broken queries hid until the artifact).
     val warmDir = "/root/testdata/sf0.001"
-    queries.foreach { case (_, fn) =>
-      try run(fn, warmDir) catch { case _: Throwable => () }
+    val warmFailed = collection.mutable.ListBuffer.empty[String]
+    queries.foreach { case (name, fn) =>
+      try run(fn, warmDir) catch { case e: Throwable =>
+        warmFailed += name
+        System.err.println(
+          s"[bench] warmup FAILED $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
       release()
     }
+    if (warmFailed.nonEmpty)
+      System.err.println(
+        s"[bench] ${warmFailed.size} queries failed warmup: ${warmFailed.mkString(", ")}")
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

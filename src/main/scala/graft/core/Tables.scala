@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the TESTDATA star schema (see /root/repo/TESTDATA.md).
   *
@@ -18,14 +18,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // TESTDATA's events.ts is parquet TIMESTAMP(NANOS), which Spark's
-    // vectorized reader rejects. Sessions set
-    // spark.sql.legacy.parquet.nanosAsLong, so it arrives as a long of
-    // epoch nanos; integer-divide (not /, which would go through double
-    // and lose precision above 2^53) down to micros.
+    // events.ts has drifted across TESTDATA generations:
+    //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; Sessions
+    //    sets spark.sql.legacy.parquet.nanosAsLong so it arrives as a long
+    //    of epoch nanos. Integer-divide (not /, which would go through
+    //    double and lose precision above 2^53) down to micros.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as TIMESTAMP_NTZ,
+    //    which unix_micros/unix_millis/window functions reject. Cast to
+    //    TIMESTAMP (LTZ) — an exact wall-clock reinterpretation only
+    //    because the session zone is pinned to UTC, so require it.
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP is only exact under a UTC session time zone")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 

@@ -37,8 +37,19 @@ object Time {
       graft.core.Caching.releaseAll()
       spark.catalog.clearCache()
     }
-    sel.foreach { case (_, fn) => run(fn, "/root/testdata/sf0.001"); release() }
-    sel.foreach { case (name, fn) =>
+    // Fail fast and LOUD: a query that can't analyze is named here with
+    // its error, instead of dying anonymously mid-timing-loop.
+    val warm = sel.filter { case (name, fn) =>
+      val ok =
+        try { run(fn, "/root/testdata/sf0.001"); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[time] warmup FAILED $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+          false
+        }
+      release()
+      ok
+    }
+    warm.foreach { case (name, fn) =>
       val ts = Seq.fill(3) {
         val t0 = System.nanoTime()
         run(fn, sfDir)
