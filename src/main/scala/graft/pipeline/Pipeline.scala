@@ -91,7 +91,12 @@ object Pipeline {
           while (outcome.isEmpty && attempt <= job.retries) {
             attempt += 1
             try {
-              val rows = job.body(spark, dt)
+              // A job body that routes through registering query paths
+              // (graft.core.Caching.register) must not leak cached
+              // blocks into a long-lived DAG server: release per
+              // attempt, success or failure, same guarantee Bench and
+              // Verify give per query.
+              val rows = graft.core.Caching.withReleased(job.body(spark, dt))
               outcome = Some(Result(job.name, Succeeded, rows, attempt, None))
             } catch {
               case NonFatal(e) if attempt > job.retries =>

@@ -34,7 +34,12 @@ object ScaleProbe {
     "g1_pagerank",
     // winnowing span dedup: fingerprint density ~2/(W+1) of k-grams,
     // pair join df-capped — should track corpus size, not pairs
-    "d17_span_dedup")
+    "d17_span_dedup",
+    // round-6 additions (r5 verdict #5): BPE train/encode iterate on
+    // the vocab grain (one corpus exchange), s9's int8 scan + re-rank,
+    // c10's cluster-keyed split, q45's max_by latest-per-key
+    "v1_bpe_merges", "v2_bpe_tokenize", "s9_sq_ann",
+    "c10_leakage_safe_split", "q45_latest_per_key")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -42,7 +47,9 @@ object ScaleProbe {
     "g1_pagerank" -> "lineitem",
     "g2_triangles" -> "lineitem",
     "g3_bfs_hops" -> "lineitem",
-    "q79_session_funnel" -> "events").withDefaultValue("documents")
+    "q79_session_funnel" -> "events",
+    "q45_latest_per_key" -> "events",
+    "s9_sq_ann" -> "embeddings").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

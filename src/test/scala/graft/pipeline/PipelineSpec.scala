@@ -68,4 +68,22 @@ class PipelineSpec extends SparkSpec {
     val res = Pipeline.run(spark, Seq(flaky), monday, log)
     assert(res.head.status == Succeeded && res.head.attempts == 2 && res.head.rows == 5L)
   }
+
+  test("jobs using registering query paths leave the cache manager empty") {
+    val log = tmpDir("runlog") + "/log"
+    val caching = Job("caching", "tbl_caching")((s, _) => {
+      import graft.core.Caching.RegisterSyntax
+      val df = graft.core.Tables.load(s, sfDir, "nation").registerCache()
+      df.count()
+    })
+    val failing = Job("leaky_fail", "tbl_leaky", Daily, Nil, retries = 0)((s, _) => {
+      import graft.core.Caching.RegisterSyntax
+      graft.core.Tables.load(s, sfDir, "region").registerCache().count()
+      throw new RuntimeException("after registering")
+    })
+    val res = Pipeline.run(spark, Seq(caching, failing), monday, log)
+    assert(res.map(_.status) == Seq(Succeeded, Failed))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Pipeline.run must release registered caches per attempt, success or failure")
+  }
 }

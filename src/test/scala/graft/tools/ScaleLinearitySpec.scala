@@ -33,7 +33,14 @@ class ScaleLinearitySpec extends SparkSpec {
     // r5 new operators: c9 top-k sample, d16 containment, t9 LM score,
     // d17 winnowing span dedup (df-capped fingerprint join)
     "c9_weighted_sample", "d16_containment", "t9_lm_score",
-    "d17_span_dedup")
+    "d17_span_dedup",
+    // r6 (r5 verdict #5): BPE train + encode (vocab-grain rounds, one
+    // corpus exchange), c10 cluster-keyed split, q45 max_by
+    // latest-per-key. s9 is probed in scale_probe.json (exp 1.22 over
+    // the 4× embeddings step) but not pinned here: its scan stage is
+    // the DECLARED brute-force baseline whose linear twin is s5's IVF.
+    "v1_bpe_merges", "v2_bpe_tokenize", "c10_leakage_safe_split",
+    "q45_latest_per_key")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
