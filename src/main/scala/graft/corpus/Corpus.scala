@@ -433,7 +433,80 @@ object Corpus {
                 ELSE 'test' END AS split
     FROM labeled"""
 
+  // =========================================================================
+  // c11 — token-budget epoch mixing (deterministic fractional epochs)
+  // =========================================================================
+
+  /** Fill a fixed training-token budget across sources: each source
+    * gets a budget share proportional to sqrt(its token mass)
+    * (temperature T=2 over tokens — up-weights small sources), and its
+    * docs repeat `budget_share / source_tokens` epochs. The fractional
+    * epoch is realized per-doc by a deterministic md5 gate — a doc is
+    * in the extra copy iff its hash bucket < frac — so the mix is
+    * reproducible, shuffle-free past one |sources|-row aggregate, and
+    * stable under corpus growth (same reasons as c1's hash split; no
+    * rand(), no seed-order dependence). Integer arithmetic throughout:
+    * sqrt is correctly-rounded IEEE in both engines (c7 precedent),
+    * everything after is long division.
+    *
+    * 100 TB shape: one count shuffle to the source grain, a broadcast
+    * of the |sources|-row epoch table back onto the corpus, then pure
+    * map. The replicated stream (n_copies per doc) feeds c6-style
+    * packing without ever materializing the repeats wide.
+    */
+  private val TokenBudget = 2000000L
+
+  private val docTokens: Column =
+    expr("size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '))")
+
+  private val microBucket: Column =
+    expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 1000000")
+
+  val c11TokenBudgetMix: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), docTokens.as("doc_tokens"))
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("doc_tokens")).as("src_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = perSource.agg(sum("w_micro").as("tot_w"))
+    val epochs = perSource.crossJoin(broadcast(tot))
+      .withColumn("src_budget",
+        expr(s"$TokenBudget * w_micro div tot_w"))
+      .withColumn("epochs_micro",
+        expr("src_budget * 1000000 div src_tokens"))
+      .select("source", "src_tokens", "epochs_micro")
+    docs.join(broadcast(epochs), "source")
+      .select(
+        col("doc_id"), col("source"), col("doc_tokens"),
+        col("src_tokens"), col("epochs_micro"),
+        (expr("epochs_micro div 1000000") +
+          when(microBucket < expr("epochs_micro % 1000000"), 1L).otherwise(0L))
+          .cast("long").as("n_copies"))
+  }
+
+  val c11TokenBudgetMixSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS doc_tokens
+      FROM documents),
+    ps AS (SELECT source, CAST(SUM(doc_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY 1),
+    w AS (SELECT source, src_tokens,
+                 CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+          FROM ps),
+    t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+    e AS (SELECT source, src_tokens,
+                 ($TokenBudget * w_micro // tot_w) * 1000000 // src_tokens AS epochs_micro
+          FROM w CROSS JOIN t)
+    SELECT d.doc_id, d.source, d.doc_tokens, e.src_tokens, e.epochs_micro,
+           CAST(epochs_micro // 1000000
+                + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+                            < epochs_micro % 1000000
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM d JOIN e USING (source)"""
+
   val queries: Map[String, Q] = Map(
+    "c11_token_budget_mix" -> c11TokenBudgetMix,
     "c10_leakage_safe_split" -> c10LeakageSafeSplit,
     "c9_weighted_sample" -> c9WeightedSample,
     "c8_packing_stats" -> c8PackingStats,
@@ -447,6 +520,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c11_token_budget_mix" -> c11TokenBudgetMixSql,
     "c10_leakage_safe_split" -> c10LeakageSafeSplitSql,
     "c9_weighted_sample" -> c9WeightedSampleSql,
     "c8_packing_stats" -> c8PackingStatsSql,

@@ -244,11 +244,102 @@ object Graph {
       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
     GROUP BY node"""
 
+
+  /** g4 — synchronous label propagation (2 fixed rounds) over g2's
+    * top-k co-supply graph: community detection by iterated
+    * neighbor-majority vote, the classic LPA primitive (Raghavan et
+    * al. 2007) a dedup/recommendation tier uses to group entities
+    * without a cluster count in advance.
+    *
+    * Determinism: labels are node ids (ints); each round every node
+    * adopts the most frequent label among its neighbors with ties
+    * broken toward the SMALLEST label — argmax realized as a
+    * row_number over (count DESC, label ASC), identical in both
+    * engines, so synchronous LPA (normally noted for order-dependence)
+    * is exactly reproducible here.
+    *
+    * Scale shape: the same k-NN sparsified edge list as g2 (|E| ≤
+    * 2k·|suppliers| by construction), cached once; each round is one
+    * edge⋈label equi-join + one (src,label) count + one per-src window
+    * — all keyed on src, no driver action, rounds unrolled into one
+    * lazy plan (g1's discipline).
+    */
+  val g4LabelProp: Q = (s, dir) => {
+    val ps = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
+    val shared = ps.as("a")
+      .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sp") =!= col("b.sp"))
+      .select(col("a.sp").as("u"), col("b.sp").as("v"))
+      .repartition(col("u"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy("u")
+      .orderBy(col("shared").desc, col("v"))
+    val und = shared
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(least(col("u"), col("v")).as("eu"),
+        greatest(col("u"), col("v")).as("ev"))
+      .distinct()
+    val edges = und.select(col("eu").as("src"), col("ev").as("dst"))
+      .unionByName(und.select(col("ev").as("src"), col("eu").as("dst")))
+      .registerCache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 2) {
+      val cnt = edges.join(labels, col("dst") === col("node"))
+        .groupBy("src", "label").agg(count(lit(1)).as("cnt"))
+      val pick = Window.partitionBy("src")
+        .orderBy(col("cnt").desc, col("label"))
+      labels = cnt.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("community")))
+  }
+
+  val g4LabelPropSql: String = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+        SELECT src AS node, label FROM (
+          SELECT e.src, l.label, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY e.src
+                                    ORDER BY count(*) DESC, l.label) AS rn
+          FROM edges e JOIN $prev l ON e.dst = l.node
+          GROUP BY e.src, l.label)
+        WHERE rn = 1)"""
+    s"""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+    shared AS (
+      SELECT a.sp AS u, b.sp AS v, count(*) AS shared
+      FROM ps a JOIN ps b ON a.p = b.p AND a.sp <> b.sp
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT u, v,
+             row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS rk
+      FROM shared),
+    und AS (
+      SELECT DISTINCT least(u, v) AS eu, greatest(u, v) AS ev
+      FROM topk WHERE rk <= 3),
+    edges AS (SELECT eu AS src, ev AS dst FROM und
+              UNION ALL SELECT ev, eu FROM und),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    ${round("l0", "l1")},
+    ${round("l1", "l2")}
+    SELECT node, label AS community,
+           count(*) OVER (PARTITION BY label) AS community_size
+    FROM l2"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "g4_label_prop" -> g4LabelProp,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g4_label_prop" -> g4LabelPropSql,
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,
     "g3_bfs_hops" -> g3BfsHopsSql)

@@ -399,7 +399,80 @@ object TextAnalysis {
              / CAST(COUNT(*) AS DOUBLE) AS mean_lp_micro
     FROM scored GROUP BY doc_id"""
 
+  // =========================================================================
+  // t10 — Gopher/MassiveText-style document quality rules
+  // =========================================================================
+
+  /** The standard repetition-free quality gate from the Gopher /
+    * MassiveText pipeline (Rae et al. 2021, §A1.1 — public paper):
+    * word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * bullet/ellipsis line shares, alphabetic-word share, and a minimum
+    * number of distinct required stopwords. Pure per-row map stage, no
+    * shuffle; every ratio test is integer cross-multiplication so the
+    * oracle matches bit-exactly (no division, no doubles). At 100 TB
+    * this runs inside the scan's whole-stage codegen and the filter
+    * column prunes to (text) only.
+    */
+  val t10GopherRules: Q = (s, dir) => {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(w => s"'$w'").mkString(", ")
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr(tokensExpr))
+      .withColumn("lines", expr("split(text, '\n')"))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_words"),
+        expr("aggregate(tokens, cast(0 as bigint), (a, t) -> a + length(t))")
+          .as("word_chars"),
+        expr("size(regexp_extract_all(text, '#', 0))").as("n_symbol"),
+        expr("size(filter(tokens, t -> t rlike '[a-zA-Z]'))").as("n_alpha_words"),
+        expr(s"size(filter(array($stopArr), w -> array_contains(tokens, w)))")
+          .as("n_stop_distinct"),
+        size(col("lines")).as("n_lines"),
+        expr("size(filter(lines, l -> startswith(trim(l), '-') or startswith(trim(l), '*')))")
+          .as("n_bullet"),
+        expr("size(filter(lines, l -> endswith(trim(l), '...')))")
+          .as("n_ellipsis_end"))
+      .withColumn("kept",
+        col("n_words").between(50, 100000) &&
+        col("word_chars") >= col("n_words") * 3 &&
+        col("word_chars") <= col("n_words") * 10 &&
+        col("n_symbol") * 10 < col("n_words") &&
+        col("n_bullet") * 10 < col("n_lines") * 9 &&
+        col("n_ellipsis_end") * 10 < col("n_lines") * 3 &&
+        col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+        col("n_stop_distinct") >= 2)
+  }
+
+  val t10GopherRulesSql: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $oracleTokens AS tokens,
+                      str_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (SELECT doc_id,
+            len(tokens) AS n_words,
+            CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS word_chars,
+            len(regexp_extract_all(text, '#')) AS n_symbol,
+            len(list_filter(tokens, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha_words,
+            len(list_filter([$stopArr], w -> list_contains(tokens, w))) AS n_stop_distinct,
+            len(lines) AS n_lines,
+            len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS n_bullet,
+            len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS n_ellipsis_end
+          FROM t)
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+           AND n_symbol * 10 < n_words
+           AND n_bullet * 10 < n_lines * 9
+           AND n_ellipsis_end * 10 < n_lines * 3
+           AND n_alpha_words * 5 >= n_words * 4
+           AND n_stop_distinct >= 2 AS kept
+    FROM m"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "t10_gopher_rules" -> t10GopherRules,
     "t9_lm_score" -> t9LmScore,
     "t8_rolling_fingerprint" -> t8RollingFingerprint,
     "t7_lexical_diversity" -> t7LexicalDiversity,
@@ -412,6 +485,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t10_gopher_rules" -> t10GopherRulesSql,
     "t9_lm_score" -> t9LmScoreSql,
     "t8_rolling_fingerprint" -> t8RollingFingerprintSql,
     "t7_lexical_diversity" -> t7LexicalDiversitySql,
