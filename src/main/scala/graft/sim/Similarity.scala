@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.RegisterSyntax
 import graft.core.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -520,7 +521,328 @@ object Similarity {
     SELECT query_id, rank, vec_id AS neighbor_id, cos_sim
     FROM ranked WHERE rank <= 5"""
 
+  // =========================================================================
+  // s11 — integer-exact distributed k-means (Lloyd, fixed rounds)
+  // =========================================================================
+
+  /** K-means over the embedding corpus with every step in int64
+    * arithmetic, so the notoriously order-dependent float Lloyd loop
+    * becomes bit-reproducible across engines: components are offset to
+    * positive millionths (distances are offset-invariant; positivity
+    * makes Spark's `div` and DuckDB's `//` agree — they differ on
+    * negatives), centroid update is per-dim `sum div count`, and
+    * assignment argmin is `min(dist2*16 + cid)` — one bigint min, ties
+    * to the lower centroid id.
+    *
+    * Scale shape: the codebook (k=8 rows) lives in ONE collected-array
+    * row, broadcast; assignment is a pure map stage (no crossJoin at
+    * the vector grain, no per-vector groupBy — the argmin folds over
+    * the in-row codebook array). Each update is one map-side-combined
+    * aggregate to k rows with 64 per-dim sums — the classic
+    * distributed-k-means reduce. 2 Lloyd rounds + a final E-step,
+    * unrolled into one lazy plan, no driver iteration.
+    */
+  private val KmOffset = 1000000L
+
+  private def kmVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "embeddings")
+      .withColumn("ov",
+        expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint) + $KmOffset)"))
+      .select("vec_id", "ov")
+
+  /** One row: the k centroids as a sorted array of (cid, cv) structs. */
+  private def kmPack(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+
+  /** Map-stage E-step: argmin over the broadcast in-row codebook. */
+  private def kmAssign(vectors: DataFrame, packed: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(packed))
+      .withColumn("mk", expr(
+        """array_min(transform(cents, c ->
+             aggregate(zip_with(ov, c.cv, (x, y) -> (x - y) * (x - y)),
+                       cast(0 as bigint), (a, x) -> a + x) * 16 + c.cid))"""))
+      .select(col("vec_id"), col("ov"),
+        expr("mk % 16").as("cid"), expr("mk div 16").as("d2"))
+
+  /** M-step: per-dim integer mean, one aggregate to k rows. */
+  private def kmUpdate(assigned: DataFrame): DataFrame = {
+    val grouped = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(expr("element_at(ov, 1)")).as("s1"), sum(expr("element_at(ov, 2)")).as("s2"), sum(expr("element_at(ov, 3)")).as("s3"), sum(expr("element_at(ov, 4)")).as("s4"), sum(expr("element_at(ov, 5)")).as("s5"), sum(expr("element_at(ov, 6)")).as("s6"), sum(expr("element_at(ov, 7)")).as("s7"), sum(expr("element_at(ov, 8)")).as("s8"), sum(expr("element_at(ov, 9)")).as("s9"), sum(expr("element_at(ov, 10)")).as("s10"), sum(expr("element_at(ov, 11)")).as("s11"), sum(expr("element_at(ov, 12)")).as("s12"), sum(expr("element_at(ov, 13)")).as("s13"), sum(expr("element_at(ov, 14)")).as("s14"), sum(expr("element_at(ov, 15)")).as("s15"), sum(expr("element_at(ov, 16)")).as("s16"), sum(expr("element_at(ov, 17)")).as("s17"), sum(expr("element_at(ov, 18)")).as("s18"), sum(expr("element_at(ov, 19)")).as("s19"), sum(expr("element_at(ov, 20)")).as("s20"), sum(expr("element_at(ov, 21)")).as("s21"), sum(expr("element_at(ov, 22)")).as("s22"), sum(expr("element_at(ov, 23)")).as("s23"), sum(expr("element_at(ov, 24)")).as("s24"), sum(expr("element_at(ov, 25)")).as("s25"), sum(expr("element_at(ov, 26)")).as("s26"), sum(expr("element_at(ov, 27)")).as("s27"), sum(expr("element_at(ov, 28)")).as("s28"), sum(expr("element_at(ov, 29)")).as("s29"), sum(expr("element_at(ov, 30)")).as("s30"), sum(expr("element_at(ov, 31)")).as("s31"), sum(expr("element_at(ov, 32)")).as("s32"), sum(expr("element_at(ov, 33)")).as("s33"), sum(expr("element_at(ov, 34)")).as("s34"), sum(expr("element_at(ov, 35)")).as("s35"), sum(expr("element_at(ov, 36)")).as("s36"), sum(expr("element_at(ov, 37)")).as("s37"), sum(expr("element_at(ov, 38)")).as("s38"), sum(expr("element_at(ov, 39)")).as("s39"), sum(expr("element_at(ov, 40)")).as("s40"), sum(expr("element_at(ov, 41)")).as("s41"), sum(expr("element_at(ov, 42)")).as("s42"), sum(expr("element_at(ov, 43)")).as("s43"), sum(expr("element_at(ov, 44)")).as("s44"), sum(expr("element_at(ov, 45)")).as("s45"), sum(expr("element_at(ov, 46)")).as("s46"), sum(expr("element_at(ov, 47)")).as("s47"), sum(expr("element_at(ov, 48)")).as("s48"), sum(expr("element_at(ov, 49)")).as("s49"), sum(expr("element_at(ov, 50)")).as("s50"), sum(expr("element_at(ov, 51)")).as("s51"), sum(expr("element_at(ov, 52)")).as("s52"), sum(expr("element_at(ov, 53)")).as("s53"), sum(expr("element_at(ov, 54)")).as("s54"), sum(expr("element_at(ov, 55)")).as("s55"), sum(expr("element_at(ov, 56)")).as("s56"), sum(expr("element_at(ov, 57)")).as("s57"), sum(expr("element_at(ov, 58)")).as("s58"), sum(expr("element_at(ov, 59)")).as("s59"), sum(expr("element_at(ov, 60)")).as("s60"), sum(expr("element_at(ov, 61)")).as("s61"), sum(expr("element_at(ov, 62)")).as("s62"), sum(expr("element_at(ov, 63)")).as("s63"), sum(expr("element_at(ov, 64)")).as("s64"))
+    grouped.select(col("cid"), array(expr("s1 div n"), expr("s2 div n"), expr("s3 div n"), expr("s4 div n"), expr("s5 div n"), expr("s6 div n"), expr("s7 div n"), expr("s8 div n"), expr("s9 div n"), expr("s10 div n"), expr("s11 div n"), expr("s12 div n"), expr("s13 div n"), expr("s14 div n"), expr("s15 div n"), expr("s16 div n"), expr("s17 div n"), expr("s18 div n"), expr("s19 div n"), expr("s20 div n"), expr("s21 div n"), expr("s22 div n"), expr("s23 div n"), expr("s24 div n"), expr("s25 div n"), expr("s26 div n"), expr("s27 div n"), expr("s28 div n"), expr("s29 div n"), expr("s30 div n"), expr("s31 div n"), expr("s32 div n"), expr("s33 div n"), expr("s34 div n"), expr("s35 div n"), expr("s36 div n"), expr("s37 div n"), expr("s38 div n"), expr("s39 div n"), expr("s40 div n"), expr("s41 div n"), expr("s42 div n"), expr("s43 div n"), expr("s44 div n"), expr("s45 div n"), expr("s46 div n"), expr("s47 div n"), expr("s48 div n"), expr("s49 div n"), expr("s50 div n"), expr("s51 div n"), expr("s52 div n"), expr("s53 div n"), expr("s54 div n"), expr("s55 div n"), expr("s56 div n"), expr("s57 div n"), expr("s58 div n"), expr("s59 div n"), expr("s60 div n"), expr("s61 div n"), expr("s62 div n"), expr("s63 div n"), expr("s64 div n")).as("cv"))
+  }
+
+  val s11Kmeans: Q = (s, dir) => {
+    val vs = kmVectors(s, dir)
+    val c0 = vs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("ov").as("cv"))
+    val c1 = kmUpdate(kmAssign(vs, kmPack(c0)))
+    val c2 = kmUpdate(kmAssign(vs, kmPack(c1)))
+    kmAssign(vs, kmPack(c2))
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+  }
+
+  val s11KmeansSql: String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+        SELECT vec_id, ov, mk % 16 AS cid, mk // 16 AS d2 FROM (
+          SELECT vec_id, ov,
+                 CAST(list_min(list_transform(cents, c ->
+                   list_aggregate(list_transform(range(1, $Dim + 1),
+                     i -> (ov[i] - struct_extract(c, 'cv')[i])
+                        * (ov[i] - struct_extract(c, 'cv')[i])), 'sum')
+                   * 16 + struct_extract(c, 'cid'))) AS BIGINT) AS mk
+          FROM ov CROSS JOIN $cents))"""
+    def update(assigned: String, out: String) =
+      s"""$out AS (
+        SELECT cid,
+               [CAST(SUM(ov[1]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[2]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[3]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[4]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[5]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[6]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[7]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[8]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[9]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[10]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[11]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[12]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[13]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[14]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[15]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[16]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[17]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[18]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[19]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[20]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[21]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[22]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[23]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[24]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[25]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[26]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[27]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[28]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[29]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[30]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[31]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[32]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[33]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[34]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[35]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[36]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[37]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[38]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[39]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[40]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[41]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[42]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[43]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[44]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[45]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[46]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[47]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[48]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[49]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[50]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[51]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[52]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[53]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[54]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[55]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[56]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[57]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[58]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[59]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[60]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[61]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[62]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[63]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(ov[64]) // COUNT(*) AS BIGINT)] AS cv
+        FROM $assigned GROUP BY cid)"""
+    def pack(centroids: String, out: String) =
+      s"$out AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cents FROM $centroids)"
+    s"""
+    WITH ov AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x::DOUBLE * $Scale) AS BIGINT) + $KmOffset) AS ov
+      FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, ov AS cv FROM ov WHERE vec_id < 8),
+    ${pack("c0", "p0")},
+    ${assign("p0", "a1")},
+    ${update("a1", "c1")},
+    ${pack("c1", "p1")},
+    ${assign("p1", "a2")},
+    ${update("a2", "c2")},
+    ${pack("c2", "p2")},
+    ${assign("p2", "a3")}
+    SELECT vec_id, cid AS cluster, d2,
+           count(*) OVER (PARTITION BY cid) AS cluster_size
+    FROM a3"""
+  }
+
+  // =========================================================================
+  // s10 — product quantization ANN (learned codebooks + ADC scan)
+  // =========================================================================
+
+  /** PQ in the Jégou et al. (2011) shape, integer-exact end to end:
+    * 4 subspaces × 16 dims, an 8-code codebook per subspace learned by
+    * one integer Lloyd round (s11's arithmetic on subvectors), each
+    * corpus vector encoded as 4 codes, and queries scanning via
+    * asymmetric distance — Σ over subspaces of a 32-entry
+    * query-to-centroid LUT — then an exact-cosine re-rank of the top
+    * 20 ADC candidates (s9's discipline: the approximation proposes,
+    * exact arithmetic ranks).
+    *
+    * Scale shape: codebooks and LUTs are tiny broadcasts (k·M rows);
+    * encoding is a map stage over the subvector frame; the ADC scan
+    * is one broadcast-hash-join + a (query,vec) map-combined sum —
+    * the memory win at 100 TB is the point: the scan touches 4 bytes
+    * of codes per vector, not 64 floats, and composes with s5's IVF
+    * cells exactly like s9's int8 scan.
+    */
+  private def pqSubs(vs: DataFrame): DataFrame =
+    vs.select(col("vec_id"), explode(expr("sequence(0, 3)")).as("m"), col("ov"))
+      .withColumn("sv", expr("slice(ov, m * 16 + 1, 16)"))
+      .select("vec_id", "m", "sv")
+
+  private def pqPack(cb: DataFrame): DataFrame =
+    cb.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+
+  private def pqAssign(subs: DataFrame, packed: DataFrame): DataFrame =
+    subs.join(broadcast(packed), "m")
+      .withColumn("mk", expr(
+        """array_min(transform(cents, c ->
+             aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
+                       cast(0 as bigint), (a, x) -> a + x) * 16 + c.cid))"""))
+      .select(col("vec_id"), col("m"), col("sv"),
+        expr("mk % 16").as("cid"), expr("mk div 16").as("d2"))
+
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.groupBy("m", "cid")
+      .agg(count(lit(1)).as("n"), sum(expr("element_at(sv, 1)")).as("s1"), sum(expr("element_at(sv, 2)")).as("s2"), sum(expr("element_at(sv, 3)")).as("s3"), sum(expr("element_at(sv, 4)")).as("s4"), sum(expr("element_at(sv, 5)")).as("s5"), sum(expr("element_at(sv, 6)")).as("s6"), sum(expr("element_at(sv, 7)")).as("s7"), sum(expr("element_at(sv, 8)")).as("s8"), sum(expr("element_at(sv, 9)")).as("s9"), sum(expr("element_at(sv, 10)")).as("s10"), sum(expr("element_at(sv, 11)")).as("s11"), sum(expr("element_at(sv, 12)")).as("s12"), sum(expr("element_at(sv, 13)")).as("s13"), sum(expr("element_at(sv, 14)")).as("s14"), sum(expr("element_at(sv, 15)")).as("s15"), sum(expr("element_at(sv, 16)")).as("s16"))
+      .select(col("m"), col("cid"), array(expr("s1 div n"), expr("s2 div n"), expr("s3 div n"), expr("s4 div n"), expr("s5 div n"), expr("s6 div n"), expr("s7 div n"), expr("s8 div n"), expr("s9 div n"), expr("s10 div n"), expr("s11 div n"), expr("s12 div n"), expr("s13 div n"), expr("s14 div n"), expr("s15 div n"), expr("s16 div n")).as("cv"))
+
+  val s10PqAdc: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val subs = pqSubs(kmVectors(s, dir)).registerCache()
+    val c0 = subs.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    val c1 = pqUpdate(pqAssign(subs, pqPack(c0)))
+    val codes = pqAssign(subs, pqPack(c1)).select("vec_id", "m", "cid")
+    val lut = subs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(c1), "m")
+      .withColumn("qd2", expr(
+        """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+                     cast(0 as bigint), (a, x) -> a + x)"""))
+      .select("query_id", "m", "cid", "qd2")
+    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd2").as("adist2"))
+    val cand = adc
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist2"), col("vec_id"))))
+      .filter(col("crank") <= 20)
+    val qn = quantized(s, dir).select("vec_id", "qv", "n2")
+    cand
+      .join(qn.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2")), "query_id")
+      .join(qn, "vec_id")
+      .withColumn("cos_sim",
+        cosine(graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")),
+          col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adist2"), col("cos_sim"))
+  }
+
+  val s10PqAdcSql: String = {
+    def assign(cents: String, out: String, keep: String) =
+      s"""$out AS (
+        SELECT vec_id, m, sv, mk % 16 AS cid$keep FROM (
+          SELECT s.vec_id, s.m, s.sv,
+                 CAST(list_min(list_transform(cents, c ->
+                   list_aggregate(list_transform(range(1, 16 + 1),
+                     i -> (sv[i] - struct_extract(c, 'cv')[i])
+                        * (sv[i] - struct_extract(c, 'cv')[i])), 'sum')
+                   * 16 + struct_extract(c, 'cid'))) AS BIGINT) AS mk
+          FROM sub s JOIN $cents USING (m)))"""
+    s"""
+    WITH $oracleQuantized,
+    ov AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x::DOUBLE * $Scale) AS BIGINT) + $KmOffset) AS ov
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, list_slice(ov, m * 16 + 1, m * 16 + 16) AS sv
+      FROM ov, unnest([0, 1, 2, 3]) AS t(m)),
+    c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 8),
+    p0 AS (SELECT m, list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cents
+           FROM c0 GROUP BY m),
+    ${assign("p0", "a1", "")},
+    c1 AS (SELECT m, cid,
+               [CAST(SUM(sv[1]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[2]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[3]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[4]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[5]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[6]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[7]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[8]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[9]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[10]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[11]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[12]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[13]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[14]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[15]) // COUNT(*) AS BIGINT),
+                 CAST(SUM(sv[16]) // COUNT(*) AS BIGINT)] AS cv
+           FROM a1 GROUP BY m, cid),
+    p1 AS (SELECT m, list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cents
+           FROM c1 GROUP BY m),
+    ${assign("p1", "codes", "")},
+    lut AS (
+      SELECT q.vec_id AS query_id, c1.m, c1.cid,
+             CAST(list_aggregate(list_transform(range(1, 16 + 1),
+               i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS BIGINT) AS qd2
+      FROM sub q JOIN c1 USING (m)
+      WHERE q.vec_id % 50 = 0),
+    adc AS (
+      SELECT query_id, vec_id, CAST(SUM(qd2) AS BIGINT) AS adist2
+      FROM codes JOIN lut USING (m, cid)
+      WHERE query_id <> vec_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist2, vec_id) AS crank
+      FROM adc),
+    exact AS (
+      SELECT c.query_id, c.vec_id, c.adist2,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qq.qv, i) * list_extract(nn.qv, i)), 'sum')::DOUBLE
+               / sqrt(qq.n2::DOUBLE * nn.n2::DOUBLE) AS cos_sim
+      FROM cand c
+      JOIN qn qq ON c.query_id = qq.vec_id
+      JOIN qn nn ON c.vec_id = nn.vec_id
+      WHERE c.crank <= 20),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM exact)
+    SELECT query_id, rank, vec_id AS neighbor_id, adist2, cos_sim
+    FROM ranked WHERE rank <= 5"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "s10_pq_adc"           -> s10PqAdc,
+    "s11_kmeans"           -> s11Kmeans,
     "s9_sq_ann"            -> s9SqAnn,
     "s8_ann_recall"        -> s8AnnRecall,
     "s6_multiprobe_ann"    -> s6MultiprobeAnn,
@@ -533,6 +855,8 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s10_pq_adc"           -> s10PqAdcSql,
+    "s11_kmeans"           -> s11KmeansSql,
     "s9_sq_ann"            -> s9SqAnnSql,
     "s8_ann_recall"        -> s8AnnRecallSql,
     "s1_cosine_topk"       -> s1CosineTopkSql,
