@@ -39,7 +39,14 @@ object ScaleProbe {
     // the vocab grain (one corpus exchange), s9's int8 scan + re-rank,
     // c10's cluster-keyed split, q45's max_by latest-per-key
     "v1_bpe_merges", "v2_bpe_tokenize", "s9_sq_ann",
-    "c10_leakage_safe_split", "q45_latest_per_key")
+    "c10_leakage_safe_split", "q45_latest_per_key",
+    // round-6 additions: t10 is a pure map (expect ~0 shuffle growth
+    // beyond the parallelism repartition), c11 is one source-grain agg,
+    // g4 rides g2's bounded wedge build, s11's M-step reduces to k
+    // rows; s10's ADC scan is Q x N like s1/s9 — probed as the
+    // declared baseline, IVF-composition is its linear twin
+    "t10_gopher_rules", "c11_token_budget_mix", "g4_label_prop",
+    "s11_kmeans", "s10_pq_adc")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -49,7 +56,10 @@ object ScaleProbe {
     "g3_bfs_hops" -> "lineitem",
     "q79_session_funnel" -> "events",
     "q45_latest_per_key" -> "events",
-    "s9_sq_ann" -> "embeddings").withDefaultValue("documents")
+    "s9_sq_ann" -> "embeddings",
+    "s10_pq_adc" -> "embeddings",
+    "s11_kmeans" -> "embeddings",
+    "g4_label_prop" -> "lineitem").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -40,7 +40,14 @@ class ScaleLinearitySpec extends SparkSpec {
     // the 4× embeddings step) but not pinned here: its scan stage is
     // the DECLARED brute-force baseline whose linear twin is s5's IVF.
     "v1_bpe_merges", "v2_bpe_tokenize", "c10_leakage_safe_split",
-    "q45_latest_per_key")
+    "q45_latest_per_key",
+    // r6 new operators: t10 pure map, c11 source-grain agg + broadcast,
+    // g4 on g2's bounded wedge build, s11's k-row M-step reduce.
+    // s10_pq_adc is probed (1.03 over the 4× embeddings step) but not
+    // pinned: its ADC scan is Q×N by design, the declared-baseline
+    // family of s1/s9 whose linear twin is IVF-cell composition.
+    "t10_gopher_rules", "c11_token_budget_mix", "g4_label_prop",
+    "s11_kmeans")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
