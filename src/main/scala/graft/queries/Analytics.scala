@@ -855,7 +855,75 @@ object Analytics {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
     FROM d GROUP BY decile"""
 
+  // =========================================================================
+  // q81 — position-based multi-touch attribution (40/20/40)
+  // =========================================================================
+
+  /** Each purchase credits the clicks in its trailing 7-day window:
+    * first touch 40%, last touch 40%, middles share 20% — the standard
+    * U-shaped attribution model, complementing q75's last-touch as-of
+    * join. Credit is integer BASIS POINTS with a deterministic
+    * remainder rule (middle leftover goes to the earliest middle), so
+    * the per-purchase credits sum to exactly 10000 and the DuckDB twin
+    * hash-matches — no float splits.
+    *
+    * Scale shape: one user-keyed equi-join with a time-range predicate
+    * (clicks per user per week are session-bounded, so fan-out is a
+    * data-model constant, the q25 range-join argument), then one
+    * per-purchase window for position — both ride the same hash
+    * partitioning.
+    */
+  val q81MultiTouch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy("purchase_id").orderBy(col("c_ts"), col("click_id"))
+    val wAll = Window.partitionBy("purchase_id")
+    purch.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit_bp",
+        when(col("n") === 1, 10000L)
+          .when(col("n") === 2, 5000L)
+          .when(col("rn") === 1 || col("rn") === col("n"), 4000L)
+          .otherwise(expr("2000 div (n - 2)") +
+            when(col("rn") === 2, expr("2000 % (n - 2)")).otherwise(lit(0L))))
+      .select("purchase_id", "user_id", "click_id", "rn", "n", "credit_bp")
+  }
+
+  val q81MultiTouchSql: String = """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT purchase_id, user_id, click_id,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ts, click_id) AS rn,
+             count(*) OVER (PARTITION BY purchase_id) AS n
+      FROM p JOIN c ON user_id = c_user
+       AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 7 DAY)
+    SELECT purchase_id, user_id, click_id, rn, n,
+           CAST(CASE WHEN n = 1 THEN 10000
+                WHEN n = 2 THEN 5000
+                WHEN rn = 1 OR rn = n THEN 4000
+                ELSE 2000 // (n - 2)
+                     + CASE WHEN rn = 2 THEN 2000 % (n - 2) ELSE 0 END
+           END AS BIGINT) AS credit_bp
+    FROM j"""
+
   val queries: Map[String, Q] = Map(
+    "q81_multi_touch"      -> q81MultiTouch,
     "q79_session_funnel"   -> q79SessionFunnel,
     "q80_decile_lift"      -> q80DecileLift,
     "q76_gap_percentiles"  -> q76GapPercentiles,
@@ -880,6 +948,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q81_multi_touch"      -> q81MultiTouchSql,
     "q79_session_funnel"   -> q79SessionFunnelSql,
     "q80_decile_lift"      -> q80DecileLiftSql,
     "q76_gap_percentiles"  -> q76GapPercentilesSql,
