@@ -505,7 +505,57 @@ object Corpus {
                        THEN 1 ELSE 0 END AS BIGINT) AS n_copies
     FROM d JOIN e USING (source)"""
 
+  // =========================================================================
+  // c12 — curriculum ordering (distributed global sort position)
+  // =========================================================================
+
+  /** Deterministic easy→hard training order: difficulty is the exact
+    * integer micro-average token length (long chars·1e6 div words, the
+    * t2 signal), the global position comes from
+    * [[graft.ops.DistributedRank]] — NOT a partition-less
+    * `row_number()` window, which would one-task-sort the corpus (the
+    * q72/q80 scale-killer shape the r4 audit banned) — and each doc
+    * gets its 10-phase curriculum bucket by pure rank arithmetic.
+    * Ties break on doc_id, so the order is total and reproducible.
+    *
+    * 100 TB shape: ONE range exchange (reused by the offsets branch via
+    * ReuseExchange), a ≤|shuffle-partitions|-row offsets cumsum, and a
+    * broadcast join — the same audited plan DistributedRank already
+    * pins in DistributedRankSpec.
+    */
+  val c12Curriculum: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .select(col("doc_id"),
+        expr("""aggregate(tokens, cast(0 as bigint), (a, t) -> a + length(t))
+                * 1000000 div size(tokens)""").as("difficulty_micro"))
+    graft.ops.DistributedRank.withGlobalRank(docs,
+        Seq(col("difficulty_micro"), col("doc_id")), "train_order", "n_total")
+      .withColumn("phase", expr("(train_order - 1) * 10 div n_total"))
+      .select("doc_id", "difficulty_micro", "train_order", "n_total", "phase")
+  }
+
+  val c12CurriculumSql: String = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(
+                    str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+                    t -> length(t))) AS BIGINT)
+               * 1000000
+               // len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '))
+               AS difficulty_micro
+      FROM documents),
+    r AS (
+      SELECT doc_id, difficulty_micro,
+             row_number() OVER (ORDER BY difficulty_micro, doc_id) AS train_order,
+             count(*) OVER () AS n_total
+      FROM d)
+    SELECT doc_id, difficulty_micro, train_order, n_total,
+           CAST((train_order - 1) * 10 // n_total AS BIGINT) AS phase
+    FROM r"""
+
   val queries: Map[String, Q] = Map(
+    "c12_curriculum" -> c12Curriculum,
     "c11_token_budget_mix" -> c11TokenBudgetMix,
     "c10_leakage_safe_split" -> c10LeakageSafeSplit,
     "c9_weighted_sample" -> c9WeightedSample,
@@ -520,6 +570,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c12_curriculum" -> c12CurriculumSql,
     "c11_token_budget_mix" -> c11TokenBudgetMixSql,
     "c10_leakage_safe_split" -> c10LeakageSafeSplitSql,
     "c9_weighted_sample" -> c9WeightedSampleSql,

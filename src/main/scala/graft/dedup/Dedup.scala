@@ -1032,7 +1032,77 @@ object Dedup {
     FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2"""
 
+  // =========================================================================
+  // d18 — MinHash estimate accuracy vs exact Jaccard (sketch audit)
+  // =========================================================================
+
+  /** "Measure the sketch, don't trust it": for every d3 LSH candidate
+    * pair, the 16-component MinHash Jaccard estimate side by side with
+    * the EXACT shingle Jaccard, both in integer basis points, plus the
+    * signed error — s8's recall-measurement discipline applied to the
+    * dedup sketch family. This is the query that tells a 100 TB dedup
+    * run whether its banding threshold is calibrated (mean |err| and
+    * the est≥threshold>exact false-accept count feed the knob).
+    *
+    * Scale shape: candidates come from d3's bounded banding join; the
+    * per-pair work is two broadcast-free equi-joins onto the signature
+    * and shingle-set frames (pair grain ≪ corpus grain by LSH
+    * construction) and pure array arithmetic — no new quadratic
+    * surface.
+    */
+  val d18MinhashAccuracy: Q = (s, dir) => {
+    val sig = signatures(s, dir)
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(mhCol(i))): _*).as("sig"))
+      .registerCache()
+    val sh = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("shingles")).registerCache()
+    lshPairsOf(sig)
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"10000 * size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) div $NumHashes")
+          .as("est_bp"),
+        expr("10000 * size(array_intersect(sh_a, sh_b)) div size(array_union(sh_a, sh_b))")
+          .as("exact_bp"))
+      .withColumn("err_bp", col("est_bp") - col("exact_bp"))
+  }
+
+  val d18MinhashAccuracySql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => s"CAST(${mhCol(b * BandSize + r)} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH $signatureCte,
+    bands AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    sigl AS (SELECT doc_id, [mh00, mh01, mh02, mh03, mh04, mh05, mh06, mh07, mh08, mh09, mh10, mh11, mh12, mh13, mh14, mh15] AS sig FROM sig),
+    est AS (
+      SELECT doc_a, doc_b,
+             10000 * len(list_filter(range(1, ${NumHashes} + 1),
+               i -> sa.sig[i] = sb.sig[i])) // $NumHashes AS est_bp,
+             10000 * len(list_intersect(ga.sh, gb.sh))
+               // len(list_distinct(ga.sh || gb.sh)) AS exact_bp
+      FROM cand
+      JOIN sigl sa ON doc_a = sa.doc_id
+      JOIN sigl sb ON doc_b = sb.doc_id
+      JOIN sh_t ga ON doc_a = ga.doc_id
+      JOIN sh_t gb ON doc_b = gb.doc_id)
+    SELECT doc_a, doc_b, CAST(est_bp AS BIGINT) AS est_bp,
+           CAST(exact_bp AS BIGINT) AS exact_bp,
+           CAST(est_bp - exact_bp AS BIGINT) AS err_bp
+    FROM est"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_minhash_accuracy" -> d18MinhashAccuracy,
     "d17_span_dedup" -> d17SpanDedup,
     "d16_containment" -> d16Containment,
     "d15_incremental_dedup" -> d15IncrementalDedup,
@@ -1053,6 +1123,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d18_minhash_accuracy" -> d18MinhashAccuracySql,
     "d17_span_dedup" -> d17SpanDedupSql,
     "d16_containment" -> d16ContainmentSql,
     "d15_incremental_dedup" -> d15IncrementalDedupSql,

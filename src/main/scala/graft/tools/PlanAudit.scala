@@ -31,13 +31,17 @@ object PlanAudit {
   // ...v1/v2 left-join each merge round's ONE-row winner into the
   // vocab (guarded against the empty degenerate round) — the same
   // broadcast-scalar shape as q39/t9's stats rows, 3 rounds of it
+  // ...c11 crosses its one-row Σweight total (c7's exact pattern);
+  // s11 crosses the ONE-row packed k-means codebook (k·dim longs)
+  // into the vector stream — the broadcast-codebook map E-step
   private val expectedNestedLoop =
     Set("s1_cosine_topk", "s5_ivf_ann", "s6_multiprobe_ann",
       "q37_gap_fill", "q36_fuzzy_pairs", "q39_bm25", "k4_tfidf",
       "q50_value_concentration", "q52_idle_rich", "c7_temperature_mix",
       "s8_ann_recall", "q68_drift_report",
       "k5_pmi_collocations", "q72_rfm", "q73_basket_lift",
-      "t9_lm_score", "s9_sq_ann", "v1_bpe_merges", "v2_bpe_tokenize")
+      "t9_lm_score", "s9_sq_ann", "v1_bpe_merges", "v2_bpe_tokenize",
+      "c11_token_budget_mix", "s11_kmeans")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

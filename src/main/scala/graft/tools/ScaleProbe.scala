@@ -46,7 +46,11 @@ object ScaleProbe {
     // rows; s10's ADC scan is Q x N like s1/s9 — probed as the
     // declared baseline, IVF-composition is its linear twin
     "t10_gopher_rules", "c11_token_budget_mix", "g4_label_prop",
-    "s11_kmeans", "s10_pq_adc")
+    "s11_kmeans", "s10_pq_adc",
+    // q81's user-keyed range join (session-bounded fan-out), d18's
+    // pair-grain sketch audit on d3's banded candidates, c12's one
+    // range exchange (DistributedRank)
+    "q81_multi_touch", "d18_minhash_accuracy", "c12_curriculum")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -58,6 +62,7 @@ object ScaleProbe {
     "q45_latest_per_key" -> "events",
     "s9_sq_ann" -> "embeddings",
     "s10_pq_adc" -> "embeddings",
+    "q81_multi_touch" -> "events",
     "s11_kmeans" -> "embeddings",
     "g4_label_prop" -> "lineitem").withDefaultValue("documents")
 

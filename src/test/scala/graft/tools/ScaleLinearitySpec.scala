@@ -47,7 +47,10 @@ class ScaleLinearitySpec extends SparkSpec {
     // pinned: its ADC scan is Q×N by design, the declared-baseline
     // family of s1/s9 whose linear twin is IVF-cell composition.
     "t10_gopher_rules", "c11_token_budget_mix", "g4_label_prop",
-    "s11_kmeans")
+    "s11_kmeans",
+    // r6 second batch: q81's session-bounded range join, d18's
+    // pair-grain sketch audit, c12's single range exchange
+    "q81_multi_touch", "d18_minhash_accuracy", "c12_curriculum")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
