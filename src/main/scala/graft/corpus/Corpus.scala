@@ -554,7 +554,62 @@ object Corpus {
            CAST((train_order - 1) * 10 // n_total AS BIGINT) AS phase
     FROM r"""
 
+  // =========================================================================
+  // c13 — per-eval-doc contamination score (the dirtiness rate)
+  // =========================================================================
+
+  /** The reverse grain of c3: c3 lists TRAIN docs that leak into eval;
+    * c13 scores each EVAL doc by how much of it appears in train — the
+    * GPT-3-appendix-C-style "dirtiness" rate used to split benchmarks
+    * into clean/dirty subsets. For every test-split doc (c1 buckets),
+    * the fraction of its distinct word-3-gram shingles that occur in
+    * ANY train-split doc, as integer basis points.
+    *
+    * Scale shape: one semi-join keyed on shingle — the eval side is a
+    * benchmark-sized sliver (bounded, ~5% here; fixed-size in prod)
+    * while train is the 100 TB side, so the right production plan
+    * broadcasts the eval shingle set at the scan of train (AQE picks
+    * the broadcast side; a Bloom filter over eval shingles is the
+    * constant-memory variant when benchmarks grow). No join output
+    * ever carries the train×eval pair grain — hits collapse to
+    * per-shingle presence before the per-doc count.
+    */
+  val c13ContaminationScore: Q = (s, dir) => {
+    val docs = graft.dedup.Dedup.shingleRows(
+      Tables.loadParallel(s, dir, "documents").withColumn("bucket", splitBucket),
+      keep = Seq("doc_id", "bucket")).registerCache()
+    val trainSh = docs.filter(col("bucket") < 900).select("sh").distinct()
+    val evalSh = docs.filter(col("bucket") >= 950)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    val hits = evalSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_contaminated"))
+    evalSh.groupBy("eval_doc").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("eval_doc"), "left_outer")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination_bp",
+        expr("(10000 * n_contaminated) div n_shingles"))
+  }
+
+  val c13ContaminationScoreSql: String = {
+    import graft.dedup.Dedup.{oracleShingles, oracleTokens}
+    s"""WITH t AS (SELECT doc_id, $oracleBucket AS bucket, $oracleTokens AS tokens
+                   FROM documents),
+    s AS (SELECT doc_id, bucket, $oracleShingles AS sh FROM t),
+    e AS (SELECT doc_id, bucket, unnest(sh) AS g FROM s),
+    train AS (SELECT DISTINCT g FROM e WHERE bucket < 900),
+    ev AS (SELECT doc_id AS eval_doc, g FROM e WHERE bucket >= 950),
+    tot AS (SELECT eval_doc, count(*) AS n_shingles FROM ev GROUP BY 1),
+    hit AS (SELECT eval_doc, count(*) AS n_contaminated
+            FROM ev JOIN train USING (g) GROUP BY 1)
+    SELECT t.eval_doc, t.n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           (10000 * coalesce(h.n_contaminated, 0)) // t.n_shingles
+             AS contamination_bp
+    FROM tot t LEFT JOIN hit h ON t.eval_doc = h.eval_doc"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "c13_contamination_score" -> c13ContaminationScore,
     "c12_curriculum" -> c12Curriculum,
     "c11_token_budget_mix" -> c11TokenBudgetMix,
     "c10_leakage_safe_split" -> c10LeakageSafeSplit,
@@ -570,6 +625,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c13_contamination_score" -> c13ContaminationScoreSql,
     "c12_curriculum" -> c12CurriculumSql,
     "c11_token_budget_mix" -> c11TokenBudgetMixSql,
     "c10_leakage_safe_split" -> c10LeakageSafeSplitSql,

@@ -333,12 +333,89 @@ object Graph {
     FROM l2"""
   }
 
+  /** g5 — HITS hubs & authorities over the customer→supplier order
+    * graph (Kleinberg 1999): customers that buy from many strong
+    * suppliers are hubs, suppliers bought by many strong hubs are
+    * authorities — the bipartite mutual-reinforcement score.
+    *
+    * Determinism: the classical L2 normalization is replaced by L∞ in
+    * integer micros — each half-step divides by the round's MAX score
+    * (`x·10⁶ div max`), so every value stays an exact int64 and the
+    * chained-CTE oracle matches bit-for-bit (g1's discipline; a float
+    * norm would hash-differ in the last ulp).
+    *
+    * Scale shape: per round, two edge⋈score equi-joins + two grouped
+    * sums (both keyed on the join key, co-partitioned with the cached
+    * edge list) and two ONE-row max aggregates broadcast back — the
+    * same broadcast-scalar pattern as q39/c7. Rounds are fixed (2),
+    * one lazy plan, no driver iteration. Overflow headroom: scores are
+    * ≤10⁶ after each normalization, so a raw sum is ≤ indeg·10⁶ and
+    * the ·10⁶ rescale stays inside int64 up to ~10⁶-degree nodes; at
+    * web scale you'd shift to 128-bit sums or pre-scale the max.
+    */
+  val g5Hits: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SuppOffset).as("dst"))
+      .distinct().registerCache()
+    var hubs = edges.select(col("src").as("node")).distinct()
+      .withColumn("hub_micro", lit(1000000L))
+    var auths: DataFrame = null
+    for (_ <- 1 to 2) {
+      val araw = edges.join(hubs, col("src") === col("node"))
+        .groupBy("dst").agg(sum("hub_micro").as("a_raw"))
+      auths = araw.crossJoin(broadcast(araw.agg(max("a_raw").as("a_max"))))
+        .select(col("dst").as("node"),
+          expr("(a_raw * 1000000) div a_max").as("auth_micro"))
+      val hraw = edges.join(auths, col("dst") === col("node"))
+        .groupBy("src").agg(sum("auth_micro").as("h_raw"))
+      hubs = hraw.crossJoin(broadcast(hraw.agg(max("h_raw").as("h_max"))))
+        .select(col("src").as("node"),
+          expr("(h_raw * 1000000) div h_max").as("hub_micro"))
+    }
+    hubs.select(col("node"), col("hub_micro").as("score_micro"),
+        lit("hub").as("role"))
+      .union(auths.select(col("node"), col("auth_micro").as("score_micro"),
+        lit("authority").as("role")))
+  }
+
+  val g5HitsSql: String = {
+    def round(hPrev: String, i: Int) =
+      s"""a${i}raw AS (
+        SELECT dst, CAST(SUM(hub_micro) AS BIGINT) AS a_raw
+        FROM edges JOIN $hPrev ON src = node GROUP BY dst),
+    a$i AS (SELECT dst AS node,
+                   a_raw * 1000000 // (SELECT MAX(a_raw) FROM a${i}raw) AS auth_micro
+            FROM a${i}raw),
+    h${i}raw AS (
+        SELECT src, CAST(SUM(auth_micro) AS BIGINT) AS h_raw
+        FROM edges JOIN a$i ON dst = node GROUP BY src),
+    h$i AS (SELECT src AS node,
+                   h_raw * 1000000 // (SELECT MAX(h_raw) FROM h${i}raw) AS hub_micro
+            FROM h${i}raw)"""
+    s"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS hub_micro
+           FROM edges),
+    ${round("h0", 1)},
+    ${round("h1", 2)}
+    SELECT node, hub_micro AS score_micro, 'hub' AS role FROM h2
+    UNION ALL
+    SELECT node, auth_micro AS score_micro, 'authority' AS role FROM a2"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "g5_hits" -> g5Hits,
     "g4_label_prop" -> g4LabelProp,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g5_hits" -> g5HitsSql,
     "g4_label_prop" -> g4LabelPropSql,
     "g1_pagerank" -> g1PagerankSql,
     "g2_triangles" -> g2TrianglesSql,

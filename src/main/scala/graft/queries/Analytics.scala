@@ -922,7 +922,49 @@ object Analytics {
            END AS BIGINT) AS credit_bp
     FROM j"""
 
+  /** q82 — first-order Markov transition matrix over each user's
+    * event stream: P(next event type | current), in integer basis
+    * points. The per-user ordering window shuffles once on `user_id`
+    * (fully parallel — each user's sequence is independent, the
+    * standard clickstream-model shape); the transition matrix itself
+    * is |event types|² rows, so the per-source normalizing window runs
+    * over a constant-bounded frame. Row probabilities use integer
+    * basis points (`10000·n div total`) so the matrix hash-matches
+    * DuckDB exactly; DuckDB's windowed SUM widens to HUGEINT, hence
+    * the explicit BIGINT cast in the oracle.
+    */
+  val q82MarkovTransitions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.load(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    trans
+      .withColumn("from_total",
+        sum("n_transitions").over(Window.partitionBy("from_type")))
+      .withColumn("prob_bp", expr("(10000 * n_transitions) div from_total"))
+      .select("from_type", "to_type", "n_transitions", "prob_bp")
+  }
+
+  val q82MarkovTransitionsSql: String = """
+    WITH t AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           CAST((10000 * n_transitions)
+                // SUM(n_transitions) OVER (PARTITION BY from_type)
+             AS BIGINT) AS prob_bp
+    FROM c"""
+
   val queries: Map[String, Q] = Map(
+    "q82_markov_transitions" -> q82MarkovTransitions,
     "q81_multi_touch"      -> q81MultiTouch,
     "q79_session_funnel"   -> q79SessionFunnel,
     "q80_decile_lift"      -> q80DecileLift,
@@ -948,6 +990,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q82_markov_transitions" -> q82MarkovTransitionsSql,
     "q81_multi_touch"      -> q81MultiTouchSql,
     "q79_session_funnel"   -> q79SessionFunnelSql,
     "q80_decile_lift"      -> q80DecileLiftSql,

@@ -571,19 +571,29 @@ object Similarity {
     grouped.select(col("cid"), array(expr("s1 div n"), expr("s2 div n"), expr("s3 div n"), expr("s4 div n"), expr("s5 div n"), expr("s6 div n"), expr("s7 div n"), expr("s8 div n"), expr("s9 div n"), expr("s10 div n"), expr("s11 div n"), expr("s12 div n"), expr("s13 div n"), expr("s14 div n"), expr("s15 div n"), expr("s16 div n"), expr("s17 div n"), expr("s18 div n"), expr("s19 div n"), expr("s20 div n"), expr("s21 div n"), expr("s22 div n"), expr("s23 div n"), expr("s24 div n"), expr("s25 div n"), expr("s26 div n"), expr("s27 div n"), expr("s28 div n"), expr("s29 div n"), expr("s30 div n"), expr("s31 div n"), expr("s32 div n"), expr("s33 div n"), expr("s34 div n"), expr("s35 div n"), expr("s36 div n"), expr("s37 div n"), expr("s38 div n"), expr("s39 div n"), expr("s40 div n"), expr("s41 div n"), expr("s42 div n"), expr("s43 div n"), expr("s44 div n"), expr("s45 div n"), expr("s46 div n"), expr("s47 div n"), expr("s48 div n"), expr("s49 div n"), expr("s50 div n"), expr("s51 div n"), expr("s52 div n"), expr("s53 div n"), expr("s54 div n"), expr("s55 div n"), expr("s56 div n"), expr("s57 div n"), expr("s58 div n"), expr("s59 div n"), expr("s60 div n"), expr("s61 div n"), expr("s62 div n"), expr("s63 div n"), expr("s64 div n")).as("cv"))
   }
 
-  val s11Kmeans: Q = (s, dir) => {
+  /** The full 2-round Lloyd chain ending in a final E-step: ONE lazy
+    * plan producing (vec_id, ov, cid, d2). Shared by s11 (the k-means
+    * surface) and d19 (SemDeDup's cluster assignment).
+    */
+  private def kmFinalAssign(s: SparkSession, dir: String): DataFrame = {
     val vs = kmVectors(s, dir)
     val c0 = vs.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cid"), col("ov").as("cv"))
     val c1 = kmUpdate(kmAssign(vs, kmPack(c0)))
     val c2 = kmUpdate(kmAssign(vs, kmPack(c1)))
     kmAssign(vs, kmPack(c2))
+  }
+
+  val s11Kmeans: Q = (s, dir) => {
+    kmFinalAssign(s, dir)
       .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
   }
 
-  val s11KmeansSql: String = {
+  /** The CTE chain (everything after WITH, ending in assignment `a3`)
+    * shared by s11's and d19's oracles. */
+  private lazy val kmSqlWithBody: String = {
     def assign(cents: String, out: String) =
       s"""$out AS (
         SELECT vec_id, ov, mk % 16 AS cid, mk // 16 AS d2 FROM (
@@ -664,8 +674,7 @@ object Similarity {
         FROM $assigned GROUP BY cid)"""
     def pack(centroids: String, out: String) =
       s"$out AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cents FROM $centroids)"
-    s"""
-    WITH ov AS (
+    s"""ov AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(x::DOUBLE * $Scale) AS BIGINT) + $KmOffset) AS ov
       FROM embeddings),
@@ -677,11 +686,82 @@ object Similarity {
     ${assign("p1", "a2")},
     ${update("a2", "c2")},
     ${pack("c2", "p2")},
-    ${assign("p2", "a3")}
+    ${assign("p2", "a3")}"""
+  }
+
+  val s11KmeansSql: String = s"""
+    WITH $kmSqlWithBody
     SELECT vec_id, cid AS cluster, d2,
            count(*) OVER (PARTITION BY cid) AS cluster_size
     FROM a3"""
+
+  // =========================================================================
+  // d19 — SemDeDup: semantic dedup inside k-means clusters
+  // =========================================================================
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embed, cluster,
+    * then drop any document whose cosine similarity to a lower-id
+    * member of the SAME cluster reaches the epsilon threshold — the
+    * one-pass "dominated by an earlier member" approximation
+    * production pipelines use in place of transitive greedy selection
+    * (which would need iteration). Cluster assignment is s11's
+    * integer-exact 2-round Lloyd chain, so the clusters — and hence
+    * the survivor set — are bit-identical in Spark and DuckDB; the
+    * cosine is the quantized-int64 dot (s1's trick), bit-stable.
+    *
+    * Output: one row per vector — its cluster, and for dropped docs
+    * the lowest dominating neighbor id (`dup_of`; null = survivor).
+    *
+    * Scale shape: the pairwise join is confined WITHIN clusters — one
+    * shuffle keyed on cluster id, never corpus×corpus. At 100 TB, k
+    * grows with the corpus (k ≈ N / target cell size, SemDeDup used
+    * 50k clusters for LAION) so each cell stays executor-sized. The
+    * assignment chain is computed once, cached, and read by both join
+    * sides and the final survivor join.
+    */
+  // 0.4 matches s4's near-dup bar and drops ~5% of the synthetic
+  // corpus (24/500 at sf0.01) — a realistic SemDeDup rate; 0.5 finds
+  // only 1 pair in this data and would gate nothing.
+  private val SemThreshold = 0.4
+
+  val d19Semdedup: Q = (s, dir) => {
+    val vn = kmFinalAssign(s, dir)
+      .withColumn("qv", expr(s"transform(ov, x -> x - $KmOffset)"))
+      .withColumn("n2", graft.plans.LongArrayDot.dot(col("qv"), col("qv")))
+      .select(col("vec_id"), col("cid").as("cluster"), col("qv"), col("n2"))
+      .registerCache()
+    val dups = vn.as("a")
+      .join(vn.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("a.qv"), col("b.qv")))
+      .withColumn("cos_sim", cosine(col("dot"), col("a.n2"), col("b.n2")))
+      .filter(col("cos_sim") >= SemThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    vn.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("dup_of"))
   }
+
+  val d19SemdedupSql: String = s"""
+    WITH $kmSqlWithBody,
+    vn AS (
+      SELECT vec_id, cid AS cluster,
+             list_transform(ov, x -> x - $KmOffset) AS qv
+      FROM a3),
+    vnn AS (
+      SELECT vec_id, cluster, qv,
+             list_aggregate(list_transform(qv, x -> x*x), 'sum') AS n2
+      FROM vn),
+    dups AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM vnn a JOIN vnn b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_aggregate(list_transform(range(1, $Dim + 1),
+              i -> list_extract(a.qv, i) * list_extract(b.qv, i)), 'sum')::DOUBLE
+            / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) >= $SemThreshold
+      GROUP BY b.vec_id)
+    SELECT v.vec_id, v.cluster, d.dup_of
+    FROM vnn v LEFT JOIN dups d ON v.vec_id = d.vec_id"""
 
   // =========================================================================
   // s10 — product quantization ANN (learned codebooks + ADC scan)
@@ -843,6 +923,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s10_pq_adc"           -> s10PqAdc,
     "s11_kmeans"           -> s11Kmeans,
+    "d19_semdedup"         -> d19Semdedup,
     "s9_sq_ann"            -> s9SqAnn,
     "s8_ann_recall"        -> s8AnnRecall,
     "s6_multiprobe_ann"    -> s6MultiprobeAnn,
@@ -857,6 +938,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "s10_pq_adc"           -> s10PqAdcSql,
     "s11_kmeans"           -> s11KmeansSql,
+    "d19_semdedup"         -> d19SemdedupSql,
     "s9_sq_ann"            -> s9SqAnnSql,
     "s8_ann_recall"        -> s8AnnRecallSql,
     "s1_cosine_topk"       -> s1CosineTopkSql,

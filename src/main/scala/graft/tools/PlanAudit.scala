@@ -41,7 +41,10 @@ object PlanAudit {
       "s8_ann_recall", "q68_drift_report",
       "k5_pmi_collocations", "q72_rfm", "q73_basket_lift",
       "t9_lm_score", "s9_sq_ann", "v1_bpe_merges", "v2_bpe_tokenize",
-      "c11_token_budget_mix", "s11_kmeans")
+      "c11_token_budget_mix", "s11_kmeans",
+      // d19 rides the same one-row packed-codebook crossJoins as s11;
+      // g5 crosses each half-round's ONE-row max for L∞ normalization
+      "d19_semdedup", "g5_hits")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

@@ -50,7 +50,13 @@ object ScaleProbe {
     // q81's user-keyed range join (session-bounded fan-out), d18's
     // pair-grain sketch audit on d3's banded candidates, c12's one
     // range exchange (DistributedRank)
-    "q81_multi_touch", "d18_minhash_accuracy", "c12_curriculum")
+    "q81_multi_touch", "d18_minhash_accuracy", "c12_curriculum",
+    // r6 third batch: d19's within-cluster pair join (shuffle rides the
+    // cluster key, pair blow-up stays inside cells), c13's shingle
+    // semi-join, q82's user-keyed window + 25-row matrix, g5's fixed
+    // HITS rounds on g1's edge build
+    "d19_semdedup", "c13_contamination_score", "q82_markov_transitions",
+    "g5_hits")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -64,6 +70,9 @@ object ScaleProbe {
     "s10_pq_adc" -> "embeddings",
     "q81_multi_touch" -> "events",
     "s11_kmeans" -> "embeddings",
+    "d19_semdedup" -> "embeddings",
+    "q82_markov_transitions" -> "events",
+    "g5_hits" -> "lineitem",
     "g4_label_prop" -> "lineitem").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {

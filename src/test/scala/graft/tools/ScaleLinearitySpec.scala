@@ -50,7 +50,14 @@ class ScaleLinearitySpec extends SparkSpec {
     "s11_kmeans",
     // r6 second batch: q81's session-bounded range join, d18's
     // pair-grain sketch audit, c12's single range exchange
-    "q81_multi_touch", "d18_minhash_accuracy", "c12_curriculum")
+    "q81_multi_touch", "d18_minhash_accuracy", "c12_curriculum",
+    // r6 third batch (probed 0.81/0.88/1.03/0.93): d19's pair blow-up
+    // stays inside cluster cells (shuffle rides the cluster key), c13's
+    // shingle semi-join collapses to presence before the per-doc count,
+    // q82 is one user-keyed window + a 25-row matrix, g5's fixed HITS
+    // rounds ride the cached edge build like g1
+    "d19_semdedup", "c13_contamination_score", "q82_markov_transitions",
+    "g5_hits")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
