@@ -608,7 +608,57 @@ object Corpus {
     FROM tot t LEFT JOIN hit h ON t.eval_doc = h.eval_doc"""
   }
 
+  // =========================================================================
+  // c14 — dataset card: per-source corpus statistics
+  // =========================================================================
+
+  /** The "datasheet" aggregate every released training mix ships with
+    * (Gebru et al.'s datasheets / HF dataset cards): per source, the
+    * volume and composition numbers a consumer needs to weigh it —
+    * doc count, token count, mean doc length (integer micros),
+    * distinct languages, and the short-doc share in basis points (the
+    * t2 "too_short" bucket's rate, a fast proxy for extraction junk).
+    *
+    * One map-side-combined aggregate to |sources| rows — count/sum/
+    * max fold partially per partition, count(DISTINCT lang) expands to
+    * the (source, lang) grain first, still bounded by
+    * |sources|·|langs|. At 100 TB this is the cheapest query in the
+    * suite: a single exchange of a few hundred partial-agg rows.
+    */
+  val c14DatasetCard: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("n_tokens",
+        expr("size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("n_tokens") < 10, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("mean_tokens_micro",
+        expr("total_tokens * 1000000 div n_docs"))
+      .withColumn("short_bp", expr("n_short * 10000 div n_docs"))
+
+  val c14DatasetCardSql: String = """
+    WITH d AS (
+      SELECT source, lang,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '))
+               AS n_tokens
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(n_tokens) AS BIGINT) * 1000000 // count(*) AS mean_tokens_micro,
+           CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // count(*) AS short_bp
+    FROM d GROUP BY source"""
+
   val queries: Map[String, Q] = Map(
+    "c14_dataset_card" -> c14DatasetCard,
     "c13_contamination_score" -> c13ContaminationScore,
     "c12_curriculum" -> c12Curriculum,
     "c11_token_budget_mix" -> c11TokenBudgetMix,
@@ -625,6 +675,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c14_dataset_card" -> c14DatasetCardSql,
     "c13_contamination_score" -> c13ContaminationScoreSql,
     "c12_curriculum" -> c12CurriculumSql,
     "c11_token_budget_mix" -> c11TokenBudgetMixSql,

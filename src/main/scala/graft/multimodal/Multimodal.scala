@@ -292,12 +292,64 @@ object Multimodal {
              i -> substring(text, CAST(i * stride + 1 AS INT), 1)), '')) AS BIGINT) AS resized_len
     FROM t"""
 
+  // =========================================================================
+  // m5 — modality-balanced batch assembly
+  // =========================================================================
+
+  /** Deterministic interleaved batch assembly for multimodal training:
+    * each document gets a modality (md5 of its id mod 3 — the opaque
+    * stand-in for a real media-type column), and batches are built so
+    * every batch holds exactly [[SlotsPerModality]] docs of EACH
+    * modality in a fixed slot order — the fixed-ratio batch mix a
+    * contrastive or interleaved-modality trainer needs.
+    *
+    * The per-modality position is computed with [[graft.ops.DistributedRank]]
+    * over a single GLOBAL (modality, doc_id) range exchange, then
+    * rebased by a 3-row broadcast of per-modality minimum ranks — NOT
+    * with `row_number() OVER (PARTITION BY modality)`, which would
+    * drag a third of the corpus through one task per modality at
+    * scale (the banned single-partition-window shape; the oracle can
+    * afford it at sf0.01).
+    */
+  private val SlotsPerModality = 8
+
+  val m5ModalityBatches: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""case cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 3
+                when 0 then 'image' when 1 then 'audio' else 'text' end""")
+          .as("modality"))
+    val ranked = graft.ops.DistributedRank.withGlobalRank(docs,
+      Seq(col("modality"), col("doc_id")), "gr", "n_total")
+    val offsets = ranked.groupBy("modality").agg(min(col("gr")).as("off"))
+    ranked.join(broadcast(offsets), "modality")
+      .withColumn("slot", col("gr") - col("off"))
+      .withColumn("batch_id", expr(s"slot div $SlotsPerModality"))
+      .select(col("doc_id"), col("modality"), col("slot"), col("batch_id"))
+  }
+
+  val m5ModalityBatchesSql: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 3
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'text' END AS modality
+      FROM documents),
+    r AS (
+      SELECT doc_id, modality,
+             row_number() OVER (PARTITION BY modality ORDER BY doc_id) - 1 AS slot
+      FROM d)
+    SELECT doc_id, modality, slot,
+           CAST(slot // $SlotsPerModality AS BIGINT) AS batch_id
+    FROM r"""
+
   val queries: Map[String, Q] = Map(
+    "m5_modality_batches" -> m5ModalityBatches,
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_dedup"    -> m2FrameDedup,
     "m3_embed_payload"  -> m3EmbedPayload,
     "m4_resize"         -> m4Resize)
   val oracleSql: Map[String, String] = Map(
+    "m5_modality_batches" -> m5ModalityBatchesSql,
     "m1_media_features" -> m1MediaFeaturesSql,
     "m2_frame_dedup"    -> m2FrameDedupSql,
     "m3_embed_payload"  -> m3EmbedPayloadSql,

@@ -471,7 +471,55 @@ object TextAnalysis {
     FROM m"""
   }
 
+  // =========================================================================
+  // t11 — document structure statistics
+  // =========================================================================
+
+  /** Structural profile per document — the layout-quality signals a
+    * curation pipeline gates on alongside t2's lexical ratios:
+    * sentence count (split on terminal punctuation, empty segments
+    * dropped on both engines so trailing-separator semantics can't
+    * diverge), mean sentence length in integer micro-tokens, the
+    * longest token (markup/URL debris shows up as 50-char "words"),
+    * and the uppercase share of letters in basis points (shouting or
+    * header-only fragments). Pure map stage — no shuffle at all
+    * beyond the parallelism floor; every ratio is integer
+    * cross-multiplied so the hash gate is exact.
+    */
+  val t11StructureStats: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr(tokensExpr))
+      .withColumn("sentences",
+        expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(col("sentences")).as("n_sentences"),
+        expr("""cast(size(tokens) as bigint) * 1000000
+                div greatest(1, size(sentences))""").as("tokens_per_sentence_micro"),
+        expr("array_max(transform(tokens, t -> length(t)))").as("max_token_len"),
+        expr("""size(regexp_extract_all(text, '[A-Z]', 0)) * 10000
+                div greatest(1, size(regexp_extract_all(text, '[A-Za-z]', 0)))""")
+          .as("caps_bp"))
+
+  val t11StructureStatsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, text, $oracleTokens AS tokens,
+             list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         x -> length(trim(x)) > 0) AS sentences
+      FROM documents)
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           len(sentences) AS n_sentences,
+           CAST(len(tokens) AS BIGINT) * 1000000
+             // greatest(1, len(sentences)) AS tokens_per_sentence_micro,
+           list_max(list_transform(tokens, t -> length(t))) AS max_token_len,
+           len(regexp_extract_all(text, '[A-Z]')) * 10000
+             // greatest(1, len(regexp_extract_all(text, '[A-Za-z]'))) AS caps_bp
+    FROM t"""
+
   val queries: Map[String, Q] = Map(
+    "t11_structure_stats" -> t11StructureStats,
     "t10_gopher_rules" -> t10GopherRules,
     "t9_lm_score" -> t9LmScore,
     "t8_rolling_fingerprint" -> t8RollingFingerprint,
@@ -485,6 +533,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t11_structure_stats" -> t11StructureStatsSql,
     "t10_gopher_rules" -> t10GopherRulesSql,
     "t9_lm_score" -> t9LmScoreSql,
     "t8_rolling_fingerprint" -> t8RollingFingerprintSql,

@@ -56,7 +56,10 @@ object ScaleProbe {
     // semi-join, q82's user-keyed window + 25-row matrix, g5's fixed
     // HITS rounds on g1's edge build
     "d19_semdedup", "c13_contamination_score", "q82_markov_transitions",
-    "g5_hits")
+    "g5_hits",
+    // r6 fourth batch: t11 pure map, c14 one grouped agg, m5's single
+    // DistributedRank range exchange + 3-row offsets broadcast
+    "t11_structure_stats", "c14_dataset_card", "m5_modality_batches")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

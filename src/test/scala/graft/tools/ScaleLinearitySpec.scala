@@ -57,7 +57,10 @@ class ScaleLinearitySpec extends SparkSpec {
     // q82 is one user-keyed window + a 25-row matrix, g5's fixed HITS
     // rounds ride the cached edge build like g1
     "d19_semdedup", "c13_contamination_score", "q82_markov_transitions",
-    "g5_hits")
+    "g5_hits",
+    // r6 fourth batch (probed 0.99/0.91/0.82): t11 pure map, c14 one
+    // map-side-combined agg, m5's single range exchange
+    "t11_structure_stats", "c14_dataset_card", "m5_modality_batches")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
