@@ -963,7 +963,61 @@ object Analytics {
              AS BIGINT) AS prob_bp
     FROM c"""
 
+  /** q83 — exact percentiles WITHOUT value buffers: order-to-ship
+    * SLA days by order priority via the bounded-domain histogram
+    * method. q76's `percentile()` aggregate is exact but buffers every
+    * value per group on one executor — the 100 TB failure mode. Here
+    * the value domain is small by nature (lag in whole days), so the
+    * plan aggregates to a bounded (priority × day) histogram first,
+    * takes cumulative counts over that ≤~200-row-per-priority frame,
+    * and reads each quantile as the first day whose cumulative count
+    * reaches ceil(q·n) — the nearest-rank definition, all-integer,
+    * hash-exact. Shuffle carries histogram cells, never rows.
+    */
+  val q83SlaPercentiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.loadParallel(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val hist = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy(col("o_orderpriority").as("priority"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("priority").orderBy("lag_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("priority")))
+    cum.groupBy("priority")
+      .agg(max(col("n")).as("n_lineitems"),
+        min(when(col("cum") * 2 >= col("n"), col("lag_days"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag_days"))).as("p90_days"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lag_days"))).as("p99_days"))
+  }
+
+  val q83SlaPercentilesSql: String = """
+    WITH h AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+             count(*) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    c AS (
+      SELECT priority, lag_days, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY lag_days
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM h)
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_lineitems,
+           MIN(CASE WHEN cum * 2 >= n THEN lag_days END) AS p50_days,
+           MIN(CASE WHEN cum * 10 >= n * 9 THEN lag_days END) AS p90_days,
+           MIN(CASE WHEN cum * 100 >= n * 99 THEN lag_days END) AS p99_days
+    FROM c GROUP BY priority"""
+
   val queries: Map[String, Q] = Map(
+    "q83_sla_percentiles" -> q83SlaPercentiles,
     "q82_markov_transitions" -> q82MarkovTransitions,
     "q81_multi_touch"      -> q81MultiTouch,
     "q79_session_funnel"   -> q79SessionFunnel,
@@ -990,6 +1044,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q83_sla_percentiles" -> q83SlaPercentilesSql,
     "q82_markov_transitions" -> q82MarkovTransitionsSql,
     "q81_multi_touch"      -> q81MultiTouchSql,
     "q79_session_funnel"   -> q79SessionFunnelSql,

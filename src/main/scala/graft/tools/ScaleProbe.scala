@@ -59,7 +59,10 @@ object ScaleProbe {
     "g5_hits",
     // r6 fourth batch: t11 pure map, c14 one grouped agg, m5's single
     // DistributedRank range exchange + 3-row offsets broadcast
-    "t11_structure_stats", "c14_dataset_card", "m5_modality_batches")
+    "t11_structure_stats", "c14_dataset_card", "m5_modality_batches",
+    // q83: exact percentiles via the bounded (priority x day) histogram
+    // — shuffle carries histogram cells, never value buffers
+    "q83_sla_percentiles")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

@@ -60,7 +60,9 @@ class ScaleLinearitySpec extends SparkSpec {
     "g5_hits",
     // r6 fourth batch (probed 0.99/0.91/0.82): t11 pure map, c14 one
     // map-side-combined agg, m5's single range exchange
-    "t11_structure_stats", "c14_dataset_card", "m5_modality_batches")
+    "t11_structure_stats", "c14_dataset_card", "m5_modality_batches",
+    // q83 (probed 0.86): bounded-histogram percentiles — no buffers
+    "q83_sla_percentiles")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
