@@ -473,7 +473,94 @@ object Keywords {
     JOIN ct cb ON tb = cb.t
     CROSS JOIN n"""
 
+  // =========================================================================
+  // k7 — distinctive vocabulary per source (χ² salience)
+  // =========================================================================
+
+  /** Per-source distinctive terms by the χ² test on the 2×2 term ×
+    * source contingency table — the "weirdness" score a corpus audit
+    * ranks sources by (what vocabulary makes src7 unlike the rest).
+    * Only over-represented terms (positive association, `ad-bc > 0`)
+    * are ranked.
+    *
+    * Determinism: a/b/c/d are exact int64 counts; χ² is assembled in
+    * doubles with IDENTICAL expression structure in both engines
+    * (identical ints in, same operation order ⇒ bit-equal out — s1's
+    * cosine discipline), reported as integer micros. The top-5 pick
+    * per source uses [[graft.ops.ScoreTopKAggregator]] — a bounded
+    * buffer per partition, merged pairwise, so the per-source pick
+    * ships ≤5 tuples per partition instead of window-sorting the
+    * (source × vocab) stream (k1's aggregator argument). The term
+    * count floor bounds the scored vocabulary; the corpus total is a
+    * one-row broadcast (the q39 scalar shape).
+    */
+  private val MinTermCount = 50
+
+  val k7Chi2Keywords: Q = (s, dir) => {
+    val toks = Tables.loadParallel(s, dir, "documents")
+      .select(col("source"), explode(expr(
+        "filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
+        .as("t"))
+      .registerCache()
+    val st = toks.groupBy("source", "t").agg(count(lit(1)).as("a"))
+    val tt = toks.groupBy("t").agg(count(lit(1)).as("tcnt"))
+      .filter(col("tcnt") >= MinTermCount)
+    val stot = toks.groupBy("source").agg(count(lit(1)).as("scnt"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    val scored = st.join(tt, "t").join(stot, "source")
+      .crossJoin(broadcast(n))
+      .withColumn("bb", col("tcnt") - col("a"))
+      .withColumn("cc", col("scnt") - col("a"))
+      .withColumn("dd", col("n_total") - col("tcnt") - col("scnt") + col("a"))
+      .withColumn("adbc", col("a") * col("dd") - col("bb") * col("cc"))
+      .filter(col("adbc") > 0)
+      .withColumn("chi2_micro", expr(
+        """cast(round(1e6 * (cast(n_total as double) * cast(adbc as double) * cast(adbc as double)
+           / (cast(a + bb as double) * cast(cc + dd as double)
+              * cast(a + cc as double) * cast(bb + dd as double)))) as bigint)"""))
+    val top5 = udaf(new graft.ops.ScoreTopKAggregator(5))
+    scored
+      .groupBy("source")
+      .agg(top5(col("t"), col("chi2_micro").cast("double")).as("ks"))
+      .select(col("source"), posexplode(col("ks")).as(Seq("i", "k")))
+      .select(col("source"), col("k._1").as("term"),
+        col("k._2").cast("long").as("chi2_micro"),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
+  val k7Chi2KeywordsSql: String = s"""
+    WITH e AS (
+      SELECT source,
+             unnest(list_filter(
+               str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '),
+               t -> t NOT IN ($stop))) AS t
+      FROM documents),
+    st AS (SELECT source, t, count(*) AS a FROM e GROUP BY 1, 2),
+    tt AS (SELECT t, count(*) AS tcnt FROM e GROUP BY 1
+           HAVING count(*) >= $MinTermCount),
+    stot AS (SELECT source, count(*) AS scnt FROM e GROUP BY 1),
+    n AS (SELECT count(*) AS n_total FROM e),
+    x AS (
+      SELECT source, t, a, tcnt - a AS bb, scnt - a AS cc,
+             n_total - tcnt - scnt + a AS dd, n_total
+      FROM st JOIN tt USING (t) JOIN stot USING (source) CROSS JOIN n),
+    sc AS (
+      SELECT source, t,
+             CAST(round(1e6 * (CAST(n_total AS DOUBLE) * CAST(a*dd - bb*cc AS DOUBLE) * CAST(a*dd - bb*cc AS DOUBLE)
+               / (CAST(a + bb AS DOUBLE) * CAST(cc + dd AS DOUBLE)
+                  * CAST(a + cc AS DOUBLE) * CAST(bb + dd AS DOUBLE)))) AS BIGINT)
+               AS chi2_micro
+      FROM x WHERE a*dd - bb*cc > 0),
+    r AS (
+      SELECT source, t AS term, chi2_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY CAST(chi2_micro AS DOUBLE) DESC, t) AS rank
+      FROM sc)
+    SELECT source, term, chi2_micro, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
+    "k7_chi2_keywords" -> k7Chi2Keywords,
     "k5_pmi_collocations" -> k5PmiCollocations,
     "k4_tfidf" -> k4Tfidf,
     "k1_top_keywords"    -> k1TopKeywords,
@@ -483,6 +570,7 @@ object Keywords {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k7_chi2_keywords" -> k7Chi2KeywordsSql,
     "k5_pmi_collocations" -> k5PmiCollocationsSql,
     "k4_tfidf"           -> k4TfidfSql,
     "k1_top_keywords"    -> k1TopKeywordsSql,

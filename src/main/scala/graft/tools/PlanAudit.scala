@@ -43,8 +43,9 @@ object PlanAudit {
       "t9_lm_score", "s9_sq_ann", "v1_bpe_merges", "v2_bpe_tokenize",
       "c11_token_budget_mix", "s11_kmeans",
       // d19 rides the same one-row packed-codebook crossJoins as s11;
-      // g5 crosses each half-round's ONE-row max for L∞ normalization
-      "d19_semdedup", "g5_hits")
+      // g5 crosses each half-round's ONE-row max for L∞ normalization;
+      // k7 crosses its one-row corpus-total (q39's scalar shape)
+      "d19_semdedup", "g5_hits", "k7_chi2_keywords")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

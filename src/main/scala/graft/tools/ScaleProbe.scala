@@ -62,7 +62,10 @@ object ScaleProbe {
     "t11_structure_stats", "c14_dataset_card", "m5_modality_batches",
     // q83: exact percentiles via the bounded (priority x day) histogram
     // — shuffle carries histogram cells, never value buffers
-    "q83_sla_percentiles")
+    "q83_sla_percentiles",
+    // k7: token-grain aggregates collapse to the (source x vocab) grain
+    // before scoring; top-5 pick ships <=5 tuples per partition
+    "k7_chi2_keywords")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

@@ -62,7 +62,9 @@ class ScaleLinearitySpec extends SparkSpec {
     // map-side-combined agg, m5's single range exchange
     "t11_structure_stats", "c14_dataset_card", "m5_modality_batches",
     // q83 (probed 0.86): bounded-histogram percentiles — no buffers
-    "q83_sla_percentiles")
+    "q83_sla_percentiles",
+    // k7 (probed 0.60): vocab-grain scoring + bounded top-k aggregator
+    "k7_chi2_keywords")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
