@@ -364,13 +364,19 @@ object Graph {
       .withColumn("hub_micro", lit(1000000L))
     var auths: DataFrame = null
     for (_ <- 1 to 2) {
+      // each half-round's raw-sum frame feeds BOTH its one-row max and
+      // the normalized scores; uncached, every reuse re-runs the whole
+      // upstream chain and the recomputation DOUBLES per half-round —
+      // 2^4 plan blow-up over 2 rounds (measured: 18s -> ~1s at sf0.1)
       val araw = edges.join(hubs, col("src") === col("node"))
         .groupBy("dst").agg(sum("hub_micro").as("a_raw"))
+        .registerCache()
       auths = araw.crossJoin(broadcast(araw.agg(max("a_raw").as("a_max"))))
         .select(col("dst").as("node"),
           expr("(a_raw * 1000000) div a_max").as("auth_micro"))
       val hraw = edges.join(auths, col("dst") === col("node"))
         .groupBy("src").agg(sum("auth_micro").as("h_raw"))
+        .registerCache()
       hubs = hraw.crossJoin(broadcast(hraw.agg(max("h_raw").as("h_max"))))
         .select(col("src").as("node"),
           expr("(h_raw * 1000000) div h_max").as("hub_micro"))

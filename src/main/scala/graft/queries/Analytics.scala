@@ -1016,7 +1016,50 @@ object Analytics {
            MIN(CASE WHEN cum * 100 >= n * 99 THEN lag_days END) AS p99_days
     FROM c GROUP BY priority"""
 
+  /** q84 — ANALYZE-style table statistics in ONE pass: per column of
+    * `orders`, the row count, null count, and exact NDV — the numbers
+    * a cost-based planner feeds its broadcast/join-order decisions
+    * (and the engine's own `q22` KMV sketch approximates when exact
+    * NDV is too expensive). All N distinct aggregates run in a single
+    * scan — Catalyst compiles multi-distinct into one Expand (each row
+    * fans out once per column) + one aggregate, not N table scans;
+    * the result unpivots to the (column, stats) grain with `stack`.
+    * At 100 TB you'd swap exact NDV for the KMV/HLL sketch column by
+    * column; the one-scan shape is identical.
+    */
+  val q84TableStats: Q = (s, dir) => {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+    val one = Tables.load(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c => s"'$c', ndv_$c, nulls_$c").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackExpr) AS (column_name, ndv, n_nulls)")
+      .select("column_name", "n_rows", "ndv", "n_nulls")
+  }
+
+  val q84TableStatsSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggSelects = cols.map(c =>
+      s"count(DISTINCT $c) AS ndv_$c, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c")
+      .mkString(",\n             ")
+    val arms = cols.map(c =>
+      s"SELECT '$c' AS column_name, n_rows, ndv_$c AS ndv, nulls_$c AS n_nulls FROM a")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             $aggSelects
+      FROM orders)
+    $arms"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q84_table_stats" -> q84TableStats,
     "q83_sla_percentiles" -> q83SlaPercentiles,
     "q82_markov_transitions" -> q82MarkovTransitions,
     "q81_multi_touch"      -> q81MultiTouch,
@@ -1044,6 +1087,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q84_table_stats" -> q84TableStatsSql,
     "q83_sla_percentiles" -> q83SlaPercentilesSql,
     "q82_markov_transitions" -> q82MarkovTransitionsSql,
     "q81_multi_touch"      -> q81MultiTouchSql,

@@ -65,7 +65,9 @@ object ScaleProbe {
     "q83_sla_percentiles",
     // k7: token-grain aggregates collapse to the (source x vocab) grain
     // before scoring; top-5 pick ships <=5 tuples per partition
-    "k7_chi2_keywords")
+    "k7_chi2_keywords",
+    // q84: multi-distinct compiles to ONE Expand+aggregate scan
+    "q84_table_stats")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

@@ -64,7 +64,9 @@ class ScaleLinearitySpec extends SparkSpec {
     // q83 (probed 0.86): bounded-histogram percentiles — no buffers
     "q83_sla_percentiles",
     // k7 (probed 0.60): vocab-grain scoring + bounded top-k aggregator
-    "k7_chi2_keywords")
+    "k7_chi2_keywords",
+    // q84 (probed 0.94): one Expand+agg scan for all column stats
+    "q84_table_stats")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
