@@ -120,5 +120,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q84 multi-distinct stats compile to ONE Expand scan, not N scans") {
+    val plan = physicalPlan("q84_table_stats")
+    // Expand is the multi-distinct rewrite; a second parquet scan of
+    // orders would mean Catalyst fell back to per-column passes.
+    // (AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count scans in the final section only.)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Expand"), plan)
+    assert(finalPlan.split("Scan parquet").length - 1 === 1, plan)
+  }
+
+  test("k7 top-5 pick is the bounded aggregator, not a vocab window sort") {
+    val plan = physicalPlan("k7_chi2_keywords")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // the (source x vocab) stream must not flow through a Window
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q83 percentile plan carries NO per-group value buffers") {
+    val plan = physicalPlan("q83_sla_percentiles")
+    // the buffering percentile() aggregate would appear as
+    // ObjectHashAggregate(percentile...); the histogram method needs
+    // only hash aggregates + a bounded window
+    assert(!plan.contains("percentile"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   private def wrap(i: Int): Int = if (i < 0) Int.MaxValue else i
 }
