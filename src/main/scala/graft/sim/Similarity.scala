@@ -843,7 +843,13 @@ object Similarity {
         col("adist2"), col("cos_sim"))
   }
 
-  val s10PqAdcSql: String = {
+  /** The PQ CTE chain (offset vectors → subvectors → 1-round learned
+    * codebooks → corpus codes → query LUT) shared by s10's global ADC
+    * scan and s12's IVF-restricted one. Defines `ov, sub, c0, p0, a1,
+    * c1, p1, codes, lut`; expects `qn` (from [[oracleQuantized]]) in
+    * scope for nothing — it is self-contained after `embeddings`.
+    */
+  private lazy val pqSqlChain: String = {
     def assign(cents: String, out: String, keep: String) =
       s"""$out AS (
         SELECT vec_id, m, sv, mk % 16 AS cid$keep FROM (
@@ -854,9 +860,7 @@ object Similarity {
                         * (sv[i] - struct_extract(c, 'cv')[i])), 'sum')
                    * 16 + struct_extract(c, 'cid'))) AS BIGINT) AS mk
           FROM sub s JOIN $cents USING (m)))"""
-    s"""
-    WITH $oracleQuantized,
-    ov AS (
+    s"""ov AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(x::DOUBLE * $Scale) AS BIGINT) + $KmOffset) AS ov
       FROM embeddings),
@@ -893,7 +897,12 @@ object Similarity {
              CAST(list_aggregate(list_transform(range(1, 16 + 1),
                i -> (sv[i] - cv[i]) * (sv[i] - cv[i])), 'sum') AS BIGINT) AS qd2
       FROM sub q JOIN c1 USING (m)
-      WHERE q.vec_id % 50 = 0),
+      WHERE q.vec_id % 50 = 0)"""
+  }
+
+  val s10PqAdcSql: String = s"""
+    WITH $oracleQuantized,
+    $pqSqlChain,
     adc AS (
       SELECT query_id, vec_id, CAST(SUM(qd2) AS BIGINT) AS adist2
       FROM codes JOIN lut USING (m, cid)
@@ -918,9 +927,126 @@ object Similarity {
       FROM exact)
     SELECT query_id, rank, vec_id AS neighbor_id, adist2, cos_sim
     FROM ranked WHERE rank <= 5"""
+
+  // =========================================================================
+  // s12 — IVF + PQ: the production ANN composition (IndexIVFPQ shape)
+  // =========================================================================
+
+  /** The FAISS `IndexIVFPQ` composition (Jégou et al. 2011; Johnson
+    * et al. 2017): s5's coarse quantizer prunes the corpus to the
+    * query's OWN cell, s10's learned PQ codebooks score only those
+    * candidates via the asymmetric-distance LUT, and the top-10 ADC
+    * survivors get an exact-cosine re-rank — approximation proposes,
+    * exact arithmetic ranks (s9/s10's discipline).
+    *
+    * This is the query shape a 100 TB vector store actually serves:
+    * per query, work = |cell| ADC lookups (4 code bytes each) + 10
+    * exact re-ranks — NOT the corpus scan of s1/s9/s10. Both index
+    * structures are one-time builds: cells are a map stage over a
+    * broadcast centroid set, codes a map stage over broadcast
+    * codebooks; the candidate join is keyed on (cell-restricted)
+    * (m, cid) with the tiny LUT broadcast. Everything int64/
+    * bit-stable end to end, so even the composed index hash-matches
+    * the DuckDB twin.
+    */
+  val s12IvfPq: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = quantized(s, dir)
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val cells = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+      .registerCache()
+    val subs = pqSubs(kmVectors(s, dir)).registerCache()
+    val c0 = subs.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    val c1 = pqUpdate(pqAssign(subs, pqPack(c0)))
+    val codes = pqAssign(subs, pqPack(c1)).select("vec_id", "m", "cid")
+      .join(cells, "vec_id")
+    val lut = subs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(c1), "m")
+      .withColumn("qd2", expr(
+        """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+                     cast(0 as bigint), (a, x) -> a + x)"""))
+      .select("query_id", "m", "cid", "qd2")
+      .join(cells.select(col("vec_id").as("query_id"), col("cell").as("q_cell")),
+        "query_id")
+    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("cell") === col("q_cell") && col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "cell", "vec_id")
+      .agg(sum("qd2").as("adist2"))
+    val cand = adc
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist2"), col("vec_id"))))
+      .filter(col("crank") <= 10)
+    val qn = corpus.select("vec_id", "qv", "n2")
+    cand
+      .join(qn.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2")), "query_id")
+      .join(qn, "vec_id")
+      .withColumn("cos_sim",
+        cosine(graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")),
+          col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cell"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adist2"), col("cos_sim"))
   }
 
+  val s12IvfPqSql: String = s"""
+    WITH $oracleQuantized,
+    $pqSqlChain,
+    centroids AS (SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM qn
+                  WHERE vec_id % 125 = 0),
+    scored_cells AS (
+      SELECT qn.vec_id, c_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qv, i) * list_extract(c_qv, i)), 'sum')::DOUBLE
+               / sqrt(n2::DOUBLE * c_n2::DOUBLE) AS c_cos
+      FROM qn CROSS JOIN centroids),
+    cells AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, c_id) AS rn
+        FROM scored_cells) WHERE rn = 1),
+    codesc AS (SELECT c.vec_id, c.m, c.cid, s.cell
+               FROM codes c JOIN cells s USING (vec_id)),
+    lutc AS (SELECT l.query_id, l.m, l.cid, l.qd2, s.cell AS q_cell
+             FROM lut l JOIN cells s ON l.query_id = s.vec_id),
+    adc AS (
+      SELECT query_id, cell, vec_id, CAST(SUM(qd2) AS BIGINT) AS adist2
+      FROM codesc JOIN lutc USING (m, cid)
+      WHERE cell = q_cell AND query_id <> vec_id
+      GROUP BY 1, 2, 3),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist2, vec_id) AS crank
+      FROM adc),
+    exact AS (
+      SELECT c.query_id, c.cell, c.vec_id, c.adist2,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qq.qv, i) * list_extract(nn.qv, i)), 'sum')::DOUBLE
+               / sqrt(qq.n2::DOUBLE * nn.n2::DOUBLE) AS cos_sim
+      FROM cand c
+      JOIN qn qq ON c.query_id = qq.vec_id
+      JOIN qn nn ON c.vec_id = nn.vec_id
+      WHERE c.crank <= 10),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM exact)
+    SELECT query_id, cell, rank, vec_id AS neighbor_id, adist2, cos_sim
+    FROM ranked WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
+    "s12_ivf_pq"           -> s12IvfPq,
     "s10_pq_adc"           -> s10PqAdc,
     "s11_kmeans"           -> s11Kmeans,
     "d19_semdedup"         -> d19Semdedup,
@@ -936,6 +1062,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s12_ivf_pq"           -> s12IvfPqSql,
     "s10_pq_adc"           -> s10PqAdcSql,
     "s11_kmeans"           -> s11KmeansSql,
     "d19_semdedup"         -> d19SemdedupSql,

@@ -45,7 +45,8 @@ object PlanAudit {
       // d19 rides the same one-row packed-codebook crossJoins as s11;
       // g5 crosses each half-round's ONE-row max for L∞ normalization;
       // k7 crosses its one-row corpus-total (q39's scalar shape)
-      "d19_semdedup", "g5_hits", "k7_chi2_keywords")
+      // s12 reuses s5's bounded corpus x centroid-set assignment cross
+      "d19_semdedup", "g5_hits", "k7_chi2_keywords", "s12_ivf_pq")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

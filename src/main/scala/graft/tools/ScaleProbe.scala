@@ -67,7 +67,9 @@ object ScaleProbe {
     // before scoring; top-5 pick ships <=5 tuples per partition
     "k7_chi2_keywords",
     // q84: multi-distinct compiles to ONE Expand+aggregate scan
-    "q84_table_stats")
+    "q84_table_stats",
+    // s12: per-query work = |cell| ADC lookups, never a corpus scan
+    "s12_ivf_pq")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -81,6 +83,7 @@ object ScaleProbe {
     "s10_pq_adc" -> "embeddings",
     "q81_multi_touch" -> "events",
     "s11_kmeans" -> "embeddings",
+    "s12_ivf_pq" -> "embeddings",
     "d19_semdedup" -> "embeddings",
     "q82_markov_transitions" -> "events",
     "g5_hits" -> "lineitem",

@@ -66,7 +66,11 @@ class ScaleLinearitySpec extends SparkSpec {
     // k7 (probed 0.60): vocab-grain scoring + bounded top-k aggregator
     "k7_chi2_keywords",
     // q84 (probed 0.94): one Expand+agg scan for all column stats
-    "q84_table_stats")
+    "q84_table_stats",
+    // s12 (probed 0.85 over the 4x embeddings step): the IVF+PQ
+    // composition — cell-pruned ADC, broadcast codebooks/LUT; the
+    // linear twin the s1/s9/s10 declared baselines point at
+    "s12_ivf_pq")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
