@@ -1058,7 +1058,56 @@ object Analytics {
     $arms"""
   }
 
+  /** q85 — hierarchical rollup via a RECURSIVE CTE (Spark 4.1's
+    * UnionLoop): every document hangs in a category tree (parent =
+    * `id div 2` — the synthetic stand-in for a real taxonomy), and the
+    * query materializes the ancestor closure and rolls token counts up
+    * to every subtree — the BOM/org-chart/category-rollup shape that
+    * needed iterative driver code before recursive CTEs landed.
+    *
+    * Scale shape: the closure is |docs| × depth rows and the recursion
+    * runs depth iterations — bounded by the HIERARCHY (log₂ N here,
+    * ~10-20 levels for a real taxonomy), not the corpus; each
+    * iteration is one map step (`ancestor div 2`) with no join, and
+    * the rollup is a single grouped aggregate over the closure. The
+    * same text works verbatim in DuckDB, so the oracle is the same
+    * query — both engines' recursion semantics are pinned against
+    * each other.
+    */
+  val q85HierarchyRollup: Q = (s, dir) => {
+    Tables.loadParallel(s, dir, "documents")
+      .selectExpr("doc_id",
+        "size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')) AS n_tokens")
+      .createOrReplaceTempView("q85_docs")
+    s.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT doc_id, doc_id AS ancestor, n_tokens
+        FROM q85_docs
+        UNION ALL
+        SELECT doc_id, ancestor DIV 2 AS ancestor, n_tokens
+        FROM anc WHERE ancestor > 0)
+      SELECT ancestor AS category, count(*) AS n_desc_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS subtree_tokens
+      FROM anc GROUP BY ancestor""")
+  }
+
+  val q85HierarchyRollupSql: String = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '))
+               AS n_tokens
+      FROM documents),
+    anc AS (
+      SELECT doc_id, doc_id AS ancestor, n_tokens FROM d
+      UNION ALL
+      SELECT doc_id, ancestor // 2 AS ancestor, n_tokens
+      FROM anc WHERE ancestor > 0)
+    SELECT ancestor AS category, count(*) AS n_desc_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS subtree_tokens
+    FROM anc GROUP BY ancestor"""
+
   val queries: Map[String, Q] = Map(
+    "q85_hierarchy_rollup" -> q85HierarchyRollup,
     "q84_table_stats" -> q84TableStats,
     "q83_sla_percentiles" -> q83SlaPercentiles,
     "q82_markov_transitions" -> q82MarkovTransitions,
@@ -1087,6 +1136,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_hierarchy_rollup" -> q85HierarchyRollupSql,
     "q84_table_stats" -> q84TableStatsSql,
     "q83_sla_percentiles" -> q83SlaPercentilesSql,
     "q82_markov_transitions" -> q82MarkovTransitionsSql,

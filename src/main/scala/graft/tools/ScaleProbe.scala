@@ -69,7 +69,10 @@ object ScaleProbe {
     // q84: multi-distinct compiles to ONE Expand+aggregate scan
     "q84_table_stats",
     // s12: per-query work = |cell| ADC lookups, never a corpus scan
-    "s12_ivf_pq")
+    "s12_ivf_pq",
+    // q85: recursive-CTE closure is |docs| x depth, iterations bounded
+    // by hierarchy depth (log N), each a joinless map step
+    "q85_hierarchy_rollup")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

@@ -33,6 +33,36 @@ class BpeSpec extends SparkSpec {
     } finally graft.core.Caching.releaseAll()
   }
 
+  test("round trip: segmentation never loses or invents characters") {
+    // the BPE invariant the encode side rests on: for EVERY vocab word
+    // after all merge rounds, deleting the segment separators from
+    // `sym` reconstructs the original word exactly — merges re-group
+    // characters but cannot drop, duplicate, or leak them across the
+    // sentinel padding. Run against the real sf0.001 corpus vocab so
+    // the property covers real merge collisions, not toy fixtures.
+    val s = spark
+    import s.implicits._
+    val v0 = graft.core.Tables.loadParallel(s, "/root/testdata/sf0.001", "documents")
+      .select(explode(expr(
+        "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("sym",
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+    val (_, vFinal) = Bpe.learnMerges(v0)
+    try {
+      val broken = vFinal
+        .withColumn("rebuilt", regexp_replace(trim(col("sym")), " ", ""))
+        .filter(col("rebuilt") =!= col("word"))
+        .select("word", "sym").collect()
+      assert(broken.isEmpty,
+        broken.take(5).map(r => s"'${r.getString(0)}' -> '${r.getString(1)}'")
+          .mkString("; "))
+      // and every word segments into >= 1 non-empty piece
+      val empties = vFinal.filter(length(trim(col("sym"))) === 0).count()
+      assert(empties === 0)
+    } finally graft.core.Caching.releaseAll()
+  }
+
   test("padding keeps a merged symbol from matching inside a neighbor") {
     // winner is (t,e) from 'tete'(5)+'te'(4) = 14 adjacent occurrences
     // -- wait: craft so round-1 winner is (e,s) and verify ' e s ' does

@@ -70,7 +70,9 @@ class ScaleLinearitySpec extends SparkSpec {
     // s12 (probed 0.85 over the 4x embeddings step): the IVF+PQ
     // composition — cell-pruned ADC, broadcast codebooks/LUT; the
     // linear twin the s1/s9/s10 declared baselines point at
-    "s12_ivf_pq")
+    "s12_ivf_pq",
+    // q85 (probed 0.84): N x depth closure, depth-bounded recursion
+    "q85_hierarchy_rollup")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
