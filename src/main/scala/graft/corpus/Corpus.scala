@@ -33,10 +33,10 @@ object Corpus {
     * keeps its split forever, so eval never silently leaks into train
     * when the corpus grows.
     */
-  private val splitBucket: Column =
+  private[graft] val splitBucket: Column =
     expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 1000")
 
-  private val oracleBucket: String =
+  private[graft] val oracleBucket: String =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 1000"
 
   val c1HashSplit: Q = (s, dir) =>

@@ -1101,7 +1101,89 @@ object Dedup {
     FROM est"""
   }
 
+  // =========================================================================
+  // d20 — Bloom-pruned decontamination
+  // =========================================================================
+
+  /** c3's decontamination semantics with the 100 TB join order made
+    * explicit: before any train-side gram reaches an exchange, it is
+    * probed against an ~8 KB Bloom filter built from the EVAL side's
+    * distinct shingles — the runtime-filter pattern (Spark's own
+    * InjectRuntimeFilter does this for selective joins) spelled out as
+    * first-class dataflow so the prune is guaranteed, tunable, and
+    * visible in the plan.
+    *
+    * Construction is pure built-ins, no driver state: eval shingles
+    * explode into [[BloomK]] probe positions (`xxhash64(sh, i)` —
+    * engine-internal, so the oracle never needs to reproduce it), the
+    * positions aggregate to a ≤[[BloomBits]]/64-row (word-index →
+    * bit-OR mask) frame, and the train side checks its own K positions
+    * through K chained BROADCAST left joins — all map-side, zero
+    * shuffles, one codegen span. Only bloom-positive grams (true
+    * contaminations + ~0.1% false positives at K=3, m/n≈30) enter the
+    * exact semi-join that confirms contamination; the anti-join back to
+    * the doc grain emits the clean train split.
+    *
+    * No false negatives by construction, so the Bloom stage is
+    * invisible to the oracle: the result equals the plain exact
+    * anti-join SQL. At 100 TB the train gram exchange — the dominant
+    * cost of c3's shape — shrinks by the contamination rate (~1000×
+    * for a clean corpus); the filter itself ships once per executor.
+    */
+  private val BloomBits = 1 << 16
+  private val BloomK = 3
+
+  val d20BloomDecontaminate: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .withColumn("bucket", graft.corpus.Corpus.splitBucket)
+    val grams = shingleRows(docs, keep = Seq("doc_id", "bucket")).registerCache()
+    val evalSh = grams.filter(col("bucket") >= 950).select("sh").distinct()
+      .registerCache()
+    val bloom = evalSh
+      .select(explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}, 1), i -> pmod(xxhash64(sh, i), ${BloomBits}L))"))
+        .as("pos"))
+      .select(expr("cast(pos div 64 as int)").as("widx"),
+              expr("cast(pos % 64 as int)").as("bit"))
+      .groupBy("widx")
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), bit))").as("bits"))
+    val probed = (0 until BloomK).foldLeft(
+        grams.filter(col("bucket") < 900).select("doc_id", "sh")) { (t, i) =>
+      val b = bloom.select(col("widx").as(s"widx$i"), col("bits").as(s"bits$i"))
+      t.withColumn(s"pos$i", expr(s"pmod(xxhash64(sh, $i), ${BloomBits}L)"))
+        .join(broadcast(b),
+          expr(s"cast(pos$i div 64 as int) = widx$i"), "left")
+        .withColumn(s"hit$i", coalesce(
+          expr(s"(shiftright(bits$i, cast(pos$i % 64 as int)) & 1) = 1"),
+          lit(false)))
+    }
+    val contaminated = probed
+      .filter((0 until BloomK).map(i => col(s"hit$i")).reduce(_ && _))
+      .select("doc_id", "sh")
+      .join(evalSh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("bucket") < 900).select("doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  val d20BloomDecontaminateSql: String = {
+    val oracleBucket = graft.corpus.Corpus.oracleBucket
+    s"""WITH tok AS (SELECT doc_id, $oracleBucket AS bucket,
+                            $oracleTokens AS tokens
+                     FROM documents),
+    t AS (SELECT doc_id, bucket, $oracleShingles AS sh FROM tok),
+    e AS (SELECT doc_id, bucket, unnest(sh) AS g FROM t),
+    eval_g AS (SELECT DISTINCT g FROM e WHERE bucket >= 950),
+    contaminated AS (
+      SELECT DISTINCT e.doc_id FROM e JOIN eval_g USING (g)
+      WHERE e.bucket < 900)
+    SELECT doc_id FROM t
+    WHERE bucket < 900
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "d20_bloom_decontaminate" -> d20BloomDecontaminate,
     "d18_minhash_accuracy" -> d18MinhashAccuracy,
     "d17_span_dedup" -> d17SpanDedup,
     "d16_containment" -> d16Containment,
@@ -1123,6 +1205,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d20_bloom_decontaminate" -> d20BloomDecontaminateSql,
     "d18_minhash_accuracy" -> d18MinhashAccuracySql,
     "d17_span_dedup" -> d17SpanDedupSql,
     "d16_containment" -> d16ContainmentSql,

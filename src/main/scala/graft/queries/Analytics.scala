@@ -1106,7 +1106,76 @@ object Analytics {
            CAST(SUM(n_tokens) AS BIGINT) AS subtree_tokens
     FROM anc GROUP BY ancestor"""
 
+  /** q86 — per-segment revenue trend via exact-sum linear regression:
+    * monthly revenue per market segment, then the least-squares slope/
+    * intercept of revenue over the month index. The regr_slope shape —
+    * but NOT regr_slope itself: Spark and DuckDB both implement it as
+    * running double covariance whose value depends on merge order, so
+    * it can never hash-match. Instead the five regression sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) are exact int64 sums (x = month
+    * index ≤ ~84, y = exact cents), combined once:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — numerator and denominator
+    * exact bigints, one IEEE double division at the end. Overflow
+    * headroom: nΣxy ≈ n²·x̄·ȳ ≈ 84²·80·(monthly cents) stays under
+    * 2^63 through ~sf100; past that the sums widen to decimal(38,0)
+    * with the same one-division discipline.
+    *
+    * Scale shape: fact table aggregates once to the (segment, month)
+    * grain — map-side partial agg shrinks the exchange to |segments|×
+    * |months| rows; the customer dim is broadcast; the regression
+    * itself runs over ≤ 5×84 rows. No window, no second data-sized
+    * shuffle.
+    */
+  val q86RegrTrend: Q = (s, dir) => {
+    val monthly = Tables.load(s, dir, "orders")
+      .join(broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    monthly.groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_cents_per_month",
+        (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept_cents",
+        (col("sy").cast("double") -
+          col("slope_cents_per_month") * col("sx").cast("double")) /
+        col("n_months").cast("double"))
+      .select("c_mktsegment", "n_months", "slope_cents_per_month",
+        "intercept_cents")
+  }
+
+  val q86RegrTrendSql: String = """
+    WITH monthly AS (
+      SELECT c_mktsegment,
+             CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT c_mktsegment, COUNT(*) AS n_months,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      FROM monthly GROUP BY 1)
+    SELECT c_mktsegment, n_months,
+           CAST(n_months*sxy - sx*sy AS DOUBLE)
+             / CAST(n_months*sxx - sx*sx AS DOUBLE) AS slope_cents_per_month,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n_months*sxy - sx*sy AS DOUBLE)
+                 / CAST(n_months*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n_months AS DOUBLE) AS intercept_cents
+    FROM stats"""
+
   val queries: Map[String, Q] = Map(
+    "q86_regr_trend" -> q86RegrTrend,
     "q85_hierarchy_rollup" -> q85HierarchyRollup,
     "q84_table_stats" -> q84TableStats,
     "q83_sla_percentiles" -> q83SlaPercentiles,
@@ -1136,6 +1205,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q86_regr_trend" -> q86RegrTrendSql,
     "q85_hierarchy_rollup" -> q85HierarchyRollupSql,
     "q84_table_stats" -> q84TableStatsSql,
     "q83_sla_percentiles" -> q83SlaPercentilesSql,

@@ -518,7 +518,83 @@ object TextAnalysis {
              // greatest(1, len(regexp_extract_all(text, '[A-Za-z]'))) AS caps_bp
     FROM t"""
 
+  // =========================================================================
+  // t12 — Zipf-law fit over the vocabulary head
+  // =========================================================================
+
+  /** How Zipfian is the corpus? Token frequencies vs rank on a log-log
+    * scale should be near-linear with slope ≈ −1 for natural language;
+    * machine-generated or templated corpora bend away from it, which
+    * makes the fitted slope a cheap corpus-level health metric next to
+    * t9's per-document LM score.
+    *
+    * Fit discipline: the regression runs over the TOP-[[ZipfHead]]
+    * ranks only — statistically standard (the rank tail always deviates
+    * from Zipf) and what makes the arithmetic scale-proof: with rank
+    * bounded, every log lives in a known range and the exact-integer
+    * sufficient statistics (q86's discipline: logs rounded ONCE to
+    * milli-nats as int64, exact sums, one final double division) cannot
+    * overflow at any corpus size. Rank itself comes from
+    * [[graft.ops.DistributedRank]] over the total order (count desc,
+    * word asc) — the vocab grain never collapses to one task.
+    *
+    * Scale shape: one corpus-sized explode+agg to the vocab grain (the
+    * same exchange every keyword query pays), one range exchange of the
+    * vocab for ranking, then a ≤[[ZipfHead]]-row aggregate. */
+  private val ZipfHead = 5000
+
+  val t12Zipf: Q = (s, dir) => {
+    val vocab = Tables.loadParallel(s, dir, "documents")
+      .select(explode(expr(tokensExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = graft.ops.DistributedRank.withGlobalRank(
+        vocab, Seq(col("c").desc, col("w").asc), "r", "n_vocab")
+      .filter(col("r") <= ZipfHead)
+      .select(
+        expr("cast(round(1000 * ln(cast(r as double))) as bigint)").as("lx"),
+        expr("cast(round(1000 * ln(cast(c as double))) as bigint)").as("ly"))
+    ranked.agg(
+        count(lit(1)).as("n_head"),
+        sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .withColumn("zipf_slope",
+        (col("n_head") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_head") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("zipf_intercept_nats",
+        ((col("sy").cast("double") -
+          col("zipf_slope") * col("sx").cast("double")) /
+          col("n_head").cast("double")) / 1000.0)
+      .select("n_head", "zipf_slope", "zipf_intercept_nats")
+  }
+
+  val t12ZipfSql: String = s"""
+    WITH vocab AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest($oracleTokens) AS w FROM documents)
+      GROUP BY w),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, w ASC) AS r, c FROM vocab),
+    logs AS (
+      SELECT CAST(round(1000 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS lx,
+             CAST(round(1000 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS ly
+      FROM ranked WHERE r <= $ZipfHead),
+    stats AS (
+      SELECT COUNT(*) AS n_head,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx*ly) AS BIGINT) AS sxy, CAST(SUM(lx*lx) AS BIGINT) AS sxx
+      FROM logs)
+    SELECT n_head,
+           CAST(n_head*sxy - sx*sy AS DOUBLE)
+             / CAST(n_head*sxx - sx*sx AS DOUBLE) AS zipf_slope,
+           ((CAST(sy AS DOUBLE)
+               - (CAST(n_head*sxy - sx*sy AS DOUBLE)
+                  / CAST(n_head*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+              / CAST(n_head AS DOUBLE)) / 1000.0 AS zipf_intercept_nats
+    FROM stats"""
+
   val queries: Map[String, Q] = Map(
+    "t12_zipf" -> t12Zipf,
     "t11_structure_stats" -> t11StructureStats,
     "t10_gopher_rules" -> t10GopherRules,
     "t9_lm_score" -> t9LmScore,
@@ -533,6 +609,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t12_zipf" -> t12ZipfSql,
     "t11_structure_stats" -> t11StructureStatsSql,
     "t10_gopher_rules" -> t10GopherRulesSql,
     "t9_lm_score" -> t9LmScoreSql,

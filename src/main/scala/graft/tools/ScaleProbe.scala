@@ -72,7 +72,14 @@ object ScaleProbe {
     "s12_ivf_pq",
     // q85: recursive-CTE closure is |docs| x depth, iterations bounded
     // by hierarchy depth (log N), each a joinless map step
-    "q85_hierarchy_rollup")
+    "q85_hierarchy_rollup",
+    // r6 fifth batch: q86's regression collapses to the (segment x
+    // month) grain map-side; t12 pays the standard vocab explode+agg
+    // then a vocab range exchange, fit over a fixed 5000-row head;
+    // d20's train grams meet the bloom via broadcast-only probes —
+    // shuffle should track the eval split + contaminated survivors,
+    // not the train gram count
+    "q86_regr_trend", "t12_zipf", "d20_bloom_decontaminate")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -90,7 +97,8 @@ object ScaleProbe {
     "d19_semdedup" -> "embeddings",
     "q82_markov_transitions" -> "events",
     "g5_hits" -> "lineitem",
-    "g4_label_prop" -> "lineitem").withDefaultValue("documents")
+    "g4_label_prop" -> "lineitem",
+    "q86_regr_trend" -> "orders").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -130,13 +138,36 @@ object ScaleProbe {
       name -> (bSmall, bBig, rowRatio, shufRatio, e)
     }
 
-    val body = report.map { case (n, (bs, bb, rr, sr, e)) =>
-      f""""$n":{"bytes_small":$bs,"bytes_big":$bb,"row_ratio":$rr%.1f,"shuffle_ratio":$sr%.2f,"exponent":$e%.2f}"""
-    }.mkString("{", ",", "}")
-    val line = s"""{"small":"$small","big":"$big","queries":$body}"""
     val mirror = sys.props.get("graft.scaleprobe.mirror")
       .orElse(sys.env.get("GRAFT_SCALEPROBE_MIRROR"))
       .getOrElse("scale_probe.json")
+    // Merge into the existing mirror: a subset probe (local iteration
+    // on a few names) must not drop the other queries' entries. Only
+    // entries probed at the SAME sf pair are carried over.
+    val carried: Seq[(String, String)] = {
+      val p = java.nio.file.Paths.get(mirror).toAbsolutePath
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        // whitespace-tolerant: the mirror may be pretty-printed
+        val prev = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        def has(key: String, v: String) =
+          s""""$key":\\s*"${java.util.regex.Pattern.quote(v)}"""".r
+            .findFirstIn(prev).isDefined
+        if (!has("small", small) || !has("big", big)) Seq.empty
+        else """"([a-z0-9_]+)":\s*(\{[^{}]*\})""".r
+          .findAllMatchIn(prev)
+          .map(m => m.group(1) ->
+            m.group(2).replaceAll("\\s+", "")).toSeq
+          .filterNot { case (n, _) => names.contains(n) }
+      }
+    }
+    val fresh = report.map { case (n, (bs, bb, rr, sr, e)) =>
+      n -> f"""{"bytes_small":$bs,"bytes_big":$bb,"row_ratio":$rr%.1f,"shuffle_ratio":$sr%.2f,"exponent":$e%.2f}"""
+    }
+    val body = (carried ++ fresh)
+      .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
+    val line = s"""{"small":"$small","big":"$big","queries":$body}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(mirror).toAbsolutePath,
