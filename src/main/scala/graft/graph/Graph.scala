@@ -414,13 +414,84 @@ object Graph {
     SELECT node, auth_micro AS score_micro, 'authority' AS role FROM a2"""
   }
 
+  /** g6 — degree profile + assortativity of the purchase graph: the
+    * structural health check run before any iterative algorithm (a
+    * hub-dominated or disassortative graph changes the g1/g4/g5 cost
+    * model — degree skew IS the salting decision). Assortativity is
+    * the Pearson correlation between src out-degree and dst in-degree
+    * across edges, computed from exact int64 sufficient statistics
+    * (q86's discipline); the two denominator factors are cast to
+    * double BEFORE multiplying (their int64 product overflows at
+    * ~10⁶ edges, the doubles are exact up to 2⁵³ each), and the final
+    * sqrt/divide is one deterministic IEEE step in both engines.
+    *
+    * Plan: one edge build (g1's shape), degree aggregates keyed on
+    * src / dst, degrees joined back onto edges on their own keys, one
+    * global map-combined sum — no window, nothing node-quadratic.
+    */
+  val g6DegreeStats: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SuppOffset).as("dst"))
+      .distinct()
+      .registerCache()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("x"))
+    val indeg = edges.groupBy("dst").agg(count(lit(1)).as("y"))
+    val joined = edges.join(outdeg, "src").join(indeg, "dst")
+    joined.agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_customers"),
+        countDistinct(col("dst")).as("n_suppliers"),
+        max(col("x")).as("max_outdeg"),
+        max(col("y")).as("max_indeg"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("assortativity",
+        (col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select("n_edges", "n_customers", "n_suppliers",
+        "max_outdeg", "max_indeg", "assortativity")
+  }
+
+  val g6DegreeStatsSql: String = s"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    od AS (SELECT src, count(*) AS x FROM edges GROUP BY src),
+    id AS (SELECT dst, count(*) AS y FROM edges GROUP BY dst),
+    j AS (SELECT e.src, e.dst, od.x, id.y
+          FROM edges e JOIN od USING (src) JOIN id USING (dst)),
+    m AS (
+      SELECT count(*) AS n_edges,
+             count(DISTINCT src) AS n_customers,
+             count(DISTINCT dst) AS n_suppliers,
+             CAST(max(x) AS BIGINT) AS max_outdeg,
+             CAST(max(y) AS BIGINT) AS max_indeg,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM j)
+    SELECT n_edges, n_customers, n_suppliers, max_outdeg, max_indeg,
+           CAST(n_edges*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n_edges*sxx - sx*sx AS DOUBLE)
+                    * CAST(n_edges*syy - sy*sy AS DOUBLE)) AS assortativity
+    FROM m"""
+
   val queries: Map[String, Q] = Map(
+    "g6_degree_stats" -> g6DegreeStats,
     "g5_hits" -> g5Hits,
     "g4_label_prop" -> g4LabelProp,
     "g1_pagerank" -> g1Pagerank,
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g6_degree_stats" -> g6DegreeStatsSql,
     "g5_hits" -> g5HitsSql,
     "g4_label_prop" -> g4LabelPropSql,
     "g1_pagerank" -> g1PagerankSql,

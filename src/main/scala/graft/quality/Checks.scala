@@ -151,8 +151,85 @@ object Checks {
            ) AS BIGINT) AS psi_micro
     FROM g CROSS JOIN t"""
 
+  // =========================================================================
+  // q87 — cross-table referential integrity
+  // =========================================================================
+
+  /** The constraint class q32's one-pass suite cannot express: foreign
+    * keys (an orphan is only visible through a join) and cross-TABLE
+    * ordering (a lineitem shipped before its order was placed). All checks against one child table FUSE into a single
+    * pass — lineitem scans once, LEFT-joins both parents' key
+    * projections, and one aggregate counts every violation class
+    * (orders does the same against customer) — so the suite costs one
+    * keyed shuffle per (child, parent) pair, not one per check, and
+    * parent sides are distinct key projections that broadcast when
+    * small. Same report schema as q32, so both suites union into one
+    * gate feed.
+    */
+  val q87ReferentialIntegrity: (SparkSession, String) => DataFrame = (s, dir) => {
+    def reportRows(agged: DataFrame, names: Seq[String]): DataFrame = {
+      val entries = names.map(n =>
+        s"struct('$n' as constraint, $n as violations)").mkString(", ")
+      agged.select(col("__total"), explode(expr(s"array($entries)")).as("e"))
+        .select(
+          col("e.constraint").as("constraint"),
+          col("e.violations").as("violations"),
+          col("__total").as("total"),
+          (col("e.violations") === 0L).as("passed"))
+    }
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_shipdate")
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate").distinct()
+    val p = Tables.load(s, dir, "part").select("p_partkey").distinct()
+    val liChecks = reportRows(
+      li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(p, col("l_partkey") === col("p_partkey"), "left")
+        .agg(
+          count(lit(1)).as("__total"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("fk_lineitem_orders"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L))
+            .as("fk_lineitem_part"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+            .as("ship_not_before_order")),
+      Seq("fk_lineitem_orders", "fk_lineitem_part",
+        "ship_not_before_order"))
+    val c = Tables.load(s, dir, "customer").select("c_custkey").distinct()
+    val oChecks = reportRows(
+      Tables.load(s, dir, "orders").select("o_custkey")
+        .join(c, col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("__total"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("fk_orders_customer")),
+      Seq("fk_orders_customer"))
+    liChecks.unionByName(oChecks)
+  }
+
+  val q87ReferentialIntegritySql: String = """
+    WITH li AS (
+      SELECT count(*) AS total,
+        CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_lineitem_orders,
+        CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_lineitem_part,
+        CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS ship_not_before_order
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey, o_orderdate FROM orders) o ON l.l_orderkey = o.o_orderkey
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey),
+    o AS (
+      SELECT count(*) AS total,
+        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_orders_customer
+      FROM orders r
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON r.o_custkey = c.c_custkey)
+    SELECT 'fk_lineitem_orders' AS constraint, fk_lineitem_orders AS violations, total, fk_lineitem_orders = 0 AS passed FROM li
+    UNION ALL SELECT 'fk_lineitem_part', fk_lineitem_part, total, fk_lineitem_part = 0 FROM li
+    UNION ALL SELECT 'ship_not_before_order', ship_not_before_order, total, ship_not_before_order = 0 FROM li
+    UNION ALL SELECT 'fk_orders_customer', fk_orders_customer, total, fk_orders_customer = 0 FROM o"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q32_dq_report" -> q32DqReport, "q68_drift_report" -> q68DriftReport)
+    Map("q32_dq_report" -> q32DqReport, "q68_drift_report" -> q68DriftReport,
+      "q87_referential_integrity" -> q87ReferentialIntegrity)
   val oracleSql: Map[String, String] =
-    Map("q32_dq_report" -> q32DqReportSql, "q68_drift_report" -> q68DriftReportSql)
+    Map("q32_dq_report" -> q32DqReportSql, "q68_drift_report" -> q68DriftReportSql,
+      "q87_referential_integrity" -> q87ReferentialIntegritySql)
 }

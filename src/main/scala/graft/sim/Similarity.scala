@@ -1045,7 +1045,86 @@ object Similarity {
     SELECT query_id, cell, rank, vec_id AS neighbor_id, adist2, cos_sim
     FROM ranked WHERE rank <= 5"""
 
+  // =========================================================================
+  // s13 — filtered (hybrid) ANN: metadata predicate inside the probe key
+  // =========================================================================
+
+  /** Same-class retrieval: each query's neighbors must share its
+    * `label` — the "filtered vector search" problem every production
+    * vector store faces (metadata predicate + similarity). The naive
+    * composition POST-filters: scan the query's IVF cell, rank, then
+    * drop wrong-label rows — recall and cost both degrade as the
+    * filter gets selective. Here the predicate is PRE-filtering at the
+    * plan level: `label` joins as part of the candidate key
+    * (cell AND label), so wrong-label vectors never enter the scoring
+    * join at all, and the cell partitioning composes with the filter
+    * instead of fighting it. At 100 TB with storage partitioned by
+    * (cell, label-family), the probe reads only matching partitions —
+    * the same key-compound trick, pushed into layout.
+    */
+  val s13FilteredAnn: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("qv"), col("n2"),
+        col("c_id").as("cell"))
+      .registerCache()
+    val qs = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("cell"), col("label"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    qs.join(assigned, Seq("cell", "label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(
+        graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")), col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  val s13FilteredAnnSql: String = s"""
+    WITH $oracleQuantized,
+    centroids AS (SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM qn
+                  WHERE vec_id % 125 = 0),
+    scored_cells AS (
+      SELECT qn.vec_id, qn.label, qn.qv, qn.n2, c_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qv, i) * list_extract(c_qv, i)), 'sum')::DOUBLE
+               / sqrt(n2::DOUBLE * c_n2::DOUBLE) AS c_cos
+      FROM qn CROSS JOIN centroids),
+    assigned AS (
+      SELECT vec_id, label, qv, n2, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, c_id) AS rn
+        FROM scored_cells) WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2, cell, label
+                FROM assigned WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, q.label, a.vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(a.qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * a.n2::DOUBLE) AS cos_sim
+      FROM queries q JOIN assigned a ON q.cell = a.cell AND q.label = a.label
+      WHERE query_id <> a.vec_id),
+    ranked AS (
+      SELECT query_id, label, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, label, rank, vec_id AS neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 3"""
+
   val queries: Map[String, Q] = Map(
+    "s13_filtered_ann"     -> s13FilteredAnn,
     "s12_ivf_pq"           -> s12IvfPq,
     "s10_pq_adc"           -> s10PqAdc,
     "s11_kmeans"           -> s11Kmeans,
@@ -1062,6 +1141,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s13_filtered_ann"     -> s13FilteredAnnSql,
     "s12_ivf_pq"           -> s12IvfPqSql,
     "s10_pq_adc"           -> s10PqAdcSql,
     "s11_kmeans"           -> s11KmeansSql,

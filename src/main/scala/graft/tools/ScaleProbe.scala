@@ -79,7 +79,12 @@ object ScaleProbe {
     // d20's train grams meet the bloom via broadcast-only probes —
     // shuffle should track the eval split + contaminated survivors,
     // not the train gram count
-    "q86_regr_trend", "t12_zipf", "d20_bloom_decontaminate")
+    "q86_regr_trend", "t12_zipf", "d20_bloom_decontaminate",
+    // r6 sixth batch: q87's FK checks are one LEFT-join pass per
+    // (child, parent) pair; s13's label predicate joins as part of
+    // the candidate key (pre-filter, candidates shrink ~10x); g6 is
+    // degree aggregates + one edge-grain join + a scalar reduce
+    "q87_referential_integrity", "s13_filtered_ann", "g6_degree_stats")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -98,7 +103,10 @@ object ScaleProbe {
     "q82_markov_transitions" -> "events",
     "g5_hits" -> "lineitem",
     "g4_label_prop" -> "lineitem",
-    "q86_regr_trend" -> "orders").withDefaultValue("documents")
+    "q86_regr_trend" -> "orders",
+    "q87_referential_integrity" -> "lineitem",
+    "s13_filtered_ann" -> "embeddings",
+    "g6_degree_stats" -> "lineitem").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

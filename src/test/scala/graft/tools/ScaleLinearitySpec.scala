@@ -72,7 +72,18 @@ class ScaleLinearitySpec extends SparkSpec {
     // linear twin the s1/s9/s10 declared baselines point at
     "s12_ivf_pq",
     // q85 (probed 0.84): N x depth closure, depth-bounded recursion
-    "q85_hierarchy_rollup")
+    "q85_hierarchy_rollup",
+    // r6 fifth batch (probed -0.01/0.78/0.73): q86 collapses to the
+    // (segment x month) grain map-side; t12's fit is over a fixed
+    // 5000-row head after the standard vocab agg; d20's train grams
+    // meet the eval bloom via broadcast-only probes, so shuffle tracks
+    // the eval split + survivors, not the train gram count
+    "q86_regr_trend", "t12_zipf", "d20_bloom_decontaminate",
+    // r6 sixth batch (probed 0.96/0.58/0.96): q87 fuses FK checks into
+    // one LEFT-join pass per (child, parent) pair; s13's label joins
+    // as part of the ANN candidate key (pre-filter); g6's assortativity
+    // is degree aggs + one edge-grain join + a scalar reduce
+    "q87_referential_integrity", "s13_filtered_ann", "g6_degree_stats")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
