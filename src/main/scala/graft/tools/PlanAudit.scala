@@ -46,7 +46,10 @@ object PlanAudit {
       // g5 crosses each half-round's ONE-row max for L∞ normalization;
       // k7 crosses its one-row corpus-total (q39's scalar shape)
       // s12 reuses s5's bounded corpus x centroid-set assignment cross
-      "d19_semdedup", "g5_hits", "k7_chi2_keywords", "s12_ivf_pq")
+      "d19_semdedup", "g5_hits", "k7_chi2_keywords", "s12_ivf_pq",
+      // s13 reuses s5's bounded corpus x centroid-set assignment cross
+      // (centroid count is a constant fraction, broadcast by design)
+      "s13_filtered_ann")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),
