@@ -657,7 +657,100 @@ object Corpus {
              // count(*) AS short_bp
     FROM d GROUP BY source"""
 
+  /** c15 — water-filling token-budget allocation: give every source
+    * its full token supply up to a common water level λ, where λ is
+    * the exact level that spends a budget of 95% of the corpus (the
+    * "trim the over-represented head, keep the tail whole" rebalance
+    * a pretraining mix does before temperature sampling — c7/c11's
+    * missing sibling: those *weight* sources, this *caps* them).
+    *
+    * The classic algorithm needs sources sorted by supply: a source is
+    * fully-satisfiable (capped) iff giving its supply to every
+    * not-yet-capped source stays under the remaining budget —
+    * `supply_i·(n−i+1) ≤ B − cum_{i−1}`, a prefix property (proof in
+    * the water-filling literature; the condition is pure integer
+    * multiplication, so it is exact cross-engine). λ is then ONE
+    * integer division over the uncapped remainder. Per-doc keeps are
+    * c11's md5 micro-bucket at rate alloc/supply.
+    *
+    * Scale shape: the only corpus-sized exchange is the map-combined
+    * groupBy(source); the sort + windows run on the SOURCE grain
+    * (|sources| rows — a data-model dimension, not data volume), the
+    * scalar (n, B, k, cum_k) frames are one-row broadcasts (q39's
+    * shape), and the allocation joins back to docs as a broadcast.
+    */
+  val c15WaterfillBudget: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), docTokens.as("doc_tokens"))
+    val w = Window.orderBy(col("src_tokens"), col("source"))
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("doc_tokens")).as("src_tokens"))
+    val tot = perSource.agg(
+      sum("src_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_src"))
+      .withColumn("budget", expr("tot_tokens * 95 div 100"))
+    val ranked = perSource.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("src_tokens").over(w))
+      .withColumn("capped",
+        (col("src_tokens") * (col("n_src") - col("rn") + 1) <=
+          col("budget") - (col("cum") - col("src_tokens"))).cast("int"))
+    val kFrame = ranked.filter(col("capped") === 1)
+      .agg(coalesce(max("rn"), lit(0L)).as("k"),
+        coalesce(max("cum"), lit(0L)).as("cum_k"))
+    val alloc = ranked.crossJoin(broadcast(kFrame))
+      .withColumn("level",
+        when(col("k") < col("n_src"),
+          expr("(budget - cum_k) div (n_src - k)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("src_tokens")).otherwise(col("level")))
+      .select("source", "src_tokens", "alloc_tokens", "capped")
+    docs.join(broadcast(alloc), "source")
+      .withColumn("keep_micro", expr("alloc_tokens * 1000000 div src_tokens"))
+      .select(col("doc_id"), col("source"), col("src_tokens"),
+        col("alloc_tokens"), col("capped"),
+        when(microBucket < col("keep_micro"), 1).otherwise(0).as("keep"))
+  }
+
+  val c15WaterfillBudgetSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS doc_tokens
+      FROM documents),
+    ps AS (SELECT source, CAST(SUM(doc_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
+                 CAST(count(*) AS BIGINT) AS n_src,
+                 CAST(SUM(src_tokens) AS BIGINT) * 95 // 100 AS budget
+          FROM ps),
+    r AS (
+      SELECT source, src_tokens, n_src, budget,
+             CAST(row_number() OVER (ORDER BY src_tokens, source) AS BIGINT) AS rn,
+             CAST(sum(src_tokens) OVER (ORDER BY src_tokens, source) AS BIGINT) AS cum
+      FROM ps CROSS JOIN t),
+    c AS (
+      SELECT *, CASE WHEN src_tokens * (n_src - rn + 1)
+                          <= budget - (cum - src_tokens)
+                     THEN 1 ELSE 0 END AS capped
+      FROM r),
+    kf AS (SELECT coalesce(max(CASE WHEN capped = 1 THEN rn END), 0) AS k,
+                  coalesce(max(CASE WHEN capped = 1 THEN cum END), 0) AS cum_k
+           FROM c),
+    a AS (
+      SELECT source, src_tokens, capped,
+             CASE WHEN capped = 1 THEN src_tokens
+                  ELSE (budget - cum_k) // (n_src - k) END AS alloc_tokens
+      FROM c CROSS JOIN kf)
+    SELECT d.doc_id, d.source, a.src_tokens,
+           CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens, a.capped,
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+                     < a.alloc_tokens * 1000000 // a.src_tokens
+                THEN 1 ELSE 0 END AS keep
+    FROM d JOIN a USING (source)"""
+
   val queries: Map[String, Q] = Map(
+    "c15_waterfill_budget" -> c15WaterfillBudget,
     "c14_dataset_card" -> c14DatasetCard,
     "c13_contamination_score" -> c13ContaminationScore,
     "c12_curriculum" -> c12Curriculum,
@@ -675,6 +768,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c15_waterfill_budget" -> c15WaterfillBudgetSql,
     "c14_dataset_card" -> c14DatasetCardSql,
     "c13_contamination_score" -> c13ContaminationScoreSql,
     "c12_curriculum" -> c12CurriculumSql,

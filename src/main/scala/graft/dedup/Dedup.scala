@@ -1182,7 +1182,44 @@ object Dedup {
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
   }
 
+  /** d21 — cross-source duplication matrix: how many near-dup pairs
+    * straddle each (source, source) combination. The corpus-governance
+    * readout dedup feeds a data-sourcing decision with — "CC-derived
+    * set B is 40% contained in set A, deprioritize it" — and the
+    * source-grain rollup of d3's pair list (diagonal = within-source
+    * redundancy, off-diagonal = cross-source contamination).
+    *
+    * Scale shape: d3's banded candidates (never all-pairs), then two
+    * keyed joins attach each side's source label (doc-grain equi-joins
+    * — the label map is NOT broadcast; it is corpus-sized), and the
+    * rollup collapses to the |sources|² grain map-side. The unordered
+    * pair key (least, greatest) makes the matrix symmetric-upper.
+    */
+  val d21SourceOverlap: Q = (s, dir) => {
+    val src = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    lshPairsOf(signatures(s, dir))
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  val d21SourceOverlapSql: String =
+    s"""SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           count(*) AS n_dup_pairs
+    FROM ($d3LshPairsSql) pairs
+    JOIN documents a ON pairs.doc_a = a.doc_id
+    JOIN documents b ON pairs.doc_b = b.doc_id
+    GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "d21_source_overlap" -> d21SourceOverlap,
     "d20_bloom_decontaminate" -> d20BloomDecontaminate,
     "d18_minhash_accuracy" -> d18MinhashAccuracy,
     "d17_span_dedup" -> d17SpanDedup,
@@ -1205,6 +1242,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d21_source_overlap" -> d21SourceOverlapSql,
     "d20_bloom_decontaminate" -> d20BloomDecontaminateSql,
     "d18_minhash_accuracy" -> d18MinhashAccuracySql,
     "d17_span_dedup" -> d17SpanDedupSql,

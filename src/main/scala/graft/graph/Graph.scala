@@ -483,7 +483,75 @@ object Graph {
                     * CAST(n_edges*syy - sy*sy AS DOUBLE)) AS assortativity
     FROM m"""
 
+  /** g7 — link prediction by the resource-allocation index (Zhou,
+    * Lü & Zhang 2009): score a candidate customer pair (u, v) by
+    * Σ_p 1/deg(p) over the parts p both have bought. The "customers
+    * who buy like you" primitive behind a co-purchase recommender —
+    * same family as the reference's T4/T5 ranking tier, and the
+    * integer twin of Adamic-Adar (1/deg instead of 1/log deg keeps
+    * every weight an exact `1000000 div deg` micro-integer, so the
+    * per-pair sum is order-independent and the cross-engine hash gate
+    * holds — g1's determinism discipline).
+    *
+    * Scale shape: the wedge expansion through a part is Σ_p deg(p)²,
+    * and deg(p) (customers per part) is a data-model constant (~30,
+    * measured flat from sf0.001→0.1), so wedge volume grows LINEARLY
+    * with the corpus. `HubCap` makes that bound explicit: a part
+    * bought by more than HubCap customers carries ~zero signal per
+    * pair (its weight is below 1/HubCap) and would contribute the
+    * quadratic term — it is dropped, the d7/d13 df-cap discipline.
+    * The upper-triangle predicate halves the wedge list; g2's
+    * hash(u) repartition clusters (u, v) so the pair aggregate AND
+    * the per-u top-3 window both run exchange-free after ONE
+    * linear-sized shuffle.
+    */
+  private val HubCap = 48L
+  val g7LinkPredict: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    // persisted: the wedge join reads the capped edge list twice
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("p")))
+      .filter(col("deg") <= HubCap)
+      .withColumn("w_micro", expr("1000000 div deg"))
+      .registerCache()
+    val w = Window.partitionBy("u")
+      .orderBy(col("ra_micro").desc, col("v"))
+    e.as("a")
+      .join(e.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("u"), col("b.c").as("v"),
+        col("a.w_micro").as("w_micro"))
+      .repartition(col("u"))
+      .groupBy("u", "v")
+      .agg(sum("w_micro").as("ra_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("u"), col("v"), col("ra_micro"), col("rk").cast("int").as("rk"))
+  }
+
+  val g7LinkPredictSql: String = s"""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (
+      SELECT c, p, 1000000 // count(*) OVER (PARTITION BY p) AS w_micro
+      FROM cp
+      QUALIFY count(*) OVER (PARTITION BY p) <= $HubCap),
+    pairs AS (
+      SELECT a.c AS u, b.c AS v, CAST(sum(a.w_micro) AS BIGINT) AS ra_micro
+      FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2)
+    SELECT u, v, ra_micro, rk FROM (
+      SELECT u, v, ra_micro,
+             CAST(row_number() OVER (PARTITION BY u
+                    ORDER BY ra_micro DESC, v) AS INT) AS rk
+      FROM pairs) WHERE rk <= 3"""
+
   val queries: Map[String, Q] = Map(
+    "g7_link_predict" -> g7LinkPredict,
     "g6_degree_stats" -> g6DegreeStats,
     "g5_hits" -> g5Hits,
     "g4_label_prop" -> g4LabelProp,
@@ -491,6 +559,7 @@ object Graph {
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g7_link_predict" -> g7LinkPredictSql,
     "g6_degree_stats" -> g6DegreeStatsSql,
     "g5_hits" -> g5HitsSql,
     "g4_label_prop" -> g4LabelPropSql,

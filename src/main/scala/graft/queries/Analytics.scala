@@ -1174,7 +1174,64 @@ object Analytics {
              / CAST(n_months AS DOUBLE) AS intercept_cents
     FROM stats"""
 
+  /** q88 — exponential time-decay engagement score: each user's
+    * Σ value·2^(−age/halflife), the recency-weighted activity feature
+    * a ranking/churn model consumes (and the batch twin of the
+    * streaming EWMA in [[graft.streaming.AnomalyEwma]]). Half-life
+    * 7 days; age measured back from the corpus max(ts) so the query
+    * is deterministic for any snapshot.
+    *
+    * Determinism: age quantizes to whole SECONDS with integer
+    * arithmetic, the decay exponent is built from literal IEEE
+    * constants with an identical op sequence in both engines, and the
+    * weight rounds ONCE to integer micros (t9's rule) — after that,
+    * term = cents·w_micro and the per-user sum are exact int64, so
+    * reduce order cannot change the hash. One final integer division
+    * scales back to cents.
+    *
+    * Scale shape: one events scan → map stage (weights are per-row
+    * arithmetic, no lookup) → ONE map-combined groupBy(user_id)
+    * exchange of |users| rows; the max(ts) anchor is a one-row
+    * broadcast (q39's scalar shape). No window, no second shuffle.
+    */
+  val q88DecayScore: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        cents(col("value")).as("cents"))
+    val anchor = ev.agg(max("us").as("max_us"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age_s", expr("(max_us - us) div 1000000"))
+      .withColumn("w_micro",
+        expr("cast(round(1e6 * exp(-(cast(age_s as double) / 604800.0) " +
+          "* 0.6931471805599453)) as bigint)"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cents * w_micro")).as("sum_micro"),
+        max("us").as("last_us"))
+      .select(col("user_id"), col("n_events"),
+        expr("sum_micro div 1000000").as("decayed_cents"), col("last_us"))
+  }
+
+  val q88DecayScoreSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value*100) AS BIGINT) AS cents
+      FROM events),
+    anchor AS (SELECT max(us) AS max_us FROM ev),
+    w AS (
+      SELECT user_id, us, cents,
+             CAST(round(1e6 * exp(-(CAST((max_us - us) // 1000000 AS DOUBLE)
+                                     / 604800.0) * 0.6931471805599453)) AS BIGINT)
+               AS w_micro
+      FROM ev CROSS JOIN anchor)
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(cents * w_micro) AS BIGINT) // 1000000 AS decayed_cents,
+           CAST(max(us) AS BIGINT) AS last_us
+    FROM w GROUP BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "q88_decay_score" -> q88DecayScore,
     "q86_regr_trend" -> q86RegrTrend,
     "q85_hierarchy_rollup" -> q85HierarchyRollup,
     "q84_table_stats" -> q84TableStats,
@@ -1205,6 +1262,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q88_decay_score" -> q88DecayScoreSql,
     "q86_regr_trend" -> q86RegrTrendSql,
     "q85_hierarchy_rollup" -> q85HierarchyRollupSql,
     "q84_table_stats" -> q84TableStatsSql,

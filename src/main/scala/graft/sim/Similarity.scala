@@ -1123,7 +1123,82 @@ object Similarity {
     SELECT query_id, label, rank, vec_id AS neighbor_id, cos_sim
     FROM ranked WHERE rank <= 3"""
 
+  /** s14 — kNN auto-labeling: predict each query vector's label by a
+    * rank-weighted vote over its 5 nearest neighbors (weight 6−rank),
+    * and report whether the vote agrees with the held-out true label.
+    * The weak-supervision primitive a labeling pipeline runs to
+    * propagate a small seed taxonomy onto an unlabeled corpus — and
+    * the composition point for every ANN variant here: the candidate
+    * stage below the vote is s1's exact scan in this declared
+    * baseline, and swaps for s5/s12's IVF candidates at corpus scale
+    * (same contract as s9's scan→re-rank split).
+    *
+    * Determinism: ranks are total-ordered (cos desc, neighbor id),
+    * weights are small integers, and the argmax tie-breaks on
+    * (vote_weight desc, label asc) — no float aggregation crosses a
+    * reduce boundary. Scale shape: queries broadcast against the
+    * corpus (the corpus never shuffles), the per-query top-5 rides
+    * Spark's WindowGroupLimit rank pushdown, and the vote runs on the
+    * ≤5·|queries| candidate grain.
+    */
+  val s14KnnClassify: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val voted = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")))
+      .withColumn("cos_sim", cosine(col("dot"), col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(sum(lit(6) - col("rank")).cast("long").as("vote_weight"))
+    voted
+      .groupBy("query_id", "true_label")
+      .agg(expr("max_by(named_struct('label', label, 'w', vote_weight)," +
+        " named_struct('w', vote_weight, 'nl', -label))").as("win"))
+      .select(col("query_id"),
+        col("win.label").as("pred_label"),
+        col("win.w").as("vote_weight"),
+        col("true_label"),
+        (col("win.label") === col("true_label")).cast("int").as("correct"))
+  }
+
+  val s14KnnClassifySql: String = s"""
+    WITH $oracleQuantized,
+    queries AS (SELECT vec_id AS query_id, label AS true_label,
+                       qv AS q_qv, n2 AS q_n2
+                FROM qn WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, true_label, vec_id, label,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * n2::DOUBLE) AS cos_sim
+      FROM queries JOIN qn ON query_id <> vec_id),
+    ranked AS (
+      SELECT query_id, true_label, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored),
+    voted AS (
+      SELECT query_id, true_label, label,
+             CAST(SUM(6 - rank) AS BIGINT) AS vote_weight
+      FROM ranked WHERE rank <= 5
+      GROUP BY 1, 2, 3),
+    win AS (
+      SELECT query_id, true_label, label, vote_weight,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY vote_weight DESC, label) AS vr
+      FROM voted)
+    SELECT query_id, label AS pred_label, vote_weight, true_label,
+           CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+    FROM win WHERE vr = 1"""
+
   val queries: Map[String, Q] = Map(
+    "s14_knn_classify"     -> s14KnnClassify,
     "s13_filtered_ann"     -> s13FilteredAnn,
     "s12_ivf_pq"           -> s12IvfPq,
     "s10_pq_adc"           -> s10PqAdc,
@@ -1141,6 +1216,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s14_knn_classify"     -> s14KnnClassifySql,
     "s13_filtered_ann"     -> s13FilteredAnnSql,
     "s12_ivf_pq"           -> s12IvfPqSql,
     "s10_pq_adc"           -> s10PqAdcSql,

@@ -559,7 +559,102 @@ object Keywords {
     SELECT source, term, chi2_micro, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5"""
 
+  /** k8 — RAKE phrase extraction (Rose et al. 2010), chunked: candidate
+    * phrases are maximal non-stopword runs, sub-chunked to ≤3 tokens
+    * (d12's chunking discipline — this corpus's 31-word vocabulary
+    * makes raw runs ~15 tokens, and production RAKE caps phrase length
+    * anyway); each word scores deg/freq over the DOCUMENT's phrase
+    * set, a phrase scores the sum of its word scores, top-3 per doc.
+    * The multi-word counterpart of k1's unigram keywords — "machine
+    * learning rate" ranks as a unit instead of three independent
+    * terms.
+    *
+    * Determinism: deg and freq are exact counts; score quantizes ONCE
+    * to `deg·10⁶ div freq` per word, so phrase sums are int64-exact
+    * and rank ties break on (score desc, phrase, grp). Scale shape:
+    * everything is keyed by doc_id (or (doc_id, phrase-grp)) — the
+    * windows ride hash(doc_id) partitions, the per-doc word-stats
+    * join is doc-grain, and no corpus-global state exists at all; the
+    * one data-sized exchange is the posexplode's doc-keyed
+    * repartition, reused by every window above it.
+    */
+  val k8RakePhrases: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val byRun = Window.partitionBy("doc_id", "run").orderBy("i")
+    val pw = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+          .as(Seq("i", "w")))
+      .repartition(col("doc_id"))
+      .withColumn("is_stop", expr(s"w in ($stop)"))
+      .withColumn("run", sum(when(col("is_stop"), 1).otherwise(0)).over(byDoc))
+      .filter(!col("is_stop"))
+      .withColumn("grp",
+        concat_ws(":", col("run"),
+          ((row_number().over(byRun) - 1) / 3).cast("int")))
+    val plen = pw.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"))
+    val withLen = pw.join(plen, Seq("doc_id", "grp"))
+    val wstats = withLen.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("doc_id"), col("w"),
+        expr("deg * 1000000 div freq").as("w_score_micro"))
+    val phrases = withLen.join(wstats, Seq("doc_id", "w"))
+      .groupBy("doc_id", "grp")
+      .agg(
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(i, w))), x -> x.w))")
+          .as("phrase"),
+        sum("w_score_micro").as("score_micro"))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("phrase"), col("grp"))
+    phrases.withColumn("rk", row_number().over(rankW).cast("int"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "phrase", "score_micro", "rk")
+  }
+
+  val k8RakePhrasesSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS tokens
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(range(1, len(tokens) + 1)) AS i, tokens
+      FROM t),
+    tagged AS (
+      SELECT doc_id, i, tokens[i] AS w,
+             CASE WHEN tokens[i] IN ($stop) THEN 1 ELSE 0 END AS is_stop
+      FROM ex),
+    runs AS (
+      SELECT doc_id, i, w,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS run
+      FROM tagged
+      QUALIFY is_stop = 0),
+    pw AS (
+      SELECT doc_id, i, w,
+             CAST(run AS VARCHAR) || ':'
+               || CAST((row_number() OVER (PARTITION BY doc_id, run
+                         ORDER BY i) - 1) // 3 AS VARCHAR) AS grp
+      FROM runs),
+    plen AS (SELECT doc_id, grp, count(*) AS plen FROM pw GROUP BY 1, 2),
+    wl AS (SELECT pw.doc_id, pw.grp, pw.i, pw.w, plen.plen
+           FROM pw JOIN plen ON pw.doc_id = plen.doc_id AND pw.grp = plen.grp),
+    ws AS (
+      SELECT doc_id, w,
+             CAST(SUM(plen) AS BIGINT) * 1000000 // count(*) AS w_score_micro
+      FROM wl GROUP BY 1, 2),
+    ph AS (
+      SELECT wl.doc_id, wl.grp,
+             string_agg(wl.w, ' ' ORDER BY wl.i) AS phrase,
+             CAST(SUM(ws.w_score_micro) AS BIGINT) AS score_micro
+      FROM wl JOIN ws ON wl.doc_id = ws.doc_id AND wl.w = ws.w
+      GROUP BY 1, 2)
+    SELECT doc_id, phrase, score_micro, rk FROM (
+      SELECT doc_id, phrase, score_micro,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_micro DESC, phrase, grp) AS INT) AS rk
+      FROM ph) WHERE rk <= 3"""
+
   val queries: Map[String, Q] = Map(
+    "k8_rake_phrases" -> k8RakePhrases,
     "k7_chi2_keywords" -> k7Chi2Keywords,
     "k5_pmi_collocations" -> k5PmiCollocations,
     "k4_tfidf" -> k4Tfidf,
@@ -570,6 +665,7 @@ object Keywords {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k8_rake_phrases" -> k8RakePhrasesSql,
     "k7_chi2_keywords" -> k7Chi2KeywordsSql,
     "k5_pmi_collocations" -> k5PmiCollocationsSql,
     "k4_tfidf"           -> k4TfidfSql,

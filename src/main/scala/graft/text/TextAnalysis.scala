@@ -593,7 +593,66 @@ object TextAnalysis {
               / CAST(n_head AS DOUBLE)) / 1000.0 AS zipf_intercept_nats
     FROM stats"""
 
+  /** t13 — per-document character-entropy quality signal: Shannon
+    * entropy of the byte/char distribution, the cheap compressibility
+    * proxy a pretraining filter thresholds on (boilerplate, base64
+    * blobs and key-mash have entropy far from prose's ~4.1 bits; CCNet
+    * and Gopher both carry a compression-ratio cousin of this rule).
+    *
+    * ZERO-shuffle: the whole computation — char histogram, entropy
+    * fold — lives inside one codegen'd map stage via higher-order
+    * functions (t8's discipline); the per-doc distinct-char alphabet
+    * is bounded (~100), so the inner `filter` count is O(alphabet ×
+    * len), a constant-factor map cost that scales embarrassingly at
+    * 100 TB. Determinism: each `ln` is rounded ONCE to integer micros
+    * (t9/t12's rule), the per-char terms are exact integers, and the
+    * sum `Σ c·(L(n)−L(c))` is order-independent — the one final
+    * double division happens identically in both engines.
+    */
+  val t13CharEntropy: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("codes",
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+      .withColumn("counts",
+        expr("transform(array_distinct(codes), c -> cast(size(filter(codes, x -> x = c)) as bigint))"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("counts")).cast("long").as("n_distinct_chars"),
+        expr("""aggregate(counts, cast(0 as bigint),
+            (a, k) -> a + k * (cast(round(1e6 * ln(cast(length(text) as double))) as bigint)
+                               - cast(round(1e6 * ln(cast(k as double))) as bigint)))""")
+          .as("ent_sum_micro"))
+      .withColumn("entropy_micronats",
+        col("ent_sum_micro").cast("double") / col("n_chars").cast("double"))
+      .select("doc_id", "n_chars", "n_distinct_chars", "entropy_micronats")
+
+  val t13CharEntropySql: String = """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substring(text, i, 1))) AS codes,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents),
+    u AS (
+      SELECT doc_id, n,
+             list_transform(list_distinct(codes),
+               c -> CAST(len(list_filter(codes, x -> x = c)) AS BIGINT)) AS counts
+      FROM t),
+    e AS (
+      SELECT doc_id, n,
+             CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+             CAST(list_aggregate(
+               list_transform(counts, k ->
+                 k * (CAST(round(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                      - CAST(round(1e6 * ln(CAST(k AS DOUBLE))) AS BIGINT))),
+               'sum') AS BIGINT) AS ent_sum_micro
+      FROM u)
+    SELECT doc_id, n AS n_chars, n_distinct_chars,
+           CAST(ent_sum_micro AS DOUBLE) / CAST(n AS DOUBLE) AS entropy_micronats
+    FROM e"""
+
   val queries: Map[String, Q] = Map(
+    "t13_char_entropy" -> t13CharEntropy,
     "t12_zipf" -> t12Zipf,
     "t11_structure_stats" -> t11StructureStats,
     "t10_gopher_rules" -> t10GopherRules,
@@ -609,6 +668,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t13_char_entropy" -> t13CharEntropySql,
     "t12_zipf" -> t12ZipfSql,
     "t11_structure_stats" -> t11StructureStatsSql,
     "t10_gopher_rules" -> t10GopherRulesSql,

@@ -49,7 +49,16 @@ object PlanAudit {
       "d19_semdedup", "g5_hits", "k7_chi2_keywords", "s12_ivf_pq",
       // s13 reuses s5's bounded corpus x centroid-set assignment cross
       // (centroid count is a constant fraction, broadcast by design)
-      "s13_filtered_ann")
+      "s13_filtered_ann",
+      // c15 crosses two ONE-row scalar frames (corpus totals, the
+      // water-level prefix stats) into the |sources|-row allocation —
+      // q39/c11's broadcast-scalar shape
+      "c15_waterfill_budget",
+      // q88 crosses its one-row max(ts) anchor (q39's scalar shape)
+      "q88_decay_score",
+      // s14's candidate stage is s1's declared brute-force baseline
+      // (broadcast query block x corpus) below the kNN vote
+      "s14_knn_classify")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),
@@ -67,6 +76,9 @@ object PlanAudit {
     // groupBy("decile") — bounded by the ntile bucket count, after
     // the customer-grain ntile itself moved to DistributedRank
     "q80_decile_lift" -> 1,
+    // rank + running-sum over the per-SOURCE aggregate — |sources|
+    // rows (20 in the corpus; a data-model dimension, not volume)
+    "c15_waterfill_budget" -> 2,
   )
 
   def main(args: Array[String]): Unit = {

@@ -84,7 +84,20 @@ object ScaleProbe {
     // (child, parent) pair; s13's label predicate joins as part of
     // the candidate key (pre-filter, candidates shrink ~10x); g6 is
     // degree aggregates + one edge-grain join + a scalar reduce
-    "q87_referential_integrity", "s13_filtered_ann", "g6_degree_stats")
+    "q87_referential_integrity", "s13_filtered_ann", "g6_degree_stats",
+    // r6 seventh batch: g7's wedge volume is Σ_p deg(p)² with deg a
+    // data-model constant and HubCap the explicit bound; t13 is a
+    // pure map (entropy folds inside one codegen stage); c15 is one
+    // source-grain agg + broadcast joins; q88 is one user-grain agg
+    // behind a scalar anchor; s14 rides s1's broadcast-query scan
+    "g7_link_predict", "t13_char_entropy", "c15_waterfill_budget",
+    "q88_decay_score", "s14_knn_classify",
+    // d21 rolls d3's banded candidates up to the |sources|² grain —
+    // shuffle rides the pair list + two doc-grain label joins
+    "d21_source_overlap",
+    // k8: everything keyed by doc_id — windows ride the posexplode's
+    // doc-keyed repartition, word-stats joins are doc-grain
+    "k8_rake_phrases")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -106,7 +119,10 @@ object ScaleProbe {
     "q86_regr_trend" -> "orders",
     "q87_referential_integrity" -> "lineitem",
     "s13_filtered_ann" -> "embeddings",
-    "g6_degree_stats" -> "lineitem").withDefaultValue("documents")
+    "g6_degree_stats" -> "lineitem",
+    "g7_link_predict" -> "lineitem",
+    "q88_decay_score" -> "events",
+    "s14_knn_classify" -> "embeddings").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -83,7 +83,22 @@ class ScaleLinearitySpec extends SparkSpec {
     // one LEFT-join pass per (child, parent) pair; s13's label joins
     // as part of the ANN candidate key (pre-filter); g6's assortativity
     // is degree aggs + one edge-grain join + a scalar reduce
-    "q87_referential_integrity", "s13_filtered_ann", "g6_degree_stats")
+    "q87_referential_integrity", "s13_filtered_ann", "g6_degree_stats",
+    // r6 seventh batch (probed 1.04/0.98/0.89/0.78/0.99): g7's wedge
+    // volume is Σ_p deg(p)² with customers-per-part a data-model
+    // constant and HubCap the explicit hub bound; t13's entropy fold
+    // is a pure map; c15 is one source-grain agg + broadcast joins;
+    // q88 one user-grain agg behind a scalar anchor. s14's SHUFFLE is
+    // linear (vote grain ≤ 5·|queries|) and pinned here; its compute
+    // stage is s1's declared Q×N baseline that swaps for IVF at scale.
+    "g7_link_predict", "t13_char_entropy", "c15_waterfill_budget",
+    "q88_decay_score", "s14_knn_classify",
+    // d21 (probed 0.98): d3's banded candidates rolled up to the
+    // |sources|² grain via two doc-grain label equi-joins
+    "d21_source_overlap",
+    // k8 (probed 0.94): RAKE is doc-keyed end-to-end — phrase windows,
+    // word stats and rank all ride hash(doc_id)-family partitions
+    "k8_rake_phrases")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
