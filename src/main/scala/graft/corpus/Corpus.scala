@@ -749,7 +749,77 @@ object Corpus {
                 THEN 1 ELSE 0 END AS keep
     FROM d JOIN a USING (source)"""
 
+  /** c16 — whole-document best-fit-decreasing packing: c6 splits
+    * documents across context-window boundaries; this is the OTHER
+    * production packing mode — each document lands whole in exactly
+    * one bin (no cross-document attention contamination, no document
+    * straddling a window edge), bins are filled best-fit over the
+    * descending token-size order, and a document longer than the
+    * context gets a bin of its own (the overflow the trainer
+    * truncates).
+    *
+    * Sequential-by-nature, so the parallelism contract is explicit:
+    * documents hash-shard exactly as c6's (same md5 bucket), each
+    * shard packs INDEPENDENTLY inside one `flatMapGroups` task, and
+    * the in-task state is bounded — at most `OpenCap` open bins (a
+    * bin that no remaining doc can improve is closed); memory is
+    * O(OpenCap), never O(shard). At 100 TB the knob is NShards: shards
+    * size to executor memory exactly like c6's per-shard window sort.
+    * BFD's 11/9·OPT+1 bound holds per shard; the spec pins the
+    * packing invariants and the bound. Not SQL-expressible (stateful
+    * fold) — spec-gated like the streaming family, rows-only in the
+    * oracle gate.
+    */
+  private val OpenCap = 64
+  val c16BestfitPack: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.loadParallel(s, dir, "documents")
+      .withColumn("n_tokens", docTokens.cast("long"))
+      .withColumn("shard",
+        expr(s"cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % $NShards"))
+      .select(col("doc_id").cast("long"), col("shard"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy(d => (-d._3, d._1))
+        // open bins as (binId, remaining); closed once full-enough
+        val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var nextBin = 0L
+        for ((docId, _, n) <- docs) {
+          if (n >= CtxLen) { // own bin, never reused
+            out += ((docId, shard, nextBin, n)); nextBin += 1
+          } else {
+            // best fit: smallest remaining that still holds n
+            var best = -1
+            var bestRem = Long.MaxValue
+            var i = 0
+            while (i < open.length) {
+              val rem = open(i)._2
+              if (rem >= n && rem < bestRem) { best = i; bestRem = rem }
+              i += 1
+            }
+            if (best >= 0) {
+              val (bid, rem) = open(best)
+              out += ((docId, shard, bid, n))
+              val left = rem - n
+              // docs are descending: if nothing can fit, close the bin
+              if (left == 0 || left < docs.last._3) open.remove(best)
+              else open(best) = (bid, left)
+            } else {
+              out += ((docId, shard, nextBin, n))
+              open += ((nextBin, CtxLen - n)); nextBin += 1
+              if (open.length > OpenCap) open.remove(0) // oldest closes
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "shard", "bin_id", "n_tokens")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c16_bestfit_pack" -> c16BestfitPack,
     "c15_waterfill_budget" -> c15WaterfillBudget,
     "c14_dataset_card" -> c14DatasetCard,
     "c13_contamination_score" -> c13ContaminationScore,

@@ -550,7 +550,67 @@ object Graph {
                     ORDER BY ra_micro DESC, v) AS INT) AS rk
       FROM pairs) WHERE rk <= 3"""
 
+  /** g8 — k-core peeling (fixed 3 rounds, k=5) over the bipartite
+    * customer↔supplier order graph: repeatedly drop nodes with degree
+    * < k and re-count. The cohesive-subgraph extraction that separates
+    * structurally-embedded entities from peripheral ones — the graph
+    * health-check a fraud/recommender tier runs before trusting
+    * degree-based features, and the peel-ordering primitive behind
+    * density-based corpus pruning.
+    *
+    * g1/g3's discipline: rounds are FIXED and unrolled into one lazy
+    * plan (full k-core converges in ≤ max-degree rounds; 3 bounded
+    * rounds give the standard truncated peel whose fixpoint the
+    * oracle mirrors as chained CTEs). Each round is two map-combined
+    * degree aggregates + two semi-joins, all keyed on the edge's own
+    * endpoints — the edge list is built ONCE, cached, and only
+    * SHRINKS; no exchange ever carries more than the current edge
+    * set. Output is each surviving node's side and final degree —
+    * integer-exact.
+    */
+  private val CoreK = 5
+  val g8Kcore: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    var edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + SuppOffset).as("supp"))
+      .distinct()
+      .registerCache()
+    for (_ <- 1 to 3) {
+      val custKeep = edges.groupBy("cust").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK).select("cust")
+      val suppKeep = edges.groupBy("supp").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK).select("supp")
+      edges = edges
+        .join(custKeep, Seq("cust"), "left_semi")
+        .join(suppKeep, Seq("supp"), "left_semi")
+    }
+    edges.select(col("cust").as("node"), lit("cust").as("side"))
+      .unionByName(edges.select(col("supp").as("node"), lit("supp").as("side")))
+      .groupBy("node", "side").agg(count(lit(1)).as("degree"))
+  }
+
+  val g8KcoreSql: String = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+        SELECT cust, supp FROM $prev
+        WHERE cust IN (SELECT cust FROM $prev GROUP BY cust HAVING count(*) >= $CoreK)
+          AND supp IN (SELECT supp FROM $prev GROUP BY supp HAVING count(*) >= $CoreK))"""
+    s"""WITH e0 AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey + $SuppOffset AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ${round("e0", "e1")},
+    ${round("e1", "e2")},
+    ${round("e2", "e3")}
+    SELECT node, side, count(*) AS degree FROM (
+      SELECT cust AS node, 'cust' AS side FROM e3
+      UNION ALL SELECT supp, 'supp' FROM e3)
+    GROUP BY 1, 2"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "g8_kcore" -> g8Kcore,
     "g7_link_predict" -> g7LinkPredict,
     "g6_degree_stats" -> g6DegreeStats,
     "g5_hits" -> g5Hits,
@@ -559,6 +619,7 @@ object Graph {
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g8_kcore" -> g8KcoreSql,
     "g7_link_predict" -> g7LinkPredictSql,
     "g6_degree_stats" -> g6DegreeStatsSql,
     "g5_hits" -> g5HitsSql,

@@ -97,7 +97,12 @@ object ScaleProbe {
     "d21_source_overlap",
     // k8: everything keyed by doc_id — windows ride the posexplode's
     // doc-keyed repartition, word-stats joins are doc-grain
-    "k8_rake_phrases")
+    "k8_rake_phrases",
+    // g8: the edge set only SHRINKS across peel rounds; each round is
+    // two degree aggs + two semi-joins on the edges' own keys
+    "g8_kcore",
+    // c16: one shard exchange; in-task packing state is O(OpenCap)
+    "c16_bestfit_pack")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -121,6 +126,7 @@ object ScaleProbe {
     "s13_filtered_ann" -> "embeddings",
     "g6_degree_stats" -> "lineitem",
     "g7_link_predict" -> "lineitem",
+    "g8_kcore" -> "lineitem",
     "q88_decay_score" -> "events",
     "s14_knn_classify" -> "embeddings").withDefaultValue("documents")
 

@@ -135,4 +135,36 @@ class CorpusSpec extends SparkSpec {
     assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
     sample.unpersist(): Unit
   }
+
+  test("c16: best-fit packing is exhaustive, within budget, near-optimal, " +
+       "and deterministic") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val packed = Corpus.c16BestfitPack(spark, sfDir).cache()
+    // every document packed exactly once
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    val ctx = 2048L
+    // per-bin budget: a bin either holds docs summing <= ctx, or is a
+    // single overlong document (the truncation case)
+    val bins = packed.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+    val over = bins.filter(col("tok") > ctx && col("n") > 1).count()
+    assert(over == 0, s"$over multi-doc bins exceed the context budget")
+    // BFD bound per shard: bins <= 11/9 * ceil(total/ctx) + 1 (+ overlong)
+    val byShard = packed.groupBy("shard")
+      .agg(sum("n_tokens").as("tot"),
+        countDistinct("bin_id").as("nbins"),
+        sum(when(col("n_tokens") >= ctx, 1L).otherwise(0L)).as("overlong"))
+      .collect()
+    byShard.foreach { r =>
+      val lb = math.ceil(r.getAs[Long]("tot").toDouble / ctx)
+      val allowed = math.ceil(11.0 / 9.0 * lb) + 1 + r.getAs[Long]("overlong")
+      assert(r.getAs[Long]("nbins") <= allowed,
+        s"shard ${r.getAs[Long]("shard")}: ${r.getAs[Long]("nbins")} bins > $allowed allowed")
+    }
+    // deterministic re-run
+    val again = Corpus.c16BestfitPack(spark, sfDir)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+    packed.unpersist(): Unit
+  }
 }

@@ -98,7 +98,11 @@ class ScaleLinearitySpec extends SparkSpec {
     "d21_source_overlap",
     // k8 (probed 0.94): RAKE is doc-keyed end-to-end — phrase windows,
     // word stats and rank all ride hash(doc_id)-family partitions
-    "k8_rake_phrases")
+    "k8_rake_phrases",
+    // g8 (probed 0.89): peel rounds only shrink the cached edge set
+    "g8_kcore",
+    // c16 (probed 0.93): one shard exchange, O(OpenCap) task state
+    "c16_bestfit_pack")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
