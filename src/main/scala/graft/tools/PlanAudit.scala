@@ -56,6 +56,8 @@ object PlanAudit {
       "c15_waterfill_budget",
       // q88 crosses its one-row max(ts) anchor (q39's scalar shape)
       "q88_decay_score",
+      // q89 crosses its one-row trigram total (q39's scalar shape)
+      "q89_seq_patterns",
       // s14's candidate stage is s1's declared brute-force baseline
       // (broadcast query block x corpus) below the kNN vote
       "s14_knn_classify")

@@ -102,7 +102,9 @@ object ScaleProbe {
     // two degree aggs + two semi-joins on the edges' own keys
     "g8_kcore",
     // c16: one shard exchange; in-task packing state is O(OpenCap)
-    "c16_bestfit_pack")
+    "c16_bestfit_pack",
+    // q89: one user-keyed window, then the |types|³-bounded grain
+    "q89_seq_patterns")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -128,6 +130,7 @@ object ScaleProbe {
     "g7_link_predict" -> "lineitem",
     "g8_kcore" -> "lineitem",
     "q88_decay_score" -> "events",
+    "q89_seq_patterns" -> "events",
     "s14_knn_classify" -> "embeddings").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {

@@ -99,10 +99,14 @@ class ScaleLinearitySpec extends SparkSpec {
     // k8 (probed 0.94): RAKE is doc-keyed end-to-end — phrase windows,
     // word stats and rank all ride hash(doc_id)-family partitions
     "k8_rake_phrases",
-    // g8 (probed 0.89): peel rounds only shrink the cached edge set
+    // g8 (probed 1.00 after the per-round cache): peel rounds only
+    // shrink the cached edge set
     "g8_kcore",
     // c16 (probed 0.93): one shard exchange, O(OpenCap) task state
-    "c16_bestfit_pack")
+    "c16_bestfit_pack",
+    // q89 (probed 1.01): one user-keyed double-lead window, then the
+    // |types|^3-bounded pattern grain
+    "q89_seq_patterns")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
