@@ -1218,7 +1218,79 @@ object Dedup {
     JOIN documents b ON pairs.doc_b = b.doc_id
     GROUP BY 1, 2"""
 
+  /** d22 — clustering agreement audit: the Rand index between the
+    * LEXICAL dup clustering (d8, LSH pairs) and the SEMANTIC one (d9,
+    * embedding pairs) over the same document universe. d14 audits the
+    * families pair-by-pair; this is the cluster-level readout — "do
+    * the two dedup views partition the corpus the same way?" — the
+    * number that decides whether semantic dedup is adding signal or
+    * just re-finding the lexical clusters.
+    *
+    * Rand = (C(n,2) + 2·ΣC(n_ij,2) − ΣC(a_i,2) − ΣC(b_j,2)) / C(n,2),
+    * computed from the (cluster_A × cluster_B) contingency table —
+    * never from doc pairs, so the cost is the two components passes
+    * plus ONE label join; the contingency grain is bounded by cluster
+    * counts. Singletons label as themselves (both engines identically)
+    * and every term is an exact int64 count, rand in basis points via
+    * one integer division.
+    */
+  val d22ClusterAgreement: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents").select("doc_id")
+    val lex = components(d3LshPairs(s, dir))
+      .select(col("doc_id"), col("component").as("ca"))
+    val sem = components(graft.sim.Similarity.s4EmbeddingNeardup(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id"), col("component").as("cb"))
+    val lab = docs
+      .join(lex, Seq("doc_id"), "left_outer")
+      .join(sem, Seq("doc_id"), "left_outer")
+      .select(
+        coalesce(col("ca"), col("doc_id")).as("ca"),
+        coalesce(col("cb"), col("doc_id")).as("cb"))
+    val cont = lab.groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+      .registerCache()
+    val both = cont.agg(
+      sum(expr("nij * (nij - 1) div 2")).as("pairs_both"),
+      sum("nij").as("n_docs"))
+    val aSide = cont.groupBy("ca").agg(sum("nij").as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("pairs_lex"))
+    val bSide = cont.groupBy("cb").agg(sum("nij").as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("pairs_sem"))
+    both.crossJoin(broadcast(aSide)).crossJoin(broadcast(bSide))
+      .select(col("n_docs"), col("pairs_both"), col("pairs_lex"),
+        col("pairs_sem"),
+        expr("""((n_docs * (n_docs - 1) div 2) + 2 * pairs_both
+                 - pairs_lex - pairs_sem) * 10000
+                div (n_docs * (n_docs - 1) div 2)""").as("rand_bp"))
+  }
+
+  val d22ClusterAgreementSql: String = s"""
+    WITH lex AS (
+      SELECT doc_id, component AS ca FROM ($d8DupClustersSql) l),
+    sem AS (
+      SELECT vec_id AS doc_id, component AS cb FROM ($d9SemanticClustersSql) m),
+    lab AS (
+      SELECT coalesce(lex.ca, d.doc_id) AS ca,
+             coalesce(sem.cb, d.doc_id) AS cb
+      FROM documents d
+      LEFT JOIN lex ON d.doc_id = lex.doc_id
+      LEFT JOIN sem ON d.doc_id = sem.doc_id),
+    cont AS (SELECT ca, cb, count(*) AS nij FROM lab GROUP BY 1, 2),
+    s1 AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS pairs_both,
+                  CAST(SUM(nij) AS BIGINT) AS n_docs
+           FROM cont),
+    s2 AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS pairs_lex
+           FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cont GROUP BY ca)),
+    s3 AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS pairs_sem
+           FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cont GROUP BY cb))
+    SELECT n_docs, pairs_both, pairs_lex, pairs_sem,
+           ((n_docs * (n_docs - 1) // 2) + 2 * pairs_both
+             - pairs_lex - pairs_sem) * 10000
+             // (n_docs * (n_docs - 1) // 2) AS rand_bp
+    FROM s1 CROSS JOIN s2 CROSS JOIN s3"""
+
   val queries: Map[String, Q] = Map(
+    "d22_cluster_agreement" -> d22ClusterAgreement,
     "d21_source_overlap" -> d21SourceOverlap,
     "d20_bloom_decontaminate" -> d20BloomDecontaminate,
     "d18_minhash_accuracy" -> d18MinhashAccuracy,
@@ -1242,6 +1314,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d22_cluster_agreement" -> d22ClusterAgreementSql,
     "d21_source_overlap" -> d21SourceOverlapSql,
     "d20_bloom_decontaminate" -> d20BloomDecontaminateSql,
     "d18_minhash_accuracy" -> d18MinhashAccuracySql,

@@ -58,6 +58,8 @@ object PlanAudit {
       "q88_decay_score",
       // q89 crosses its one-row trigram total (q39's scalar shape)
       "q89_seq_patterns",
+      // d22 crosses three ONE-row pair-count scalars (q39's shape)
+      "d22_cluster_agreement",
       // s14's candidate stage is s1's declared brute-force baseline
       // (broadcast query block x corpus) below the kNN vote
       "s14_knn_classify")

@@ -104,7 +104,10 @@ object ScaleProbe {
     // c16: one shard exchange; in-task packing state is O(OpenCap)
     "c16_bestfit_pack",
     // q89: one user-keyed window, then the |types|³-bounded grain
-    "q89_seq_patterns")
+    "q89_seq_patterns",
+    // d22: two components passes + ONE label join; contingency grain
+    // bounded by cluster counts, Rand from exact integer pair sums
+    "d22_cluster_agreement")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

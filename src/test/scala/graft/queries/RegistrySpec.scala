@@ -4,8 +4,19 @@ import graft.SparkSpec
 
 class RegistrySpec extends SparkSpec {
 
+  /** Queries deliberately WITHOUT a SQL oracle: stateful folds DuckDB
+    * cannot express. Each must carry its own semantic spec (c16:
+    * CorpusSpec pins exhaustiveness, per-bin budget, the BFD bound and
+    * determinism); the driver records a rows-only check for them.
+    * Adding a name here without a spec is a coverage hole — keep this
+    * set justified entry by entry.
+    */
+  private val specGatedOnly = Set("c16_bestfit_pack")
+
   test("every query has an oracle and every oracle a query") {
-    assert(Registry.queries.keySet == Registry.oracleSql.keySet)
+    assert(Registry.queries.keySet -- specGatedOnly == Registry.oracleSql.keySet)
+    assert(specGatedOnly.subsetOf(Registry.queries.keySet))
+    assert((Registry.oracleSql.keySet & specGatedOnly).isEmpty)
   }
 
   test("all registry queries execute on sf0.001") {

@@ -106,7 +106,10 @@ class ScaleLinearitySpec extends SparkSpec {
     "c16_bestfit_pack",
     // q89 (probed 1.01): one user-keyed double-lead window, then the
     // |types|^3-bounded pattern grain
-    "q89_seq_patterns")
+    "q89_seq_patterns",
+    // d22 (probed 0.90): two components passes + one label join; the
+    // contingency grain is bounded by cluster counts
+    "d22_cluster_agreement")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
