@@ -9,13 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * Injects the engine's native SQL functions (currently `listagg`,
   * SURVEY §2.11(b)) into the session's FunctionRegistry so the S2/S5
-  * SQL-text surface can call them like built-ins. No custom Rule or
-  * Strategy is registered — SURVEY §4's conclusion that the reference
-  * surface needs none stands; this class is the seam where one would
-  * go.
+  * SQL-text surface can call them like built-ins, plus ONE optimizer
+  * rule: [[TokenIndexSubstitution]], the index-aware scan rewrite
+  * (inert until an index is registered in [[IndexCatalog]]). The
+  * REFERENCE surface needs no custom Rule (SURVEY §4's conclusion
+  * stands); the rule serves the beyond-reference index tier
+  * (q40/TokenStore) where substituting a posting lookup for a corpus
+  * scan is the entire point of maintaining the index.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => TokenIndexSubstitution(session))
     ext.injectFunction((
       new FunctionIdentifier("listagg"),
       new ExpressionInfo(classOf[ListAgg].getName, "listagg"),
