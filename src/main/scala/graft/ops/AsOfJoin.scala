@@ -99,4 +99,31 @@ object AsOfJoin {
           WHERE event_type = 'purchase') p
     ASOF LEFT JOIN c
       ON p.user_id = c.c_user AND p.ts >= c.c_ts"""
+
+  /** q90 — q21's semantics through the NATIVE merge as-of operator
+    * ([[graft.plans.AsOfJoinNative]]: custom logical node + planner
+    * strategy + physical exec, preference order (c)): one forward
+    * pass over key-clustered (key, time)-sorted sides, no candidate
+    * fan-out, no window. Hash-gated against the SAME DuckDB ASOF
+    * oracle as q21 — the custom physical operator is held to the
+    * identical correctness bar as the composed form it replaces.
+    */
+  val q90AsofNative: (SparkSession, String) => DataFrame = (s, dir) => {
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("t_us", expr("unix_micros(ts)"))
+    val orders = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .withColumn("d_us", expr("unix_micros(cast(o_orderdate as timestamp))"))
+    graft.plans.AsOfJoinNative.asOf(events, orders,
+      leftKey = events("user_id"), rightKey = orders("o_custkey"),
+      leftTime = events("t_us"), rightTime = orders("d_us"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("last_orderkey"),
+        col("o_orderdate").as("last_orderdate"))
+  }
+
+  /** Same oracle as q21 — identical semantics, different physical plan. */
+  val q90AsofNativeSql: String = q21AsofJoinSql
 }

@@ -469,6 +469,7 @@ object RefQueries {
     "q19_set_ops"          -> q19SetOps,
     "q20_correlated_subquery" -> q20CorrelatedSubquery,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoin,
+    "q90_asof_native"      -> graft.ops.AsOfJoin.q90AsofNative,
     "q75_last_touch"       -> graft.ops.AsOfJoin.q75LastTouch,
     "q23_window_family"    -> q23WindowFamily,
     "q24_percentiles"      -> q24Percentiles,
@@ -496,6 +497,7 @@ object RefQueries {
     "q19_set_ops"          -> q19SetOpsSql,
     "q20_correlated_subquery" -> q20CorrelatedSubquerySql,
     "q21_asof_join"        -> graft.ops.AsOfJoin.q21AsofJoinSql,
+    "q90_asof_native"      -> graft.ops.AsOfJoin.q90AsofNativeSql,
     "q75_last_touch"       -> graft.ops.AsOfJoin.q75LastTouchSql,
     "q23_window_family"    -> q23WindowFamilySql,
     "q24_percentiles"      -> q24PercentilesSql,

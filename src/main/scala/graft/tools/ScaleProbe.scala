@@ -107,7 +107,10 @@ object ScaleProbe {
     "q89_seq_patterns",
     // d22: two components passes + ONE label join; contingency grain
     // bounded by cluster counts, Rand from exact integer pair sums
-    "d22_cluster_agreement")
+    "d22_cluster_agreement",
+    // q90: the native merge as-of — two key-clustered exchanges, one
+    // forward pass, zero candidate fan-out
+    "q90_asof_native")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -134,6 +137,7 @@ object ScaleProbe {
     "g8_kcore" -> "lineitem",
     "q88_decay_score" -> "events",
     "q89_seq_patterns" -> "events",
+    "q90_asof_native" -> "events",
     "s14_knn_classify" -> "embeddings").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {

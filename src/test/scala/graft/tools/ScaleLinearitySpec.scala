@@ -109,7 +109,10 @@ class ScaleLinearitySpec extends SparkSpec {
     "q89_seq_patterns",
     // d22 (probed 0.90): two components passes + one label join; the
     // contingency grain is bounded by cluster counts
-    "d22_cluster_agreement")
+    "d22_cluster_agreement",
+    // q90 (probed 1.01): native merge as-of — two key-clustered
+    // exchanges + sorts, one forward pass, no candidate fan-out
+    "q90_asof_native")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
