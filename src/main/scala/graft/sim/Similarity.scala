@@ -1197,7 +1197,136 @@ object Similarity {
            CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
     FROM win WHERE vr = 1"""
 
+  /** s15 — MMR diversified re-rank (Carbonell & Goldstein 1998): from
+    * each query's top-10 cosine candidates, greedily select 3 by
+    * maximal marginal relevance — relevance minus redundancy against
+    * what's already selected. The diversity stage of a retrieval /
+    * training-batch-sampling pipeline: plain top-k returns near-
+    * duplicates of one good hit; MMR's third pick is the best hit
+    * that is NOT like the first two.
+    *
+    * Greedy is inherently sequential, but the horizon is THREE and
+    * the candidate set is ten, so the steps unroll into one lazy plan
+    * (g1's fixed-round discipline applied to selection): each step is
+    * an anti-join (drop selected), a max-redundancy aggregate over
+    * the selected set, and a rank-1 window — every frame bounded by
+    * 10·|queries|. The DuckDB oracle is the SAME three unrolled
+    * steps. Determinism: query and pair similarities quantize ONCE to
+    * integer micros; the MMR objective compares the raw integer
+    * `7·sim − 3·redundancy` (no division — cross-engine floor
+    * semantics never enter), ties break on vec_id.
+    */
+  val s15MmrRerank: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
+    // top-10 candidates per query, query-sim quantized once to micros;
+    // persisted: the pair grid and all three steps read it
+    val cands = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .withColumn("simq", expr(
+        "cast(round(1e6 * (cast(long_array_dot(q_qv, qv) as double)" +
+          " / sqrt(cast(q_n2 as double) * cast(n2 as double)))) as bigint)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "simq", "qv", "n2")
+      .registerCache()
+    // candidate-pair similarity inside each query's 10-row set
+    val pairs = cands.as("a")
+      .join(cands.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("cand"), col("b.vec_id").as("other"),
+        expr("cast(round(1e6 * (cast(long_array_dot(a.qv, b.qv) as double)" +
+          " / sqrt(cast(a.n2 as double) * cast(b.n2 as double)))) as bigint)")
+          .as("simp"))
+      .registerCache()
+    val slim = cands.select("query_id", "vec_id", "simq")
+    // step 1: pure relevance
+    var selected = slim
+      .withColumn("r", row_number().over(w.orderBy(col("simq").desc, col("vec_id"))))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("mmr_rank"),
+        (col("simq") * 7).as("mmr_score"))
+    for (step <- 2 to 3) {
+      val remaining = slim.join(selected.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      val redundancy = pairs
+        .join(selected.select(col("query_id"), col("vec_id").as("other")),
+          Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("cand").as("vec_id"))
+        .agg(max("simp").as("red"))
+      val scored = remaining.join(redundancy, Seq("query_id", "vec_id"))
+        .withColumn("mmr_score", col("simq") * 7 - col("red") * 3)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("mmr_score").desc, col("vec_id"))
+      val pick = scored.withColumn("r", row_number().over(wS))
+        .filter(col("r") === 1)
+        .select(col("query_id"), col("vec_id"), lit(step).as("mmr_rank"),
+          col("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
+  val s15MmrRerankSql: String = {
+    def step(prev: String, k: Int) = s"""
+    red$k AS (
+      SELECT p.query_id, p.cand AS vec_id, max(p.simp) AS red
+      FROM pairs p JOIN $prev s
+        ON p.query_id = s.query_id AND p.other = s.vec_id
+      GROUP BY 1, 2),
+    pick$k AS (
+      SELECT query_id, vec_id, $k AS mmr_rank, mmr_score FROM (
+        SELECT c.query_id, c.vec_id, c.simq * 7 - r.red * 3 AS mmr_score,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY c.simq * 7 - r.red * 3 DESC, c.vec_id) AS rn
+        FROM slim c
+        JOIN red$k r ON c.query_id = r.query_id AND c.vec_id = r.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)
+      ) WHERE rn = 1),
+    sel$k AS (SELECT query_id, vec_id, mmr_rank, mmr_score FROM $prev
+              UNION ALL SELECT * FROM pick$k)"""
+    s"""WITH $oracleQuantized,
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM qn
+                WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, vec_id, qv, n2,
+             CAST(round(1e6 * (list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * n2::DOUBLE))) AS BIGINT) AS simq
+      FROM queries JOIN qn ON query_id <> vec_id),
+    cands AS (
+      SELECT query_id, vec_id, simq, qv, n2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY simq DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= 10),
+    slim AS (SELECT query_id, vec_id, simq FROM cands),
+    pairs AS (
+      SELECT a.query_id, a.vec_id AS cand, b.vec_id AS other,
+             CAST(round(1e6 * (list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(a.qv, i) * list_extract(b.qv, i)), 'sum')::DOUBLE
+               / sqrt(a.n2::DOUBLE * b.n2::DOUBLE))) AS BIGINT) AS simp
+      FROM cands a JOIN cands b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    sel1 AS (
+      SELECT query_id, vec_id, 1 AS mmr_rank, simq * 7 AS mmr_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY simq DESC, vec_id) AS rn
+        FROM slim) WHERE rn = 1),
+    ${step("sel1", 2)},
+    ${step("sel2", 3)}
+    SELECT query_id, vec_id, mmr_rank, CAST(mmr_score AS BIGINT) AS mmr_score
+    FROM sel3"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "s15_mmr_rerank"       -> s15MmrRerank,
     "s14_knn_classify"     -> s14KnnClassify,
     "s13_filtered_ann"     -> s13FilteredAnn,
     "s12_ivf_pq"           -> s12IvfPq,
@@ -1216,6 +1345,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s15_mmr_rerank"       -> s15MmrRerankSql,
     "s14_knn_classify"     -> s14KnnClassifySql,
     "s13_filtered_ann"     -> s13FilteredAnnSql,
     "s12_ivf_pq"           -> s12IvfPqSql,

@@ -62,7 +62,10 @@ object PlanAudit {
       "d22_cluster_agreement",
       // s14's candidate stage is s1's declared brute-force baseline
       // (broadcast query block x corpus) below the kNN vote
-      "s14_knn_classify")
+      "s14_knn_classify",
+      // s15's candidate stage is the same s1 baseline; the pair grid
+      // and greedy steps run on the 10-per-query bounded frame
+      "s15_mmr_rerank")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

@@ -110,7 +110,9 @@ object ScaleProbe {
     "d22_cluster_agreement",
     // q90: the native merge as-of — two key-clustered exchanges, one
     // forward pass, zero candidate fan-out
-    "q90_asof_native")
+    "q90_asof_native",
+    // s15: pair grid + greedy steps on the 10-per-query bounded frame
+    "s15_mmr_rerank")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(
@@ -138,7 +140,8 @@ object ScaleProbe {
     "q88_decay_score" -> "events",
     "q89_seq_patterns" -> "events",
     "q90_asof_native" -> "events",
-    "s14_knn_classify" -> "embeddings").withDefaultValue("documents")
+    "s14_knn_classify" -> "embeddings",
+    "s15_mmr_rerank" -> "embeddings").withDefaultValue("documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

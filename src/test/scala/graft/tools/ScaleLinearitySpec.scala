@@ -112,7 +112,10 @@ class ScaleLinearitySpec extends SparkSpec {
     "d22_cluster_agreement",
     // q90 (probed 1.01): native merge as-of — two key-clustered
     // exchanges + sorts, one forward pass, no candidate fan-out
-    "q90_asof_native")
+    "q90_asof_native",
+    // s15 (probed 1.02 over the 4x embeddings step): greedy MMR on
+    // the 10-per-query bounded frame
+    "s15_mmr_rerank")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
