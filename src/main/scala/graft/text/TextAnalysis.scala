@@ -651,7 +651,59 @@ object TextAnalysis {
            CAST(ent_sum_micro AS DOUBLE) / CAST(n AS DOUBLE) AS entropy_micronats
     FROM e"""
 
+  /** t14 — token burstiness (Church & Gale): the variance-to-mean
+    * ratio of each term's per-document count over the WHOLE corpus
+    * (zeros included). Content words are bursty (VMR ≫ 1: absent
+    * almost everywhere, repeated where they appear); function words
+    * are Poisson-ish (VMR ≈ 1). The signal that separates topical
+    * vocabulary from glue — what a keyword extractor or stop-list
+    * builder thresholds on, orthogonally to raw frequency (t12's
+    * Zipf rank says how often; this says how CLUMPED).
+    *
+    * Exactness: VMR = (N·Σx² − (Σx)²) / (N·Σx) from int64 sufficient
+    * statistics on the vocab grain — zeros enter through N only, so
+    * the per-doc zero rows never materialize; ONE final IEEE division.
+    * Scale shape: token explode → (doc, term) map-combined count →
+    * vocab-grain aggregate; the corpus size N is a one-row broadcast
+    * (q39's scalar shape). df ≥ 20 keeps the estimate stable.
+    */
+  val t14Burstiness: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+        .as("term"))
+    val perDoc = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("x"))
+    val stats = perDoc.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("x").as("sx"),
+      sum(expr("x * x")).as("sxx"))
+      .filter(col("df") >= 20)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("sx").as("total_tf"),
+        ((col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n_docs") * col("sx")).cast("double")).as("vmr"))
+  }
+
+  val t14BurstinessSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    pd AS (SELECT doc_id, term, count(*) AS x FROM toks GROUP BY 1, 2),
+    st AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pd GROUP BY 1 HAVING count(*) >= 20),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT term, df, sx AS total_tf,
+           CAST(n_docs * sxx - sx * sx AS DOUBLE)
+             / CAST(n_docs * sx AS DOUBLE) AS vmr
+    FROM st CROSS JOIN n"""
+
   val queries: Map[String, Q] = Map(
+    "t14_burstiness" -> t14Burstiness,
     "t13_char_entropy" -> t13CharEntropy,
     "t12_zipf" -> t12Zipf,
     "t11_structure_stats" -> t11StructureStats,
@@ -668,6 +720,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t14_burstiness" -> t14BurstinessSql,
     "t13_char_entropy" -> t13CharEntropySql,
     "t12_zipf" -> t12ZipfSql,
     "t11_structure_stats" -> t11StructureStatsSql,

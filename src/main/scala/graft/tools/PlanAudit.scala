@@ -65,7 +65,9 @@ object PlanAudit {
       "s14_knn_classify",
       // s15's candidate stage is the same s1 baseline; the pair grid
       // and greedy steps run on the 10-per-query bounded frame
-      "s15_mmr_rerank")
+      "s15_mmr_rerank",
+      // t14 crosses its one-row corpus count (q39's scalar shape)
+      "t14_burstiness")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

@@ -112,7 +112,10 @@ object ScaleProbe {
     // forward pass, zero candidate fan-out
     "q90_asof_native",
     // s15: pair grid + greedy steps on the 10-per-query bounded frame
-    "s15_mmr_rerank")
+    "s15_mmr_rerank",
+    // t14: token explode -> map-combined (doc, term) count -> vocab
+    // grain; corpus size is a one-row broadcast
+    "t14_burstiness")
 
   /** Primary input table per query — the denominator of the growth rate. */
   private val inputTable = Map(

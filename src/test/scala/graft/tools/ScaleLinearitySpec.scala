@@ -115,7 +115,9 @@ class ScaleLinearitySpec extends SparkSpec {
     "q90_asof_native",
     // s15 (probed 1.02 over the 4x embeddings step): greedy MMR on
     // the 10-per-query bounded frame
-    "s15_mmr_rerank")
+    "s15_mmr_rerank",
+    // t14 (probed 0.86): the standard vocab explode+agg shape
+    "t14_burstiness")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
