@@ -187,6 +187,66 @@ object AtomicPublish {
     next
   }
 
+  // ==========================================================================
+  // Optimistic concurrency for the versioned layout
+  // ==========================================================================
+
+  /** Stage a full write (data + `_SUCCESS`) under a dot-prefixed tx
+    * directory — invisible to `currentVersion`'s `v=` filter, so a
+    * crash here orphans bytes but never corrupts the table. The
+    * expensive half of an OCC publish; committing is one rename.
+    */
+  def stageVersion(df: DataFrame, table: String): Path = {
+    val staging = new Path(s"$table/.tx-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    staging
+  }
+
+  /** Try to commit staged data as version `v`. Returns false — and
+    * leaves the staging directory intact for a retry at a higher
+    * version — when another writer committed `v` first. On HDFS the
+    * no-overwrite rename IS the atomic arbiter; on local/posix-like
+    * filesystems a rename onto an existing directory can NEST the
+    * source inside it, so the commit verifies and un-nests (the
+    * verify-after pattern; the loser backs out losing nothing).
+    */
+  def commitStaged(spark: SparkSession, table: String,
+                   staging: Path, v: Long): Boolean = {
+    val dst = new Path(s"$table/v=$v")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return false
+    if (!fs.rename(staging, dst)) return false
+    val nested = new Path(dst, staging.getName)
+    if (fs.exists(nested)) { // lost the race on a nesting filesystem
+      fs.rename(nested, staging)
+      return false
+    }
+    fs.exists(new Path(dst, "_SUCCESS"))
+  }
+
+  /** Multi-writer-safe versioned publish: stage once, then race for
+    * the next version number, retrying at higher numbers on loss —
+    * the data is never rewritten across attempts, only the O(1)
+    * commit rename repeats. Both racers' versions end up committed
+    * (no lost update, serialized by version number), which is exactly
+    * Delta/Iceberg's optimistic protocol reduced to this layout.
+    */
+  def publishVersionedOcc(df: DataFrame, table: String,
+                          maxAttempts: Int = 5): Long = {
+    val spark = df.sparkSession
+    val staging = stageVersion(df, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = currentVersion(spark, table).getOrElse(0L) + 1
+      if (commitStaged(spark, table, staging, next)) return next
+      attempt += 1
+    }
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    throw new IllegalStateException(
+      s"publishVersionedOcc lost $maxAttempts version races on $table")
+  }
+
   /** Highest committed snapshot (manifest is the commit record). */
   def currentSnapshot(spark: SparkSession, base: String): Option[Long] = {
     val dir = new Path(base, ManifestDir)
