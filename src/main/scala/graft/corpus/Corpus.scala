@@ -818,7 +818,69 @@ object Corpus {
       .toDF("doc_id", "shard", "bin_id", "n_tokens")
   }
 
+  /** c17 — effective mixture after dedup: the question every sampling
+    * plan (c2/c7/c11) actually needs answered is not "how many raw
+    * tokens does each source hold" but "how many SURVIVE dedup, and
+    * what mixture does that imply". Exact dedup (d1's content key,
+    * min-doc_id survivor) reattributes each duplicate cluster to its
+    * survivor's source — so a source that is 40 % mirrored copies of
+    * another contributes ~nothing, and the renormalized weight exposes
+    * exactly how far the raw mixture lied. Weights are basis points
+    * via integer division (hash-stable; d22's rand_bp precedent).
+    *
+    * Scale shape: one content-hash exchange (shared by survivor pick
+    * and copy count — a single aggregate) + one source-grain agg;
+    * both map-side combine. No pairs, no windows over the corpus.
+    */
+  val c17EffectiveMix: Q = (s, dir) => {
+    val d = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '))")
+          .as("n_tokens"),
+        md5(regexp_replace(lower(trim(col("text"))), " +", " "))
+          .as("content_hash"))
+    val kept = d
+      .groupBy("content_hash")
+      .agg(expr("min_by(named_struct('source', source, 'n_tokens', n_tokens), doc_id)")
+        .as("k"))
+      .select(col("k.source").as("source"), col("k.n_tokens").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_tokens").as("kept_tokens"))
+    val raw = d.groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("n_tokens").as("raw_tokens"))
+    val total = kept.agg(sum("kept_tokens").as("total_kept"))
+    raw.join(kept, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        expr("kept_tokens * 10000 div total_kept").as("weight_bp"))
+  }
+
+  val c17EffectiveMixSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_hash
+      FROM documents),
+    surv AS (
+      SELECT content_hash, arg_min(source, doc_id) AS source,
+             arg_min(n_tokens, doc_id) AS n_tokens
+      FROM d GROUP BY content_hash),
+    kept AS (
+      SELECT source, count(*) AS kept_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+      FROM surv GROUP BY source),
+    raw AS (
+      SELECT source, count(*) AS raw_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS raw_tokens
+      FROM d GROUP BY source),
+    tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_kept FROM kept)
+    SELECT source, raw_docs, raw_tokens, kept_docs, kept_tokens,
+           kept_tokens * 10000 // total_kept AS weight_bp
+    FROM raw JOIN kept USING (source) CROSS JOIN tot"""
+
   val queries: Map[String, Q] = Map(
+    "c17_effective_mix" -> c17EffectiveMix,
     "c16_bestfit_pack" -> c16BestfitPack,
     "c15_waterfill_budget" -> c15WaterfillBudget,
     "c14_dataset_card" -> c14DatasetCard,
@@ -838,6 +900,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c17_effective_mix" -> c17EffectiveMixSql,
     "c15_waterfill_budget" -> c15WaterfillBudgetSql,
     "c14_dataset_card" -> c14DatasetCardSql,
     "c13_contamination_score" -> c13ContaminationScoreSql,

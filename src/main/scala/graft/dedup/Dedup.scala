@@ -1289,7 +1289,63 @@ object Dedup {
              // (n_docs * (n_docs - 1) // 2) AS rand_bp
     FROM s1 CROSS JOIN s2 CROSS JOIN s3"""
 
+  // =========================================================================
+  // d23 — edit-distance fuzzy matching via deletion-neighborhood blocking
+  // =========================================================================
+
+  /** Entity-resolution fuzzy match: all record pairs whose names are
+    * within edit distance 1, found WITHOUT an all-pairs comparison via
+    * deletion-neighborhood blocking (the SymSpell/FastSS signature
+    * scheme). Each string emits itself plus every single-character
+    * deletion as signatures; two strings at Levenshtein ≤ 1 provably
+    * share at least one signature (a substitution pair shares the
+    * variant that deletes the differing position; an insertion pair
+    * shares the shorter string itself), so an equi-join on signature is
+    * a COMPLETE candidate generator — `levenshtein` then runs only on
+    * candidates, never on the n² grid the oracle brute-forces.
+    *
+    * Covers the reference's fuzzy key-reconciliation need (SURVEY §2
+    * F-family string normalization feeding J1 joins) as a first-class
+    * scalable operator; the token-set analogue is q36/d5.
+    *
+    * Scale shape: signatures are linear in total characters (len+1 per
+    * row, deduplicated per row by `array_distinct` — runs of equal
+    * chars collapse); the join key is the signature, so fan-out per
+    * bucket is bounded by how many strings restore to the same variant
+    * (alphabet × positions, not corpus size). At 100 TB the knob is a
+    * signature df-cap exactly like d7's stop-shingle prefilter —
+    * boilerplate names that hit millions of rows are match-useless and
+    * would be dropped before the join; at test SFs no bucket comes near
+    * the cap so the result stays oracle-exact. One exchange on
+    * signature, one distinct on the candidate pair, a codegen'd
+    * `levenshtein` verify.
+    */
+  val d23FuzzyNameMatch: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val sigs = c.select(col("id"), col("name"),
+      explode(expr(
+        """array_distinct(concat(
+             array(name),
+             transform(sequence(1, length(name)),
+               i -> concat(substr(name, 1, i-1),
+                           substr(name, i+1, length(name))))))""")).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+              col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select("id_a", "id_b")
+  }
+
+  val d23FuzzyNameMatchSql: String = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+
   val queries: Map[String, Q] = Map(
+    "d23_fuzzy_name_match" -> d23FuzzyNameMatch,
     "d22_cluster_agreement" -> d22ClusterAgreement,
     "d21_source_overlap" -> d21SourceOverlap,
     "d20_bloom_decontaminate" -> d20BloomDecontaminate,
@@ -1314,6 +1370,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d23_fuzzy_name_match" -> d23FuzzyNameMatchSql,
     "d22_cluster_agreement" -> d22ClusterAgreementSql,
     "d21_source_overlap" -> d21SourceOverlapSql,
     "d20_bloom_decontaminate" -> d20BloomDecontaminateSql,

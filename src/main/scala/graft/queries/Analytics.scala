@@ -1281,7 +1281,43 @@ object Analytics {
     FROM c CROSS JOIN tot
     WHERE support * 200 >= tot"""
 
+  /** q91 — telemetry debounce: suppress events of the same
+    * (user, event_type) that arrive within one hour of the PREVIOUS
+    * event in that stream (double-clicks, retry storms, sensor
+    * chatter). The lag-based contract — "gap to the immediately
+    * preceding raw event" — is deliberate: it is one window function
+    * over the (user_id, event_type) partition, deterministic under the
+    * (ts, event_id) tie-break, and SQL-expressible, where the
+    * "previous KEPT event" variant is a running fold (q17's
+    * sessionize-style cumulative trick covers that family).
+    *
+    * Scale shape: ONE hash exchange on (user_id, event_type) + an
+    * in-partition sort — the same shape as q17/q76; no driver state,
+    * no self-join. Per-key partitions are user-stream sized, so skew
+    * is bounded by the hottest (user, type) stream, not the table.
+    */
+  val q91Debounce: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") > 3600000000L)
+      .select("event_id", "user_id", "event_type", "us")
+  }
+
+  val q91DebounceSql: String = """
+    WITH r AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events)
+    SELECT event_id, user_id, event_type, us
+    FROM r WHERE prev_us IS NULL OR us - prev_us > 3600000000"""
+
   val queries: Map[String, Q] = Map(
+    "q91_debounce" -> q91Debounce,
     "q89_seq_patterns" -> q89SeqPatterns,
     "q88_decay_score" -> q88DecayScore,
     "q86_regr_trend" -> q86RegrTrend,
@@ -1314,6 +1350,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q91_debounce" -> q91DebounceSql,
     "q89_seq_patterns" -> q89SeqPatternsSql,
     "q88_decay_score" -> q88DecayScoreSql,
     "q86_regr_trend" -> q86RegrTrendSql,

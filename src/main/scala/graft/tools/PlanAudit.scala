@@ -58,6 +58,9 @@ object PlanAudit {
       "q88_decay_score",
       // q89 crosses its one-row trigram total (q39's scalar shape)
       "q89_seq_patterns",
+      // c17 crosses its one-row kept-token total into the |sources|-row
+      // mixture frame (q39/c11's broadcast-scalar shape)
+      "c17_effective_mix",
       // d22 crosses three ONE-row pair-count scalars (q39's shape)
       "d22_cluster_agreement",
       // s14's candidate stage is s1's declared brute-force baseline

@@ -117,7 +117,12 @@ class ScaleLinearitySpec extends SparkSpec {
     // the 10-per-query bounded frame
     "s15_mmr_rerank",
     // t14 (probed 0.86): the standard vocab explode+agg shape
-    "t14_burstiness")
+    "t14_burstiness",
+    // r6 eighth batch (probed 1.12/1.04/0.91): d23's deletion-signature
+    // join — bucket fan-out is alphabet×positions, not corpus size;
+    // q91 is q17's one-exchange window shape; c17 is two map-combined
+    // aggs sharing the content-hash exchange
+    "d23_fuzzy_name_match", "q91_debounce", "c17_effective_mix")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
