@@ -1344,7 +1344,74 @@ object Dedup {
     FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1"""
 
+  // =========================================================================
+  // d24 — within-document repeat trimming (a cleaning TRANSFORM)
+  // =========================================================================
+
+  // Tokens per trim chunk. The production grain is d12's 20 (or a
+  // line/paragraph split on corpora that have them); 3 here because the
+  // synthetic corpus is short random-word docs where longer aligned
+  // chunks simply never repeat within one doc — at 3 the corpus
+  // contains real within-doc repeats, so the drop path is exercised,
+  // not just the rebuild.
+  private val TrimChunk = 3
+
+  /** Self-repetition removal INSIDE a document: re-emit each doc with
+    * repeated chunks dropped, keeping the FIRST occurrence of
+    * each distinct chunk in original order. d12 measures cross-doc
+    * verbatim duplication and t6 measures the repetition ratio; this is
+    * the operator that actually FIXES the pathology those flag —
+    * scraped pages that loop navigation blocks, generation artifacts
+    * that repeat a paragraph, templated boilerplate inside one doc.
+    * The output is a transformed corpus (cleaned text + kept/total
+    * accounting), not a report — the clean-pipeline stage between
+    * quality gating and packing.
+    *
+    * Scale shape: everything is doc-keyed — the chunk explode, the
+    * (doc, chunk) first-occurrence aggregate, and the ordered
+    * reassembly all ride hash(doc_id)-family partitions (k8's RAKE
+    * pattern); no corpus-global state, no pairs. Reassembly is a
+    * sort_array over ≤(doc_len/20) position-tagged chunks per doc —
+    * per-doc bounded, the ListAgg/k8 precedent.
+    */
+  val d24RepeatTrim: Q = (s, dir) => {
+    val chunks = Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(tokens) / $TrimChunk.0) as int) - 1),
+              i -> array_join(slice(tokens, i * $TrimChunk + 1, $TrimChunk), ' '))"""))
+          .as(Seq("pos", "chunk")))
+    val first = chunks.groupBy("doc_id", "chunk")
+      .agg(min("pos").as("pos"), count(lit(1)).as("n_occ"))
+    first.groupBy("doc_id")
+      .agg(
+        array_join(expr("transform(sort_array(collect_list(struct(pos, chunk))), x -> x.chunk)"), " ")
+          .as("clean_text"),
+        count(lit(1)).as("chunks_kept"),
+        sum("n_occ").as("chunks_total"))
+  }
+
+  val d24RepeatTrimSql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+             str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS tokens
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(tokens[(i - 1) * $TrimChunk + 1 : i * $TrimChunk], ' ') AS chunk
+      FROM t, unnest(range(1, CAST(ceil(len(tokens) / $TrimChunk.0) AS BIGINT) + 1)) AS u(i)),
+    fst AS (
+      SELECT doc_id, chunk, min(pos) AS pos, count(*) AS n_occ
+      FROM ch GROUP BY doc_id, chunk)
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS chunks_kept,
+           CAST(sum(n_occ) AS BIGINT) AS chunks_total
+    FROM fst GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "d24_repeat_trim" -> d24RepeatTrim,
     "d23_fuzzy_name_match" -> d23FuzzyNameMatch,
     "d22_cluster_agreement" -> d22ClusterAgreement,
     "d21_source_overlap" -> d21SourceOverlap,
@@ -1370,6 +1437,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d24_repeat_trim" -> d24RepeatTrimSql,
     "d23_fuzzy_name_match" -> d23FuzzyNameMatchSql,
     "d22_cluster_agreement" -> d22ClusterAgreementSql,
     "d21_source_overlap" -> d21SourceOverlapSql,

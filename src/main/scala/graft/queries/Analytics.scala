@@ -1316,7 +1316,52 @@ object Analytics {
     SELECT event_id, user_id, event_type, us
     FROM r WHERE prev_us IS NULL OR us - prev_us > 3600000000"""
 
+  /** q92 — rolling active users: DAU plus exact 7-day and 28-day
+    * rolling distinct-user counts per observed day — the engagement
+    * staple (DAU/WAU/MAU) every product dashboard tracks. Exactness
+    * via CONTRIBUTION explode, not a distinct-over-range window (which
+    * Spark can't express) and not a per-day self-join (which rescans
+    * activity 28×): each active (user, day) pair emits the 7 / 28
+    * window-END days it contributes to, and a distinct on
+    * (user, end_day) + count collapses to the answer.
+    *
+    * Scale shape: activity first collapses to the (user, day) grain
+    * (ONE user-keyed exchange — the big one, input-row sized), and the
+    * window fan-out is a bounded ×7/×28 on that already-collapsed
+    * grain. At 100 TB the exact distinct swaps for q22's KMV / HLL
+    * sketch per day with sketch-merge across the window — the declared
+    * sketch twin; this is the exact form eval needs.
+    */
+  val q92ActiveUsers: Q = (s, dir) => {
+    val act = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .registerCache()
+    def rolling(span: Int, name: String) = act
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${span - 1}))")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(name))
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(rolling(7, "wau"), "day").join(rolling(28, "mau"), "day")
+      .select("day", "dau", "wau", "mau")
+  }
+
+  val q92ActiveUsersSql: String = """
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM act),
+    dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+    wau AS (SELECT d.day, count(DISTINCT a.user_id) AS wau
+            FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day),
+    mau AS (SELECT d.day, count(DISTINCT a.user_id) AS mau
+            FROM days d JOIN act a ON a.day BETWEEN d.day - 27 AND d.day
+            GROUP BY d.day)
+    SELECT day, dau, wau, mau
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)"""
+
   val queries: Map[String, Q] = Map(
+    "q92_active_users" -> q92ActiveUsers,
     "q91_debounce" -> q91Debounce,
     "q89_seq_patterns" -> q89SeqPatterns,
     "q88_decay_score" -> q88DecayScore,
@@ -1350,6 +1395,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q92_active_users" -> q92ActiveUsersSql,
     "q91_debounce" -> q91DebounceSql,
     "q89_seq_patterns" -> q89SeqPatternsSql,
     "q88_decay_score" -> q88DecayScoreSql,

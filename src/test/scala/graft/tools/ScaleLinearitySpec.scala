@@ -122,7 +122,11 @@ class ScaleLinearitySpec extends SparkSpec {
     // join — bucket fan-out is alphabet×positions, not corpus size;
     // q91 is q17's one-exchange window shape; c17 is two map-combined
     // aggs sharing the content-hash exchange
-    "d23_fuzzy_name_match", "q91_debounce", "c17_effective_mix")
+    "d23_fuzzy_name_match", "q91_debounce", "c17_effective_mix",
+    // r6 ninth batch (probed 0.88/0.93): q92's window fan-out is a
+    // bounded ×7/×28 on the already-collapsed (user, day) grain; d24
+    // is doc-keyed end-to-end (k8's shape)
+    "q92_active_users", "d24_repeat_trim")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
