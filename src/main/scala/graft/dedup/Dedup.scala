@@ -1321,22 +1321,27 @@ object Dedup {
     * `levenshtein` verify.
     */
   val d23FuzzyNameMatch: Q = (s, dir) => {
-    val c = Tables.load(s, dir, "customer")
+    val c = Tables.loadParallel(s, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // join on the 8-byte hash of the signature, not the string: the
+    // exchange ships a long instead of an ~18-char key, and a hash
+    // collision can only ADD candidates, which the levenshtein verify
+    // then rejects — correctness is unaffected.
     val sigs = c.select(col("id"), col("name"),
       explode(expr(
         """array_distinct(concat(
-             array(name),
+             array(xxhash64(name)),
              transform(sequence(1, length(name)),
-               i -> concat(substr(name, 1, i-1),
-                           substr(name, i+1, length(name))))))""")).as("sig"))
+               i -> xxhash64(concat(substr(name, 1, i-1),
+                                    substr(name, i+1, length(name)))))))""")).as("sig"))
+    // verify BEFORE the pair-dedup: levenshtein on a candidate
+    // occurrence is cheaper than shuffling the wide (id, name)² row
+    // through distinct, and the surviving pairs dedup on two longs.
     sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
-              col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-      .select("id_a", "id_b")
   }
 
   val d23FuzzyNameMatchSql: String = """
@@ -1410,7 +1415,79 @@ object Dedup {
            CAST(sum(n_occ) AS BIGINT) AS chunks_total
     FROM fst GROUP BY doc_id"""
 
+  // =========================================================================
+  // d25 — cross-document boilerplate stripping
+  // =========================================================================
+
+  /** Boilerplate removal ACROSS documents — the C4-style rule: a chunk
+    * that appears in ≥ 1/64th of the corpus's documents is template
+    * furniture (headers, navigation, license blocks), not content, and
+    * is stripped from EVERY document before training. The threshold is
+    * a corpus FRACTION, not an absolute count, so the rule is
+    * scale-stable: growing the corpus 10× doesn't silently reclassify
+    * chunks. Complements d24 (within-doc repeats) and d12 (cross-doc
+    * duplication REPORT) — this is the transform that removes what d12
+    * measures.
+    *
+    * Scale shape: chunk df is one (doc, chunk)-distinct + chunk-grain
+    * count; the strip is a LEFT ANTI join of the doc-keyed chunk
+    * stream against the (tiny, df-filtered) boilerplate set — at
+    * production scale that set broadcasts. Rebuild is d24's per-doc
+    * bounded ordered reassembly. The doc-count threshold is a one-row
+    * broadcast scalar (PlanAudit-allowlisted shape).
+    */
+  val d25BoilerplateStrip: Q = (s, dir) => {
+    val chunks = Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(tokens) / $TrimChunk.0) as int) - 1),
+              i -> array_join(slice(tokens, i * $TrimChunk + 1, $TrimChunk), ' '))"""))
+          .as(Seq("pos", "chunk")))
+      .registerCache()
+    val nDocs = chunks.agg(countDistinct("doc_id").as("n_docs"))
+    val boiler = chunks.select("doc_id", "chunk").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= expr("greatest(2, n_docs div 64)"))
+      .select("chunk")
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("chunks_total"))
+    chunks.join(boiler, Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(expr("transform(sort_array(collect_list(struct(pos, chunk))), x -> x.chunk)"), " ")
+          .as("clean_text"),
+        count(lit(1)).as("chunks_kept"))
+      .join(totals, "doc_id")
+      .select("doc_id", "clean_text", "chunks_kept", "chunks_total")
+  }
+
+  val d25BoilerplateStripSql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+             str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS tokens
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(tokens[(i - 1) * $TrimChunk + 1 : i * $TrimChunk], ' ') AS chunk
+      FROM t, unnest(range(1, CAST(ceil(len(tokens) / $TrimChunk.0) AS BIGINT) + 1)) AS u(i)),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ch),
+    boiler AS (
+      SELECT chunk FROM (
+        SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk) b, nd
+      WHERE df >= greatest(2, n_docs // 64)),
+    totals AS (SELECT doc_id, count(*) AS chunks_total FROM ch GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS chunks_kept
+      FROM ch ANTI JOIN boiler USING (chunk)
+      GROUP BY doc_id)
+    SELECT doc_id, clean_text, chunks_kept, chunks_total
+    FROM kept JOIN totals USING (doc_id)"""
+
   val queries: Map[String, Q] = Map(
+    "d25_boilerplate_strip" -> d25BoilerplateStrip,
     "d24_repeat_trim" -> d24RepeatTrim,
     "d23_fuzzy_name_match" -> d23FuzzyNameMatch,
     "d22_cluster_agreement" -> d22ClusterAgreement,
@@ -1437,6 +1514,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d25_boilerplate_strip" -> d25BoilerplateStripSql,
     "d24_repeat_trim" -> d24RepeatTrimSql,
     "d23_fuzzy_name_match" -> d23FuzzyNameMatchSql,
     "d22_cluster_agreement" -> d22ClusterAgreementSql,

@@ -615,7 +615,75 @@ object Graph {
     GROUP BY 1, 2"""
   }
 
+  private val WalkLen = 3
+
+  /** g9 — deterministic hash-walks: one fixed-length "random" walk per
+    * node over the undirected purchase graph, where each step picks
+    * the neighbor minimizing md5(start, step, neighbor). That is
+    * exactly how reproducible random-walk sampling works at cluster
+    * scale (node2vec/DeepWalk corpus generation, neighborhood
+    * sampling for GNN training): the hash IS the seeded RNG, so any
+    * executor — and the DuckDB oracle — picks the identical neighbor
+    * with no shared state, no seed plumbing, and no collect.
+    *
+    * Scale shape: each of the 3 unrolled steps is one frontier⋈edges
+    * equi-join on the current node + one min_by aggregate per walker —
+    * both keyed, both map-combinable; frontier stays |nodes|-sized
+    * throughout. Walk length is fixed so the whole thing is ONE lazy
+    * plan over the cached undirected edge set (g1's discipline).
+    */
+  val g9HashWalks: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val dir0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SuppOffset).as("dst"))
+      .distinct()
+    val edges = dir0
+      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .registerCache()
+    var walks = edges.select(col("src").as("walk_id")).distinct()
+      .withColumn("cur", col("walk_id"))
+      .withColumn("path", array(col("walk_id")))
+    for (t <- 1 to WalkLen) {
+      // shuffle-hash, not broadcast: the edge set is node-scale — at
+      // production size it can never broadcast, and pinning the
+      // strategy keeps the measured shuffle growth honest (a
+      // small-SF broadcast would hide the join's true exchange)
+      walks = walks.join(edges.hint("shuffle_hash"), col("cur") === col("src"))
+        .groupBy("walk_id")
+        .agg(expr(
+          s"""min_by(named_struct('path', array_append(path, dst), 'cur', dst),
+                     md5(concat(cast(walk_id as string), '#$t#', cast(dst as string))))""").as("w"))
+        .select(col("walk_id"), col("w.cur").as("cur"), col("w.path").as("path"))
+    }
+    walks.select(col("walk_id"),
+      col("path")(1).as("hop1"), col("path")(2).as("hop2"),
+      col("path")(3).as("hop3"))
+  }
+
+  val g9HashWalksSql: String = {
+    def step(prev: String, out: String, t: Int) =
+      s"""$out AS (
+        SELECT walk_id,
+               arg_min(dst, md5(walk_id::VARCHAR || '#$t#' || dst::VARCHAR)) AS cur
+        FROM $prev JOIN e ON $prev.cur = e.src
+        GROUP BY walk_id)"""
+    s"""WITH d0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM d0 UNION ALL SELECT dst, src FROM d0),
+    w0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM e),
+    ${step("w0", "w1", 1)},
+    ${step("w1", "w2", 2)},
+    ${step("w2", "w3", 3)}
+    SELECT w1.walk_id, w1.cur AS hop1, w2.cur AS hop2, w3.cur AS hop3
+    FROM w1 JOIN w2 ON w1.walk_id = w2.walk_id
+            JOIN w3 ON w2.walk_id = w3.walk_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "g9_hash_walks" -> g9HashWalks,
     "g8_kcore" -> g8Kcore,
     "g7_link_predict" -> g7LinkPredict,
     "g6_degree_stats" -> g6DegreeStats,
@@ -625,6 +693,7 @@ object Graph {
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g9_hash_walks" -> g9HashWalksSql,
     "g8_kcore" -> g8KcoreSql,
     "g7_link_predict" -> g7LinkPredictSql,
     "g6_degree_stats" -> g6DegreeStatsSql,

@@ -61,6 +61,9 @@ object PlanAudit {
       // c17 crosses its one-row kept-token total into the |sources|-row
       // mixture frame (q39/c11's broadcast-scalar shape)
       "c17_effective_mix",
+      // d25 crosses its one-row doc-count threshold into the chunk-df
+      // frame (the same broadcast-scalar shape)
+      "d25_boilerplate_strip",
       // d22 crosses three ONE-row pair-count scalars (q39's shape)
       "d22_cluster_agreement",
       // s14's candidate stage is s1's declared brute-force baseline

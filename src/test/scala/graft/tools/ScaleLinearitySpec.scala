@@ -126,7 +126,13 @@ class ScaleLinearitySpec extends SparkSpec {
     // r6 ninth batch (probed 0.88/0.93): q92's window fan-out is a
     // bounded ×7/×28 on the already-collapsed (user, day) grain; d24
     // is doc-keyed end-to-end (k8's shape)
-    "q92_active_users", "d24_repeat_trim")
+    "q92_active_users", "d24_repeat_trim",
+    // r6 tenth batch (probed 0.87/1.01): d25's strip is a doc-keyed
+    // anti-join against the tiny df-filtered boilerplate set; g9's
+    // three walk steps are frontier⋈edges equi-joins with the join
+    // strategy PINNED to shuffle-hash so the measured growth is the
+    // production plan's, not a small-SF broadcast's
+    "d25_boilerplate_strip", "g9_hash_walks")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
