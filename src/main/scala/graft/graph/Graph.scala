@@ -639,8 +639,12 @@ object Graph {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + SuppOffset).as("dst"))
       .distinct()
+    // pre-partition the cached edge set on src (g1's discipline): the
+    // three per-round shuffle-hash joins then reuse this one layout
+    // instead of re-exchanging |edges| every step
     val edges = dir0
       .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .registerCache()
     var walks = edges.select(col("src").as("walk_id")).distinct()
       .withColumn("cur", col("walk_id"))
