@@ -51,7 +51,7 @@ object Similarity {
   }
 
   /** vec_id, label, qv (int64 millionths), n2 (int64 squared norm). */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[sim] def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "embeddings")
       .withColumn("qv",
         expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"))
@@ -65,7 +65,7 @@ object Similarity {
              list_aggregate(list_transform(qv, x -> x*x), 'sum') AS n2
            FROM q)"""
 
-  private def cosine(dot: Column, na: Column, nb: Column): Column =
+  private[sim] def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
   // =========================================================================
