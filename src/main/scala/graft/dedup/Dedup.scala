@@ -1486,7 +1486,62 @@ object Dedup {
     SELECT doc_id, clean_text, chunks_kept, chunks_total
     FROM kept JOIN totals USING (doc_id)"""
 
+  // =========================================================================
+  // d26 — sorted-neighborhood fuzzy blocking (the SNM counterpart of d23)
+  // =========================================================================
+
+  private val SnmWindow = 10L
+
+  /** Sorted-neighborhood entity resolution: sort records by name,
+    * compare each record only against the next [[SnmWindow]] in sort
+    * order, verify with `levenshtein`. The OTHER classical ER blocking
+    * family next to d23's deletion signatures — where d23 is COMPLETE
+    * for lev≤1 with data-dependent bucket fan-out, SNM has rigidly
+    * bounded candidate count (W per record, any data) but bounded
+    * RECALL: a pair more than W apart in sort order is missed by
+    * design. Both engines implement the identical contract (pairs
+    * within W sort positions AND lev ≤ 1), so the gate is exact; the
+    * d23-vs-d26 result diff IS the textbook completeness-vs-cost
+    * trade-off, measurable per corpus.
+    *
+    * Scale shape: the global sort order comes from ops/DistributedRank
+    * (range exchange + per-partition offsets — no single-task sort),
+    * and the neighborhood join is an EQUI-join on `rank div W` with
+    * each left row emitted into its own and the next block — a pair
+    * within W spans at most adjacent blocks, so every candidate is
+    * found exactly once and fan-out is ≤ 2W per record by arithmetic,
+    * not by data.
+    */
+  val d26SortedNeighborhood: Q = (s, dir) => {
+    val c = Tables.loadParallel(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val ranked = graft.ops.DistributedRank
+      .withGlobalRank(c, Seq(col("name"), col("id")), "rk", "tot")
+      .drop("tot")
+    val left = ranked.select(
+      col("id").as("id_a"), col("name").as("name_a"), col("rk").as("rk_a"),
+      explode(expr(s"array(rk div $SnmWindow, rk div $SnmWindow + 1)")).as("bkt"))
+    val right = ranked.select(
+      col("id").as("id_b"), col("name").as("name_b"), col("rk").as("rk_b"),
+      expr(s"rk div $SnmWindow").as("bkt"))
+    left.join(right,
+        Seq("bkt")).filter(col("rk_b") > col("rk_a") &&
+        col("rk_b") - col("rk_a") <= SnmWindow)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select("id_a", "id_b")
+  }
+
+  val d26SortedNeighborhoodSql: String = s"""
+    WITH r AS (
+      SELECT c_custkey AS id, c_name AS name,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= $SnmWindow
+    WHERE levenshtein(a.name, b.name) <= 1"""
+
   val queries: Map[String, Q] = Map(
+    "d26_sorted_neighborhood" -> d26SortedNeighborhood,
     "d25_boilerplate_strip" -> d25BoilerplateStrip,
     "d24_repeat_trim" -> d24RepeatTrim,
     "d23_fuzzy_name_match" -> d23FuzzyNameMatch,
@@ -1514,6 +1569,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d26_sorted_neighborhood" -> d26SortedNeighborhoodSql,
     "d25_boilerplate_strip" -> d25BoilerplateStripSql,
     "d24_repeat_trim" -> d24RepeatTrimSql,
     "d23_fuzzy_name_match" -> d23FuzzyNameMatchSql,

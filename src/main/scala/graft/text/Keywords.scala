@@ -653,7 +653,100 @@ object Keywords {
                     ORDER BY score_micro DESC, phrase, grp) AS INT) AS rk
       FROM ph) WHERE rk <= 3"""
 
+  /** k9 — TextRank corpus keywords: PageRank over the word
+    * co-occurrence graph (adjacent non-stop tokens), the graph-based
+    * keyword family RAKE (k8, degree/freq heuristic) and chi² (k7,
+    * contrastive) don't cover — a word ranks high when its NEIGHBORS
+    * rank high, not merely when it is frequent. Weighted PageRank in
+    * g1's exact-integer discipline: ranks in micros, per-edge
+    * contribution `rank · w_uv div wdeg_u` (integer floor), so every
+    * per-round sum is order-independent and the DuckDB chained-CTE
+    * oracle matches bit-exactly. Top-20 via orderBy+limit
+    * (TakeOrderedAndProject — no global-sort window).
+    *
+    * Scale shape: the ONLY corpus-sized work is the adjacency
+    * explode + bigram count (t9's cached-bigram-frame shape, one
+    * doc-keyed window + one edge-grain agg); the 3 unrolled rank
+    * rounds run on the VOCAB grain (edges ≤ vocab², in practice the
+    * observed-bigram count), with weighted degree folded into the
+    * edge build exactly like g1's outdeg.
+    */
+  val k9TextRank: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val toks = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+          .as(Seq("i", "w")))
+      .repartition(col("doc_id"))
+      .withColumn("nxt", lead(col("w"), 1).over(byDoc))
+    val bi = toks
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt") &&
+        !expr(s"w in ($stop)") && !expr(s"nxt in ($stop)"))
+      .groupBy(col("w").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val und = bi.union(bi.select(col("dst"), col("src"), col("cnt")))
+      .groupBy("src", "dst").agg(sum("cnt").as("cnt"))
+    val edges = und
+      .withColumn("wdeg", sum("cnt").over(Window.partitionBy("src")))
+      .registerCache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("rank_micro * cnt div wdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_micro"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(150000L) + expr("850000 * coalesce(in_micro, 0) div 1000000"))
+            .as("rank_micro"))
+    }
+    ranks.orderBy(col("rank_micro").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("word"), col("rank_micro"))
+  }
+
+  val k9TextRankSql: String = {
+    def round(prev: String, out: String) = s"""
+      $out AS (
+        SELECT node,
+               150000 + 850000 * coalesce((
+                 SELECT CAST(SUM(r.rank_micro * e.cnt // e.wdeg) AS BIGINT)
+                 FROM edges e JOIN $prev r ON e.src = r.node
+                 WHERE e.dst = nodes.node), 0) // 1000000 AS rank_micro
+        FROM nodes)"""
+    s"""WITH toks AS (
+      SELECT doc_id, i, tokens[i] AS w, tokens[i+1] AS nxt
+      FROM (SELECT doc_id,
+              str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS tokens
+            FROM documents) t,
+           unnest(range(1, len(tokens))) AS u(i)),
+    bi AS (
+      SELECT w AS src, nxt AS dst, count(*) AS cnt FROM toks
+      WHERE nxt IS NOT NULL AND w <> nxt
+        AND w NOT IN ($stop) AND nxt NOT IN ($stop)
+      GROUP BY 1, 2),
+    und AS (
+      SELECT src, dst, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+        SELECT src, dst, cnt FROM bi
+        UNION ALL SELECT dst, src, cnt FROM bi)
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS wdeg
+      FROM und),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+    ${round("r0", "r1")},
+    ${round("r1", "r2")},
+    ${round("r2", "r3")}
+    SELECT node AS word, rank_micro FROM r3
+    ORDER BY rank_micro DESC, node LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "k9_textrank" -> k9TextRank,
     "k8_rake_phrases" -> k8RakePhrases,
     "k7_chi2_keywords" -> k7Chi2Keywords,
     "k5_pmi_collocations" -> k5PmiCollocations,
@@ -665,6 +758,7 @@ object Keywords {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k9_textrank" -> k9TextRankSql,
     "k8_rake_phrases" -> k8RakePhrasesSql,
     "k7_chi2_keywords" -> k7Chi2KeywordsSql,
     "k5_pmi_collocations" -> k5PmiCollocationsSql,

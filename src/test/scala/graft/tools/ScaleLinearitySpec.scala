@@ -132,7 +132,11 @@ class ScaleLinearitySpec extends SparkSpec {
     // three walk steps are frontier⋈edges equi-joins with the join
     // strategy PINNED to shuffle-hash so the measured growth is the
     // production plan's, not a small-SF broadcast's
-    "d25_boilerplate_strip", "g9_hash_walks")
+    "d25_boilerplate_strip", "g9_hash_walks",
+    // r6 eleventh batch (probed 0.81/0.88): k9's rank rounds ride the
+    // vocab grain behind one corpus bigram agg (t9's shape); d26's
+    // neighborhood join fans out ≤2W per record by arithmetic
+    "k9_textrank", "d26_sorted_neighborhood")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
