@@ -686,7 +686,86 @@ object Graph {
             JOIN w3 ON w2.walk_id = w3.walk_id"""
   }
 
+  /** g10 — 2-hop neighbor feature aggregation: the message-passing
+    * layer of a GraphSAGE/GCN feature pipeline, run as a batch graph
+    * op. Each node's account balance (integer cents) is mean-pooled
+    * from its neighbors (hop 1), then the POOLED values are pooled
+    * again (hop 2) — so h2 summarizes the 2-hop neighborhood without
+    * ever materializing 2-hop pairs (the |edges|² trap; message
+    * passing is why GNN systems never enumerate k-hop neighborhoods).
+    * This is node FEATURE engineering — the g-family's stats (g6),
+    * ranks (g1/g5) and link scores (g7) feed dashboards; these
+    * columns feed a model.
+    *
+    * Determinism: means are integer floor-divisions of exact cent
+    * sums; hop-2 re-pools hop-1's already-floored values, so both
+    * engines chain the identical quantization.
+    *
+    * Scale shape: g1's discipline exactly — one cached edge set
+    * pre-partitioned on src, each hop = one edges⋈features equi-join
+    * + one map-combined mean per dst; 2 unrolled hops, one lazy plan.
+    */
+  val g10SageFeatures: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val dir0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SuppOffset).as("dst"))
+      .distinct()
+    val edges = dir0
+      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .registerCache()
+    val feats = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("node"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("f"))
+      .union(Tables.load(s, dir, "supplier")
+        .select((col("s_suppkey") + SuppOffset).as("node"),
+          expr("cast(round(s_acctbal * 100) as bigint)").as("f")))
+    def pool(h: DataFrame): DataFrame =
+      edges.hint("shuffle_hash").join(h, col("src") === col("node"))
+        .groupBy(col("dst"))
+        // floor-mean via positive-dividend offset: Spark's `div`
+        // truncates toward zero, DuckDB's `//` floors — they disagree
+        // on negative sums (acctbal can be negative). Adding K per
+        // neighbor makes the dividend positive, where truncation ==
+        // floor in BOTH engines, then K subtracts back out exactly.
+        .agg(expr("(cast(sum(f) as bigint) + 10000000 * count(1)) div count(1) - 10000000").as("f"))
+        .select(col("dst").as("node"), col("f"))
+    val h1 = pool(feats)
+    val h2 = pool(h1)
+    feats.join(h1.select(col("node"), col("f").as("h1")), Seq("node"))
+      .join(h2.select(col("node"), col("f").as("h2")), Seq("node"))
+      .select(col("node"), col("f").as("feat_cents"),
+        col("h1").as("h1_cents"), col("h2").as("h2_cents"))
+  }
+
+  val g10SageFeaturesSql: String = s"""
+    WITH d0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM d0 UNION ALL SELECT dst, src FROM d0),
+    f0 AS (
+      SELECT c_custkey AS node, CAST(round(c_acctbal * 100) AS BIGINT) AS f
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey + $SuppOffset, CAST(round(s_acctbal * 100) AS BIGINT)
+      FROM supplier),
+    h1 AS (
+      SELECT dst AS node,
+             (CAST(SUM(f) AS BIGINT) + 10000000 * count(*)) // count(*)
+               - 10000000 AS f
+      FROM e JOIN f0 ON e.src = f0.node GROUP BY dst),
+    h2 AS (
+      SELECT dst AS node,
+             (CAST(SUM(f) AS BIGINT) + 10000000 * count(*)) // count(*)
+               - 10000000 AS f
+      FROM e JOIN h1 ON e.src = h1.node GROUP BY dst)
+    SELECT f0.node, f0.f AS feat_cents, h1.f AS h1_cents, h2.f AS h2_cents
+    FROM f0 JOIN h1 USING (node) JOIN h2 USING (node)"""
+
   val queries: Map[String, Q] = Map(
+    "g10_sage_features" -> g10SageFeatures,
     "g9_hash_walks" -> g9HashWalks,
     "g8_kcore" -> g8Kcore,
     "g7_link_predict" -> g7LinkPredict,
@@ -697,6 +776,7 @@ object Graph {
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g10_sage_features" -> g10SageFeaturesSql,
     "g9_hash_walks" -> g9HashWalksSql,
     "g8_kcore" -> g8KcoreSql,
     "g7_link_predict" -> g7LinkPredictSql,

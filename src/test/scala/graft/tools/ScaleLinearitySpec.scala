@@ -136,7 +136,10 @@ class ScaleLinearitySpec extends SparkSpec {
     // r6 eleventh batch (probed 0.81/0.88): k9's rank rounds ride the
     // vocab grain behind one corpus bigram agg (t9's shape); d26's
     // neighborhood join fans out ≤2W per record by arithmetic
-    "k9_textrank", "d26_sorted_neighborhood")
+    "k9_textrank", "d26_sorted_neighborhood",
+    // g10 (probed 1.04): two message-passing hops on the cached
+    // pre-partitioned edge set — never 2-hop pair enumeration
+    "g10_sage_features")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
