@@ -1325,7 +1325,88 @@ object Similarity {
     FROM sel3"""
   }
 
+  /** s16 — label-noise audit via neighborhood agreement (the
+    * Confident-Learning-style data-quality pass for LABELED sets):
+    * for every labeled vector, how many of its 5 nearest neighbors
+    * inside its IVF cell carry the SAME label; low agreement marks a
+    * suspect label. s14 propagates labels to the unlabeled — this
+    * audits the labels you already paid for, the pass a training set
+    * runs before anyone fine-tunes on it.
+    *
+    * Scale shape: s5's machinery unchanged (broadcast centroid
+    * assignment, then ALL comparisons stay inside the cell equi-join
+    * — bounded by cell size, the IVF knob, never corpus²); the top-5
+    * rides the same windowed rank as s5, and agreement is one
+    * map-combined count per vector.
+    */
+  val s16LabelAudit: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("qv"), col("n2"), col("c_id").as("cell"))
+      .registerCache()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
+    assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("qv").as("a_qv"), col("n2").as("a_n2"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("qv").as("b_qv"), col("n2").as("b_n2")),
+        Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_sim", cosine(
+        graft.plans.LongArrayDot.dot(col("a_qv"), col("b_qv")),
+        col("a_n2"), col("b_n2")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .groupBy(col("a_id").as("vec_id"), col("a_label").as("label"))
+      .agg(sum(when(col("b_label") === col("a_label"), 1L).otherwise(0L)).as("agree5"),
+        count(lit(1)).as("n_neighbors"))
+      .withColumn("suspect", col("agree5") <= 1)
+  }
+
+  val s16LabelAuditSql: String = s"""
+    WITH $oracleQuantized,
+    centroids AS (SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM qn
+                  WHERE vec_id % 125 = 0),
+    scored_cells AS (
+      SELECT qn.vec_id, qn.label, qn.qv, qn.n2, c_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qv, i) * list_extract(c_qv, i)), 'sum')::DOUBLE
+               / sqrt(n2::DOUBLE * c_n2::DOUBLE) AS c_cos
+      FROM qn CROSS JOIN centroids),
+    assigned AS (
+      SELECT vec_id, label, qv, n2, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, c_id) AS rn
+        FROM scored_cells) WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id AS a_id, a.label AS a_label,
+             b.vec_id AS b_id, b.label AS b_label,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(a.qv, i) * list_extract(b.qv, i)), 'sum')::DOUBLE
+               / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos_sim
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.vec_id <> b.vec_id),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                                     ORDER BY cos_sim DESC, b_id) AS rk
+        FROM scored) WHERE rk <= 5)
+    SELECT a_id AS vec_id, a_label AS label,
+           CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS agree5,
+           count(*) AS n_neighbors,
+           CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT) <= 1 AS suspect
+    FROM top5 GROUP BY a_id, a_label"""
+
   val queries: Map[String, Q] = Map(
+    "s16_label_audit"      -> s16LabelAudit,
     "s15_mmr_rerank"       -> s15MmrRerank,
     "s14_knn_classify"     -> s14KnnClassify,
     "s13_filtered_ann"     -> s13FilteredAnn,
@@ -1345,6 +1426,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s16_label_audit"      -> s16LabelAuditSql,
     "s15_mmr_rerank"       -> s15MmrRerankSql,
     "s14_knn_classify"     -> s14KnnClassifySql,
     "s13_filtered_ann"     -> s13FilteredAnnSql,

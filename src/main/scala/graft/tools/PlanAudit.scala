@@ -64,6 +64,9 @@ object PlanAudit {
       // d25 crosses its one-row doc-count threshold into the chunk-df
       // frame (the same broadcast-scalar shape)
       "d25_boilerplate_strip",
+      // s16 rides s5's bounded corpus x centroid-set assignment cross
+      // (the same broadcast-centroids shape as s5/s12/s13)
+      "s16_label_audit",
       // d22 crosses three ONE-row pair-count scalars (q39's shape)
       "d22_cluster_agreement",
       // s14's candidate stage is s1's declared brute-force baseline

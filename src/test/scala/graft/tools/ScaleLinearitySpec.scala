@@ -139,7 +139,10 @@ class ScaleLinearitySpec extends SparkSpec {
     "k9_textrank", "d26_sorted_neighborhood",
     // g10 (probed 1.04): two message-passing hops on the cached
     // pre-partitioned edge set — never 2-hop pair enumeration
-    "g10_sage_features")
+    "g10_sage_features",
+    // s16 (probed 0.58): s5's cell equi-join — comparisons bounded by
+    // cell size, agreement is one map-combined count per vector
+    "s16_label_audit")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
