@@ -849,11 +849,15 @@ object Corpus {
     val raw = d.groupBy("source")
       .agg(count(lit(1)).as("raw_docs"), sum("n_tokens").as("raw_tokens"))
     val total = kept.agg(sum("kept_tokens").as("total_kept"))
-    raw.join(kept, "source")
+    // Left join from raw: a source whose documents ALL lose their dedup
+    // clusters to other sources (a fully mirrored source) must still
+    // appear, with kept_docs=0 / weight_bp=0 — that row IS the finding.
+    raw.join(kept, Seq("source"), "left")
       .crossJoin(broadcast(total))
       .select(col("source"), col("raw_docs"), col("raw_tokens"),
-        col("kept_docs"), col("kept_tokens"),
-        expr("kept_tokens * 10000 div total_kept").as("weight_bp"))
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        expr("coalesce(kept_tokens, 0L) * 10000 div total_kept").as("weight_bp"))
   }
 
   val c17EffectiveMixSql: String = """
@@ -875,9 +879,11 @@ object Corpus {
              CAST(sum(n_tokens) AS BIGINT) AS raw_tokens
       FROM d GROUP BY source),
     tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_kept FROM kept)
-    SELECT source, raw_docs, raw_tokens, kept_docs, kept_tokens,
-           kept_tokens * 10000 // total_kept AS weight_bp
-    FROM raw JOIN kept USING (source) CROSS JOIN tot"""
+    SELECT source, raw_docs, raw_tokens,
+           coalesce(kept_docs, 0) AS kept_docs,
+           coalesce(kept_tokens, 0) AS kept_tokens,
+           coalesce(kept_tokens, 0) * 10000 // total_kept AS weight_bp
+    FROM raw LEFT JOIN kept USING (source) CROSS JOIN tot"""
 
   val queries: Map[String, Q] = Map(
     "c17_effective_mix" -> c17EffectiveMix,

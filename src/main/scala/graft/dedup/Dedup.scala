@@ -1452,14 +1452,20 @@ object Dedup {
       .filter(col("df") >= expr("greatest(2, n_docs div 64)"))
       .select("chunk")
     val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("chunks_total"))
-    chunks.join(boiler, Seq("chunk"), "left_anti")
+    // totals drives the join: a doc whose chunks are ALL boilerplate
+    // must survive the transform as an emptied doc (clean_text='',
+    // chunks_kept=0), not silently vanish from the cleaned corpus.
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
       .groupBy("doc_id")
       .agg(
         array_join(expr("transform(sort_array(collect_list(struct(pos, chunk))), x -> x.chunk)"), " ")
           .as("clean_text"),
         count(lit(1)).as("chunks_kept"))
-      .join(totals, "doc_id")
-      .select("doc_id", "clean_text", "chunks_kept", "chunks_total")
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("chunks_kept"), lit(0L)).as("chunks_kept"),
+        col("chunks_total"))
   }
 
   val d25BoilerplateStripSql: String = s"""
@@ -1483,8 +1489,11 @@ object Dedup {
              count(*) AS chunks_kept
       FROM ch ANTI JOIN boiler USING (chunk)
       GROUP BY doc_id)
-    SELECT doc_id, clean_text, chunks_kept, chunks_total
-    FROM kept JOIN totals USING (doc_id)"""
+    SELECT doc_id,
+           coalesce(clean_text, '') AS clean_text,
+           coalesce(chunks_kept, 0) AS chunks_kept,
+           chunks_total
+    FROM totals LEFT JOIN kept USING (doc_id)"""
 
   // =========================================================================
   // d26 — sorted-neighborhood fuzzy blocking (the SNM counterpart of d23)

@@ -43,6 +43,10 @@ object SchemaRegistry {
         case None => Seq(Incompatibility("removed-column", pf.name))
         case Some(nf) if nf.dataType != pf.dataType =>
           Seq(Incompatibility("type-changed", pf.name))
+        case Some(nf) if pf.nullable && !nf.nullable =>
+          // Old files may hold nulls in this column; a reader that
+          // declares it non-nullable cannot read them.
+          Seq(Incompatibility("nullability-tightened", pf.name))
         case _ => Nil
       }
     }
@@ -58,11 +62,16 @@ object SchemaRegistry {
   def versions(dir: String): Seq[Int] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v=") && s.endsWith(".json") =>
-        s.stripPrefix("v=").stripSuffix(".json").toInt }
-      .toSeq.sorted
+    else {
+      val stream = Files.list(p)
+      try {
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v=") && s.endsWith(".json") =>
+            s.stripPrefix("v=").stripSuffix(".json").toInt }
+          .toSeq.sorted
+      } finally stream.close()
+    }
   }
 
   def schemaAt(dir: String, v: Int): StructType =
@@ -91,7 +100,8 @@ object SchemaRegistry {
         val tmp = Paths.get(dir, s".v=$v.json.tmp")
         Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-        Files.move(tmp, versionFile(dir, v))
+        Files.move(tmp, versionFile(dir, v),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         v
     }
   }

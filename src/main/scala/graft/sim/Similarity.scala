@@ -1365,9 +1365,17 @@ object Similarity {
         col("a_n2"), col("b_n2")))
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= 5)
-      .groupBy(col("a_id").as("vec_id"), col("a_label").as("label"))
+      .groupBy(col("a_id").as("vec_id"))
       .agg(sum(when(col("b_label") === col("a_label"), 1L).otherwise(0L)).as("agree5"),
         count(lit(1)).as("n_neighbors"))
+      // Drive from the full audited corpus: a vector alone in its IVF
+      // cell has NO same-cell neighbors — precisely the isolated-in-
+      // embedding-space row the audit must surface, as n_neighbors=0 /
+      // agree5=0 / suspect=true, not silently omit.
+      .join(assigned.select("vec_id", "label"), Seq("vec_id"), "right")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("agree5"), lit(0L)).as("agree5"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
       .withColumn("suspect", col("agree5") <= 1)
   }
 
@@ -1399,11 +1407,16 @@ object Similarity {
         SELECT *, row_number() OVER (PARTITION BY a_id
                                      ORDER BY cos_sim DESC, b_id) AS rk
         FROM scored) WHERE rk <= 5)
-    SELECT a_id AS vec_id, a_label AS label,
-           CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS agree5,
-           count(*) AS n_neighbors,
-           CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT) <= 1 AS suspect
-    FROM top5 GROUP BY a_id, a_label"""
+    , agg AS (
+      SELECT a_id AS vec_id,
+             CAST(SUM(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS agree5,
+             count(*) AS n_neighbors
+      FROM top5 GROUP BY a_id)
+    SELECT assigned.vec_id, assigned.label,
+           coalesce(agree5, 0) AS agree5,
+           coalesce(n_neighbors, 0) AS n_neighbors,
+           coalesce(agree5, 0) <= 1 AS suspect
+    FROM assigned LEFT JOIN agg ON assigned.vec_id = agg.vec_id"""
 
   val queries: Map[String, Q] = Map(
     "s16_label_audit"      -> s16LabelAudit,

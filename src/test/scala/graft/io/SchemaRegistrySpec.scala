@@ -48,6 +48,11 @@ class SchemaRegistrySpec extends SparkSpec {
       "removed-column")
     rejects(StructType(v2.fields :+ StructField("extra", LongType, nullable = false)),
       "added-non-nullable")
+    // tightening an EXISTING nullable column to non-nullable: old files
+    // may contain nulls the new reader schema forbids
+    rejects(StructType(v2.fields.map(f =>
+      if (f.name == "name") f.copy(nullable = false) else f)),
+      "nullability-tightened")
   }
 
   test("a registered evolution reads data written under the prior version") {
