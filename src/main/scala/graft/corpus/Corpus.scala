@@ -885,7 +885,72 @@ object Corpus {
            coalesce(kept_tokens, 0) * 10000 // total_kept AS weight_bp
     FROM raw LEFT JOIN kept USING (source) CROSS JOIN tot"""
 
+  /** c18 — mixture divergence: KL(actual ‖ target) between the corpus's
+    * raw per-source document mixture and c7's temperature-flattened
+    * target, per-source contribution in micro-nats. This is the
+    * monitoring number for a sampling plan: c7 SAYS what the mixture
+    * should be, c18 measures how far the corpus (or a sampled epoch)
+    * actually is from it — drift here means the sampler or the
+    * sourcing moved. Negative contributions are sources the corpus
+    * UNDER-represents vs target; the (positive) total is the KL.
+    *
+    * Determinism: p_i = n_i/N and q_i = w_i/W are exact rationals;
+    * ln(p_i/q_i) decomposes to ln(n_i) − ln(N) − ln(w_i) + ln(W),
+    * each ln quantized ONCE to integer micros (t13's rule) before the
+    * integer combine, so no float sum ever forms. The contribution is
+    * emitted as the pure product p_micro·lnratio_micro (pico-nats) —
+    * no integer division of a possibly-negative value, whose
+    * floor-vs-truncate semantics diverge cross-engine (q74's lesson).
+    *
+    * Scale shape: everything after the one |sources|-row count
+    * aggregate (map-side combined) runs on the |sources| grain; the
+    * two totals are one-row broadcast scalars (c7's exact pattern).
+    */
+  val c18MixKl: Q = (s, dir) => {
+    val perSource = Tables.loadParallel(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = perSource.agg(sum("n_docs").as("tot_docs"), sum("w_micro").as("tot_w"))
+    def lnMicro(x: String) = s"cast(round(1e6 * ln(cast($x as double))) as bigint)"
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 div tot_docs").as("p_micro"),
+        expr("w_micro * 1000000 div tot_w").as("q_micro"),
+        expr(s"""(${lnMicro("n_docs")} - ${lnMicro("tot_docs")}
+                  - ${lnMicro("w_micro")} + ${lnMicro("tot_w")})""")
+          .as("lnratio_micro"))
+      // contribution stays a pure PRODUCT (pico-nats): no integer
+      // division of a possibly-negative value, whose floor-vs-truncate
+      // semantics diverge cross-engine (q74's lesson)
+      .select(col("source"), col("n_docs"), col("p_micro"), col("q_micro"),
+        col("lnratio_micro"),
+        (col("p_micro") * col("lnratio_micro")).as("kl_contrib_pico"))
+  }
+
+  val c18MixKlSql: String = {
+    def lnMicro(x: String) = s"CAST(round(1e6 * ln(CAST($x AS DOUBLE))) AS BIGINT)"
+    s"""
+    WITH ps AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+                 CAST(sum(w_micro) AS BIGINT) AS tot_w FROM ps),
+    r AS (
+      SELECT source, n_docs,
+             n_docs * 1000000 // tot_docs AS p_micro,
+             w_micro * 1000000 // tot_w AS q_micro,
+             (${lnMicro("n_docs")} - ${lnMicro("tot_docs")}
+              - ${lnMicro("w_micro")} + ${lnMicro("tot_w")}) AS lnratio_micro
+      FROM ps CROSS JOIN t)
+    SELECT source, n_docs, p_micro, q_micro, lnratio_micro,
+           p_micro * lnratio_micro AS kl_contrib_pico
+    FROM r"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "c18_mix_kl" -> c18MixKl,
     "c17_effective_mix" -> c17EffectiveMix,
     "c16_bestfit_pack" -> c16BestfitPack,
     "c15_waterfill_budget" -> c15WaterfillBudget,
@@ -906,6 +971,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c18_mix_kl" -> c18MixKlSql,
     "c17_effective_mix" -> c17EffectiveMixSql,
     "c15_waterfill_budget" -> c15WaterfillBudgetSql,
     "c14_dataset_card" -> c14DatasetCardSql,

@@ -1549,7 +1549,136 @@ object Dedup {
     FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= $SnmWindow
     WHERE levenshtein(a.name, b.name) <= 1"""
 
+  // =========================================================================
+  // d27 — LSH band-count tuning sweep
+  // =========================================================================
+
+  /** Banding-parameter sweep: the SAME 16 minhashes re-banded three
+    * ways — 2 bands × 8 rows (strict), 4 × 4 (d3's production
+    * setting), 8 × 2 (loose) — each setting's candidate count and its
+    * precision against exact Jaccard ≥ 0.5, in basis points. The
+    * S-curve trade-off (more bands ⇒ more candidates, lower
+    * precision) is THE knob a dedup pipeline tunes per corpus; this
+    * query is the measurement that justifies d3's 4×4 the way s8/d18
+    * audit the ANN/MinHash approximations.
+    *
+    * Scale shape: one signature materialization shared by all three
+    * settings (the 16 minhashes are computed ONCE — re-banding is
+    * free md5s over existing columns); each setting's bucket
+    * self-join is d3's bounded-bucket shape; the exact-Jaccard
+    * verify (d11's machinery) runs once over the DISTINCT union of
+    * candidates, so the strict settings' pairs — subsets in practice
+    * — are never re-verified per setting. Final grain: three rows. A
+    * setting with zero candidates still reports (spine left join,
+    * precision NULL via nullif).
+    */
+  val d27LshTuning: Q = (s, dir) => {
+    val sig = signatures(s, dir).registerCache()
+    def pairsFor(nBands: Int): DataFrame = {
+      val rsize = NumHashes / nBands
+      val bandCols = (0 until nBands).map { b =>
+        md5(concat_ws("|", (0 until rsize).map(r => col(mhCol(b * rsize + r))): _*))
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .withColumn("n_bands", lit(nBands.toLong))
+    }
+    val tagged = Seq(2, 4, 8).map(pairsFor).reduce(_ unionByName _).registerCache()
+    val uniq = tagged.select("doc_a", "doc_b").distinct()
+    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
+      .select(col("doc_id"), col("shingles")).registerCache()
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
+    val shared = uniq
+      .join(sh.as("sa"), uniq("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        uniq("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val verdicts = uniq
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        when((col("shared") / (col("ca.nsh") + col("cb.nsh") - col("shared"))) >= 0.5,
+          1L).otherwise(0L).as("dup"))
+    val agg = tagged.join(verdicts, Seq("doc_a", "doc_b"))
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_candidates"), sum("dup").as("n_verified"))
+    val spine = s.range(1)
+      .select(explode(array(lit(2L), lit(4L), lit(8L))).as("n_bands"))
+    spine.join(agg, Seq("n_bands"), "left")
+      .select(col("n_bands"),
+        expr(s"$NumHashes div n_bands").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        expr("coalesce(n_verified, 0L) * 10000 div nullif(coalesce(n_candidates, 0L), 0)")
+          .as("precision_bp"))
+  }
+
+  val d27LshTuningSql: String = {
+    def bandSel(nb: Int): String = {
+      val rsize = NumHashes / nb
+      (0 until nb).map { b =>
+        val cols = (0 until rsize).map(r => s"CAST(${mhCol(b * rsize + r)} AS VARCHAR)")
+        s"SELECT doc_id, $b AS band_idx, md5(${cols.mkString(" || '|' || ")}) AS band_hash FROM sig"
+      }.mkString("\n        UNION ALL ")
+    }
+    def pairsCte(nb: Int, out: String) = s"""$out AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $nb AS n_bands
+      FROM (${bandSel(nb)}) a JOIN (${bandSel(nb)}) b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)"""
+    s"""
+    WITH $signatureCte,
+    ${pairsCte(2, "p2")},
+    ${pairsCte(4, "p4")},
+    ${pairsCte(8, "p8")},
+    tagged AS (SELECT * FROM p2 UNION ALL SELECT * FROM p4
+               UNION ALL SELECT * FROM p8),
+    uniq AS (SELECT DISTINCT doc_a, doc_b FROM tagged),
+    vtok AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    sdocs AS (SELECT doc_id, $oracleShingles AS sh FROM vtok),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM sdocs),
+    shared AS (
+      SELECT doc_a, doc_b, count(*) AS shared
+      FROM uniq
+      JOIN e ea ON ea.doc_id = doc_a
+      JOIN e eb ON eb.doc_id = doc_b AND ea.g = eb.g
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, len(sh) AS nsh FROM sdocs),
+    verd AS (
+      SELECT u.doc_a, u.doc_b,
+             CASE WHEN coalesce(shared.shared, 0)
+                       / (ca.nsh + cb.nsh - coalesce(shared.shared, 0)) >= 0.5
+                  THEN 1 ELSE 0 END AS dup
+      FROM uniq u
+      LEFT JOIN shared ON u.doc_a = shared.doc_a AND u.doc_b = shared.doc_b
+      JOIN counts ca ON u.doc_a = ca.doc_id
+      JOIN counts cb ON u.doc_b = cb.doc_id),
+    agg AS (
+      SELECT n_bands, count(*) AS n_candidates,
+             CAST(sum(dup) AS BIGINT) AS n_verified
+      FROM tagged JOIN verd USING (doc_a, doc_b) GROUP BY 1),
+    spine AS (SELECT unnest([2, 4, 8]) AS n_bands)
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST($NumHashes // n_bands AS BIGINT) AS rows_per_band,
+           coalesce(n_candidates, 0) AS n_candidates,
+           coalesce(n_verified, 0) AS n_verified,
+           coalesce(n_verified, 0) * 10000
+             // nullif(coalesce(n_candidates, 0), 0) AS precision_bp
+    FROM spine LEFT JOIN agg USING (n_bands)"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "d27_lsh_tuning" -> d27LshTuning,
     "d26_sorted_neighborhood" -> d26SortedNeighborhood,
     "d25_boilerplate_strip" -> d25BoilerplateStrip,
     "d24_repeat_trim" -> d24RepeatTrim,
@@ -1578,6 +1707,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d27_lsh_tuning" -> d27LshTuningSql,
     "d26_sorted_neighborhood" -> d26SortedNeighborhoodSql,
     "d25_boilerplate_strip" -> d25BoilerplateStripSql,
     "d24_repeat_trim" -> d24RepeatTrimSql,

@@ -264,7 +264,12 @@ object Graph {
     * — all keyed on src, no driver action, rounds unrolled into one
     * lazy plan (g1's discipline).
     */
-  val g4LabelProp: Q = (s, dir) => {
+  /** g4's machinery, shared with g11: the shared-parts-top-3
+    * undirected edge set (`eu < ev`, distinct) and the 2-round
+    * synchronous label-propagation communities over it. Returns
+    * (und, labels[node, label]); the directed edge frame used by the
+    * propagation rounds is registerCache'd inside. */
+  private def g4Community(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ps = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
     val shared = ps.as("a")
@@ -295,12 +300,18 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("label"))
     }
+    (und, labels)
+  }
+
+  val g4LabelProp: Q = (s, dir) => {
+    val (_, labels) = g4Community(s, dir)
     labels.select(col("node"), col("label").as("community"))
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy("community")))
   }
 
-  val g4LabelPropSql: String = {
+  /** The ps→und→edges→l2 CTE chain shared by g4's and g11's oracles. */
+  private val g4ChainSql: String = {
     def round(prev: String, out: String) =
       s"""$out AS (
         SELECT src AS node, label FROM (
@@ -310,8 +321,7 @@ object Graph {
           FROM edges e JOIN $prev l ON e.dst = l.node
           GROUP BY e.src, l.label)
         WHERE rn = 1)"""
-    s"""
-    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+    s"""ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
     shared AS (
       SELECT a.sp AS u, b.sp AS v, count(*) AS shared
       FROM ps a JOIN ps b ON a.p = b.p AND a.sp <> b.sp
@@ -327,11 +337,14 @@ object Graph {
               UNION ALL SELECT ev, eu FROM und),
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
     ${round("l0", "l1")},
-    ${round("l1", "l2")}
+    ${round("l1", "l2")}"""
+  }
+
+  val g4LabelPropSql: String = s"""
+    WITH $g4ChainSql
     SELECT node, label AS community,
            count(*) OVER (PARTITION BY label) AS community_size
     FROM l2"""
-  }
 
   /** g5 — HITS hubs & authorities over the customer→supplier order
     * graph (Kleinberg 1999): customers that buy from many strong
@@ -764,7 +777,80 @@ object Graph {
     SELECT f0.node, f0.f AS feat_cents, h1.f AS h1_cents, h2.f AS h2_cents
     FROM f0 JOIN h1 USING (node) JOIN h2 USING (node)"""
 
+  // =========================================================================
+  // g11 — modularity of the g4 communities
+  // =========================================================================
+
+  /** Newman modularity audit of g4's label-propagation communities:
+    * per community, Q_c = e_c/m − (d_c/2m)² in integer micros — the
+    * number that says whether the partition found real structure
+    * (ΣQ_c ≫ 0) or noise (≈ 0). Community detection without a
+    * modularity readout is unfalsifiable; this is the quality gate
+    * for g4 exactly as s8/d18 are for the ANN/MinHash families.
+    *
+    * Determinism: e_c, d_c, m are exact counts; each division runs on
+    * NON-NEGATIVE int64 (so floor = truncate, no cross-engine
+    * divergence) and the subtraction happens after both divisions.
+    * Bound: d_c ≤ 2m so d_c²·10⁶ ≤ 4m²·10⁶ — int64-safe to m ≈ 10⁶
+    * edges at micro precision (the supplier graph is |suppliers|·3
+    * edges by construction, far under).
+    *
+    * Scale shape: the edge set and labels come from g4's machinery
+    * (one shared-parts self-join bounded by parts-per-supplier, the
+    * cached edge frame); on top, two node-keyed equi-joins attach
+    * community labels to edge endpoints, one union-degree aggregate,
+    * and everything lands on the |communities| grain. m is a one-row
+    * broadcast scalar (q39's shape).
+    */
+  val g11Modularity: Q = (s, dir) => {
+    val (und0, labels) = g4Community(s, dir)
+    val und = und0.registerCache()
+    val m = und.agg(count(lit(1)).as("m"))
+    val ein = und
+      .join(labels.select(col("node").as("eu"), col("label").as("cu")), "eu")
+      .join(labels.select(col("node").as("ev"), col("label").as("cv")), "ev")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("eu").as("node"))
+      .unionByName(und.select(col("ev").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dsum = labels.join(deg, "node")
+      .groupBy(col("label").as("community"))
+      .agg(sum("deg").as("d_sum"), count(lit(1)).as("n_nodes"))
+    // left join: a community whose members keep NO internal edges
+    // after propagation must still report e_in=0 (the advice-r6 rule)
+    dsum.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        expr("""coalesce(e_in, 0L) * 1000000 div m
+                - (d_sum * d_sum * 1000000) div (4 * m * m)""")
+          .as("contrib_micro"))
+  }
+
+  val g11ModularitySql: String = s"""
+    WITH $g4ChainSql,
+    m AS (SELECT count(*) AS m FROM und),
+    deg AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT eu AS node FROM und UNION ALL SELECT ev FROM und)
+      GROUP BY node),
+    ein AS (
+      SELECT la.label AS community, count(*) AS e_in
+      FROM und JOIN l2 la ON und.eu = la.node
+               JOIN l2 lb ON und.ev = lb.node
+      WHERE la.label = lb.label GROUP BY 1),
+    dsum AS (
+      SELECT l2.label AS community, CAST(sum(deg) AS BIGINT) AS d_sum,
+             count(*) AS n_nodes
+      FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1)
+    SELECT community, n_nodes, coalesce(e_in, 0) AS e_in, d_sum,
+           coalesce(e_in, 0) * 1000000 // m
+             - (d_sum * d_sum * 1000000) // (4 * m * m) AS contrib_micro
+    FROM dsum LEFT JOIN ein USING (community) CROSS JOIN m"""
+
   val queries: Map[String, Q] = Map(
+    "g11_modularity" -> g11Modularity,
     "g10_sage_features" -> g10SageFeatures,
     "g9_hash_walks" -> g9HashWalks,
     "g8_kcore" -> g8Kcore,
@@ -776,6 +862,7 @@ object Graph {
     "g2_triangles" -> g2Triangles,
     "g3_bfs_hops" -> g3BfsHops)
   val oracleSql: Map[String, String] = Map(
+    "g11_modularity" -> g11ModularitySql,
     "g10_sage_features" -> g10SageFeaturesSql,
     "g9_hash_walks" -> g9HashWalksSql,
     "g8_kcore" -> g8KcoreSql,

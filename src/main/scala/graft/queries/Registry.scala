@@ -184,6 +184,7 @@ object Registry {
     graft.io.Scd2.queries ++
     graft.functions.CountMin.queries ++ graft.quality.Checks.queries ++
     Analytics.queries ++ Relational.queries ++ Tpch.queries ++
+    Experiments.queries ++
     graft.graph.Graph.queries
 
   val oracleSql: Map[String, String] = Map(
@@ -203,5 +204,6 @@ object Registry {
     graft.io.Scd2.oracleSql ++
     graft.functions.CountMin.oracleSql ++ graft.quality.Checks.oracleSql ++
     Analytics.oracleSql ++ Relational.oracleSql ++ Tpch.oracleSql ++
+    Experiments.oracleSql ++
     graft.graph.Graph.oracleSql
 }

@@ -1418,7 +1418,143 @@ object Similarity {
            coalesce(agree5, 0) <= 1 AS suspect
     FROM assigned LEFT JOIN agg ON assigned.vec_id = agg.vec_id"""
 
+  // =========================================================================
+  // s17 — recall@k curve of the IVF index vs the exact baseline
+  // =========================================================================
+
+  /** Recall curve for s5's IVF index: recall@k for k ∈ {1,3,5,10}
+    * against the exact brute-force baseline, averaged over all
+    * queries, in basis points — the operating-curve readout an index
+    * rollout decision needs (s8 measures ONE point of the bucketed
+    * index; this sweeps the depth axis of the production IVF). A
+    * recall@1 ≫ recall@10 gap means the cell prune is fine for
+    * serving top-1 but starves deep result pages — the signal that
+    * moves the nprobe knob (s6).
+    *
+    * Determinism: both rankings use the exact int64 dot + one
+    * correctly-rounded division (s1's discipline) with vec_id
+    * tie-breaks; the curve is exact integer counting over the two
+    * rank sets (a pair contributes to k iff max(rank_e, rank_a) ≤ k).
+    *
+    * Scale shape: the exact side is s1's declared brute-force
+    * baseline (the curve's denominator NEEDS ground truth — at
+    * production scale this runs on a held-out query sample, not the
+    * corpus); the IVF side is s5's cell-bounded join. The join of
+    * the two rank lists is ≤10 rows per query on each side; the
+    * whole curve collapses to ONE row of conditional counts then a
+    * 4-row unpivot (Expand, zero shuffle). n_queries is a one-row
+    * broadcast scalar.
+    */
+  val s17RecallCurve: Q = (s, dir) => {
+    val corpus = quantized(s, dir)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = broadcast(queries).join(corpus, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(
+        graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")), col("q_n2"), col("n2")))
+      .withColumn("rank_e", row_number().over(wq))
+      .filter(col("rank_e") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank_e"))
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("n2"), col("c_id").as("cell"))
+      .registerCache()
+    val aq = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("cell"))
+    val approx = aq.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(
+        graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")), col("q_n2"), col("n2")))
+      .withColumn("rank_a", row_number().over(wq))
+      .filter(col("rank_a") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank_a"))
+    val joined = exact.join(approx, Seq("query_id", "vec_id"))
+      .select(greatest(col("rank_e"), col("rank_a")).as("mr"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    joined.agg(
+        count(when(col("mr") <= 1, 1)).as("k1"),
+        count(when(col("mr") <= 3, 1)).as("k3"),
+        count(when(col("mr") <= 5, 1)).as("k5"),
+        count(when(col("mr") <= 10, 1)).as("k10"))
+      .crossJoin(broadcast(nq))
+      .unpivot(Array(col("n_queries")),
+        Array(col("k1"), col("k3"), col("k5"), col("k10")), "kname", "hits")
+      .select(expr("cast(substr(kname, 2) as bigint)").as("k"),
+        col("hits"), col("n_queries"),
+        expr("hits * 10000 div (k * n_queries)").as("recall_bp"))
+  }
+
+  val s17RecallCurveSql: String = s"""
+    WITH $oracleQuantized,
+    queries AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM qn
+                WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(q_qv, i) * list_extract(qv, i)), 'sum')::DOUBLE
+               / sqrt(q_n2::DOUBLE * n2::DOUBLE) AS cos_sim
+      FROM queries JOIN qn ON query_id <> vec_id),
+    exact AS (
+      SELECT query_id, vec_id, rn AS rank_e FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10),
+    centroids AS (SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM qn
+                  WHERE vec_id % 125 = 0),
+    scored_cells AS (
+      SELECT qn.vec_id, qn.qv, qn.n2, c_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(qv, i) * list_extract(c_qv, i)), 'sum')::DOUBLE
+               / sqrt(n2::DOUBLE * c_n2::DOUBLE) AS c_cos
+      FROM qn CROSS JOIN centroids),
+    assigned AS (
+      SELECT vec_id, qv, n2, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, c_id) AS rn
+        FROM scored_cells) WHERE rn = 1),
+    ascored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             list_aggregate(list_transform(range(1, $Dim + 1),
+               i -> list_extract(a.qv, i) * list_extract(b.qv, i)), 'sum')::DOUBLE
+               / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cos_sim
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+    approx AS (
+      SELECT query_id, vec_id, rn AS rank_a FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM ascored) WHERE rn <= 10),
+    j AS (
+      SELECT greatest(rank_e, rank_a) AS mr
+      FROM exact e JOIN approx a USING (query_id, vec_id)),
+    nq AS (SELECT count(*) AS n_queries FROM queries),
+    h AS (
+      SELECT count(CASE WHEN mr <= 1 THEN 1 END) AS k1,
+             count(CASE WHEN mr <= 3 THEN 1 END) AS k3,
+             count(CASE WHEN mr <= 5 THEN 1 END) AS k5,
+             count(CASE WHEN mr <= 10 THEN 1 END) AS k10
+      FROM j),
+    u AS (
+      SELECT 1 AS k, k1 AS hits FROM h
+      UNION ALL SELECT 3, k3 FROM h
+      UNION ALL SELECT 5, k5 FROM h
+      UNION ALL SELECT 10, k10 FROM h)
+    SELECT CAST(k AS BIGINT) AS k, CAST(hits AS BIGINT) AS hits,
+           n_queries, hits * 10000 // (k * n_queries) AS recall_bp
+    FROM u CROSS JOIN nq"""
+
   val queries: Map[String, Q] = Map(
+    "s17_recall_curve"     -> s17RecallCurve,
     "s16_label_audit"      -> s16LabelAudit,
     "s15_mmr_rerank"       -> s15MmrRerank,
     "s14_knn_classify"     -> s14KnnClassify,
@@ -1439,6 +1575,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s17_recall_curve"     -> s17RecallCurveSql,
     "s16_label_audit"      -> s16LabelAuditSql,
     "s15_mmr_rerank"       -> s15MmrRerankSql,
     "s14_knn_classify"     -> s14KnnClassifySql,

@@ -702,7 +702,84 @@ object TextAnalysis {
              / CAST(n_docs * sx AS DOUBLE) AS vmr
     FROM st CROSS JOIN n"""
 
+  // =========================================================================
+  // t15 — Heaps'-law vocabulary growth
+  // =========================================================================
+
+  /** Heaps'-law vocabulary-growth curve: cumulative distinct types vs
+    * cumulative tokens at ten doc-id checkpoints, plus the pointwise
+    * exponent ln(types)/ln(tokens) in ppm. The sub-linear curve
+    * (β ≈ 0.4–0.6 for natural text) is the corpus-level health check
+    * next to t12's Zipf slope: a β near 1 means near-disjoint
+    * vocabularies (OCR noise, random ids), a β near 0 means the
+    * corpus stopped contributing new types — both are sourcing
+    * signals no per-doc score catches.
+    *
+    * The distributed trick: "types seen by checkpoint d" needs no
+    * cumulative distinct — each word contributes at its FIRST doc
+    * (min doc_id), so one vocab-grain aggregate + a 10-row histogram
+    * + a prefix sum over the decile frame reproduces the whole curve.
+    * Token mass per decile is the same shape on the doc grain.
+    *
+    * Scale shape: one explode + word-grain min (map-side combined),
+    * one doc-grain map, each histogrammed to 10 rows by the decile
+    * tag `doc_id·10 div (max_id+1)` (one-row max broadcast, q39's
+    * scalar shape); the two prefix sums are partition-less windows
+    * over the TEN-row joined frame — bounded by the checkpoint count,
+    * never the corpus. ln is applied once per checkpoint and rounded
+    * to micros (t13's rule). A decile holding zero docs emits no row
+    * (cumulative values at the other checkpoints stay correct).
+    */
+  val t15HeapsLaw: Q = (s, dir) => {
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .withColumn("tokens", expr(tokensExpr))
+      .select(col("doc_id"), col("tokens")).registerCache()
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val decile = expr("doc_id * 10 div (max_id + 1) + 1")
+    val tokMass = docs.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(decile.as("decile")).agg(sum("n_tok").as("d_tokens"))
+    val firstDoc = docs.select(explode(col("tokens")).as("w"), col("doc_id"))
+      .groupBy("w").agg(min("doc_id").as("doc_id"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(decile.as("decile")).agg(count(lit(1)).as("d_types"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tokMass.join(firstDoc, Seq("decile"), "left")
+      .withColumn("tokens_so_far", sum("d_tokens").over(w))
+      .withColumn("types_so_far", sum(coalesce(col("d_types"), lit(0L))).over(w))
+      .select(col("decile"), col("tokens_so_far"), col("types_so_far"),
+        expr("""cast(round(1e6 * ln(cast(types_so_far as double))) as bigint) * 1000000
+                div cast(round(1e6 * ln(cast(tokens_so_far as double))) as bigint)""")
+          .as("heaps_ratio_ppm"))
+  }
+
+  val t15HeapsLawSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, $oracleTokens AS tokens FROM documents),
+    mx AS (SELECT max(doc_id) AS max_id FROM d),
+    tok AS (
+      SELECT doc_id * 10 // (max_id + 1) + 1 AS decile,
+             CAST(sum(len(tokens)) AS BIGINT) AS d_tokens
+      FROM d CROSS JOIN mx GROUP BY 1),
+    fd AS (
+      SELECT w, min(doc_id) AS doc_id
+      FROM (SELECT doc_id, unnest(tokens) AS w FROM d) GROUP BY w),
+    typ AS (
+      SELECT doc_id * 10 // (max_id + 1) + 1 AS decile, count(*) AS d_types
+      FROM fd CROSS JOIN mx GROUP BY 1),
+    cum AS (
+      SELECT decile,
+             CAST(sum(d_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_so_far,
+             CAST(sum(coalesce(d_types, 0)) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_so_far
+      FROM tok LEFT JOIN typ USING (decile))
+    SELECT decile, tokens_so_far, types_so_far,
+           CAST(round(1e6 * ln(CAST(types_so_far AS DOUBLE))) AS BIGINT) * 1000000
+             // CAST(round(1e6 * ln(CAST(tokens_so_far AS DOUBLE))) AS BIGINT) AS heaps_ratio_ppm
+    FROM cum"""
+
   val queries: Map[String, Q] = Map(
+    "t15_heaps_law" -> t15HeapsLaw,
     "t14_burstiness" -> t14Burstiness,
     "t13_char_entropy" -> t13CharEntropy,
     "t12_zipf" -> t12Zipf,
@@ -720,6 +797,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t15_heaps_law" -> t15HeapsLawSql,
     "t14_burstiness" -> t14BurstinessSql,
     "t13_char_entropy" -> t13CharEntropySql,
     "t12_zipf" -> t12ZipfSql,

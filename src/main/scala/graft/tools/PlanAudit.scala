@@ -76,7 +76,23 @@ object PlanAudit {
       // and greedy steps run on the 10-per-query bounded frame
       "s15_mmr_rerank",
       // t14 crosses its one-row corpus count (q39's scalar shape)
-      "t14_burstiness")
+      "t14_burstiness",
+      // q95 crosses its one-row order-count total into the 9-row
+      // digit frame (q39's broadcast-scalar shape)
+      "q95_benford",
+      // t15 crosses its one-row max-doc-id anchor into the doc and
+      // vocab grains for decile tagging (q88's anchor shape)
+      "t15_heaps_law",
+      // c18 crosses its one-row totals into the |sources|-row mixture
+      // frame (c7's exact pattern)
+      "c18_mix_kl",
+      // g11 crosses its one-row edge-count scalar into the
+      // |communities|-row frame (q39's shape)
+      "g11_modularity",
+      // s17 embeds s1's declared brute-force baseline (the curve's
+      // ground truth) + s5's bounded centroid-assignment cross, and
+      // crosses its one-row n_queries scalar into the 4-row curve
+      "s17_recall_curve")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),
@@ -97,6 +113,9 @@ object PlanAudit {
     // rank + running-sum over the per-SOURCE aggregate — |sources|
     // rows (20 in the corpus; a data-model dimension, not volume)
     "c15_waterfill_budget" -> 2,
+    // two prefix sums over the TEN-row decile checkpoint frame —
+    // bounded by the checkpoint constant, never the corpus
+    "t15_heaps_law" -> 2,
   )
 
   def main(args: Array[String]): Unit = {

@@ -142,7 +142,20 @@ class ScaleLinearitySpec extends SparkSpec {
     "g10_sage_features",
     // s16 (probed 0.58): s5's cell equi-join — comparisons bounded by
     // cell size, agreement is one map-combined count per vector
-    "s16_label_audit")
+    "s16_label_audit",
+    // r7 batch (probed 0.78/0.71/0.00/0.75/0.12/1.15/1.01/0.59):
+    // q93 two user-keyed aggs collapsing to the cohort×offset matrix;
+    // q94 one user-grain agg + user-keyed purchase join; q95's digit
+    // histogram is 9 rows behind a scalar cross; t15 vocab-grain min
+    // + 10-row decile histograms; c18 runs on the |sources| grain;
+    // g11 rides g4's cached wedge build + two node-keyed label joins;
+    // d27 is three bounded-bucket self-joins over ONE signature pass
+    // + d11's verify on the distinct union; s17's shuffle is the two
+    // ≤10-per-query rank lists (its exact side is s1's declared
+    // baseline, compute-heavy but shuffle-light)
+    "q93_cohort_retention", "q94_ab_conversion", "q95_benford",
+    "t15_heaps_law", "c18_mix_kl", "g11_modularity", "d27_lsh_tuning",
+    "s17_recall_curve")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
