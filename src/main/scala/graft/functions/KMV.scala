@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.RegisterSyntax
 import graft.core.Tables
 
 /** KMV (k-minimum-values) distinct-count sketch — the sketch family
@@ -89,6 +90,93 @@ object KMV {
                 ELSE ${(K - 1).toDouble} * $HashSpace / hk END AS kmv_estimate
     FROM exact LEFT JOIN kth ON exact.lang = kth.lang"""
 
-  val queries = Map("q22_kmv_distinct" -> q22KmvDistinct)
-  val oracleSql = Map("q22_kmv_distinct" -> q22KmvDistinctSql)
+  /** q98 — KMV SET OPERATIONS (Beyer et al., SIGMOD 2007): estimate
+    * the distinct-user union and intersection of two event audiences
+    * ("view" vs "purchase") from their two k-min sketches ALONE — the
+    * theta-sketch use case: audience overlap across datasets that are
+    * never co-located, answered by shipping two k-value sketches
+    * instead of re-shuffling either table.
+    *
+    * Union: merge the two minima lists, keep the k smallest — a valid
+    * KMV sketch of A∪B by construction → U = (k−1)·H / h_(k).
+    * Intersection: among those combined k minima, the fraction ρ
+    * present in BOTH input sketches is an unbiased Jaccard estimate →
+    * I = ρ·U (one multiply; kept as `both·U/k` in doubles computed
+    * identically on both engines — q22's discipline).
+    *
+    * Scale shape: per-side the same bounded KMinAgg as q22 (k values
+    * per partition on the wire); the set algebra then runs on TWO
+    * k-element arrays in a one-row frame — array_sort/slice/filter
+    * HOFs, zero further shuffle. Exact union/intersection ride the
+    * same distinct pass as ground truth (s8/d18 honesty). If the
+    * merged sketch has < k values the estimate IS the exact count
+    * (sketch saw everything) — both engines take the same branch.
+    */
+  val q98KmvSetops: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.loadParallel(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", expr("cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"))
+      .registerCache()
+    val sketches = ev.select(col("event_type"), col("h")).as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new KMinAgg(K).toColumn.name("mins"))
+      .toDF("event_type", "mins")
+    val a = sketches.filter(col("event_type") === "view")
+      .select(col("mins").as("ma"))
+    val b = sketches.filter(col("event_type") === "purchase")
+      .select(col("mins").as("mb"))
+    val exact = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("n_types") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+    a.crossJoin(b).crossJoin(broadcast(exact))
+      .withColumn("merged", expr(s"slice(array_sort(array_union(ma, mb)), 1, $K)"))
+      .withColumn("m", size(col("merged")))
+      .withColumn("both",
+        expr("size(filter(merged, x -> array_contains(ma, x) AND array_contains(mb, x)))"))
+      .withColumn("union_est",
+        when(col("m") < K, col("m").cast("double"))
+          .otherwise(lit((K - 1).toDouble * HashSpace) / expr(s"element_at(merged, $K)")))
+      .withColumn("intersect_est", col("both") * col("union_est") / col("m"))
+      .select(col("exact_union"), col("exact_intersect"),
+        col("union_est"), col("intersect_est"))
+  }
+
+  val q98KmvSetopsSql: String = s"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'purchase')),
+    h AS (SELECT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM ev),
+    mins AS (SELECT event_type, list(h ORDER BY h) AS mins FROM (
+               SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h) WHERE rn <= $K GROUP BY event_type),
+    a AS (SELECT mins AS ma FROM mins WHERE event_type = 'view'),
+    b AS (SELECT mins AS mb FROM mins WHERE event_type = 'purchase'),
+    exact AS (SELECT count(*) AS exact_union,
+                     CAST(SUM(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+              FROM (SELECT user_id, count(*) AS n_types FROM ev GROUP BY user_id)),
+    alg AS (SELECT ma, mb,
+                   list_slice(list_sort(list_distinct(list_concat(ma, mb))), 1, $K) AS merged
+            FROM a CROSS JOIN b),
+    st AS (SELECT ma, mb, merged, len(merged) AS m,
+                  len(list_filter(merged, x -> list_contains(ma, x) AND list_contains(mb, x))) AS n_both
+           FROM alg)
+    SELECT exact_union, exact_intersect,
+           CASE WHEN m < $K THEN m::DOUBLE
+                ELSE ${(K - 1).toDouble} * $HashSpace / merged[$K] END AS union_est,
+           n_both * (CASE WHEN m < $K THEN m::DOUBLE
+                        ELSE ${(K - 1).toDouble} * $HashSpace / merged[$K] END) / m
+             AS intersect_est
+    FROM st CROSS JOIN exact"""
+
+  val queries = Map(
+    "q22_kmv_distinct" -> q22KmvDistinct,
+    "q98_kmv_setops"   -> q98KmvSetops)
+  val oracleSql = Map(
+    "q22_kmv_distinct" -> q22KmvDistinctSql,
+    "q98_kmv_setops"   -> q98KmvSetopsSql)
 }

@@ -183,6 +183,7 @@ object Registry {
     graft.search.SearchDsl.queries ++ graft.search.QueryIntents.queries ++
     graft.io.Scd2.queries ++
     graft.functions.CountMin.queries ++ graft.quality.Checks.queries ++
+    graft.functions.HdrHist.queries ++
     Analytics.queries ++ Relational.queries ++ Tpch.queries ++
     Experiments.queries ++
     graft.graph.Graph.queries
@@ -203,6 +204,7 @@ object Registry {
     graft.search.SearchDsl.oracleSql ++ graft.search.QueryIntents.oracleSql ++
     graft.io.Scd2.oracleSql ++
     graft.functions.CountMin.oracleSql ++ graft.quality.Checks.oracleSql ++
+    graft.functions.HdrHist.oracleSql ++
     Analytics.oracleSql ++ Relational.oracleSql ++ Tpch.oracleSql ++
     Experiments.oracleSql ++
     graft.graph.Graph.oracleSql

@@ -232,8 +232,53 @@ object Relational {
     JOIN customer ON o_custkey = c_custkey"""
 
   // =========================================================================
+  // q96 — skew-salted join, proven semantics-preserving
+  // =========================================================================
+
+  /** The explicit skew mitigation (`ops/SkewJoin.saltedJoin`) run as a
+    * REAL query and hash-gated against the UNSALTED plain-join oracle:
+    * the proof that salting is a pure physical rewrite — the big side
+    * gets a random salt in [0, 8), the dim is exploded 8×, the join
+    * key becomes (key, salt), and the result set is bit-identical to
+    * the plain join. The salt uses `rand`, the one nondeterministic
+    * expression in the engine — admissible ONLY because the salt never
+    * reaches the output and any salt assignment yields the same join
+    * result; the oracle gate is exactly the check that makes that
+    * argument evidence instead of belief.
+    *
+    * Scale shape: per-nation revenue through lineitem⋈supplier. The
+    * dim side is pinned `shuffle_hash` so the fixture exercises the
+    * production path — at sf0.01 Catalyst would broadcast the 100-row
+    * dim and the salt would dissolve into a broadcast probe, proving
+    * nothing; the real use is a dim too big to broadcast (10⁷-row
+    * vendor table against a 100 TB fact) where one hot key holds a
+    * double-digit share of the fact and would otherwise pin its whole
+    * share on one reducer. Exploding the dim 8× costs 8× a SMALL
+    * table; spreading the hot key gains ×8 reducer parallelism on the
+    * BIG one. Row multiplication stays on the dim side only.
+    */
+  val q96SaltedJoin: Q = (s, dir) => {
+    val li = Tables.loadParallel(s, dir, "lineitem")
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("rev_cents"))
+    val supp = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey").hint("shuffle_hash")
+    graft.ops.SkewJoin.saltedJoin(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), supp, "s_suppkey")
+      .groupBy("s_nationkey")
+      .agg(sum("rev_cents").as("rev_cents"), count(lit(1)).as("n_items"))
+  }
+
+  val q96SaltedJoinSql: String = """
+    SELECT s_nationkey,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey"""
+
+  // =========================================================================
 
   val queries: Map[String, Q] = Map(
+    "q96_salted_join"         -> q96SaltedJoin,
     "q50_value_concentration" -> q50ValueConcentration,
     "q51_top_supplier"        -> q51TopSupplier,
     "q52_idle_rich"           -> q52IdleRich,
@@ -243,6 +288,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q96_salted_join"         -> q96SaltedJoinSql,
     "q50_value_concentration" -> q50ValueConcentrationSql,
     "q51_top_supplier"        -> q51TopSupplierSql,
     "q52_idle_rich"           -> q52IdleRichSql,

@@ -92,7 +92,13 @@ object PlanAudit {
       // s17 embeds s1's declared brute-force baseline (the curve's
       // ground truth) + s5's bounded centroid-assignment cross, and
       // crosses its one-row n_queries scalar into the 4-row curve
-      "s17_recall_curve")
+      "s17_recall_curve",
+      // q97 crosses its one-row count + the two ONE-row quantile
+      // frames (est, exact) — q39's broadcast-scalar shape
+      "q97_hdr_quantiles",
+      // q98's whole set algebra is three ONE-row frames (sketch a,
+      // sketch b, exact counts) crossed into a single row
+      "q98_kmv_setops")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),
@@ -116,6 +122,10 @@ object PlanAudit {
     // two prefix sums over the TEN-row decile checkpoint frame —
     // bounded by the checkpoint constant, never the corpus
     "t15_heaps_law" -> 2,
+    // cumulative count over the histogram frame — ≤90 two-digit
+    // buckets per decade × ≤19 decades of int64, a scheme constant
+    // (the data-sized rank runs through DistributedRank, auto-exempt)
+    "q97_hdr_quantiles" -> 1,
   )
 
   def main(args: Array[String]): Unit = {

@@ -155,7 +155,13 @@ class ScaleLinearitySpec extends SparkSpec {
     // baseline, compute-heavy but shuffle-light)
     "q93_cohort_retention", "q94_ab_conversion", "q95_benford",
     "t15_heaps_law", "c18_mix_kl", "g11_modularity", "d27_lsh_tuning",
-    "s17_recall_curve")
+    "s17_recall_curve",
+    // r7 sketch/join batch (probed 0.98/0.96/0.66): q96's salted
+    // shuffle-hash join is the plain join's exchange + an 8× dim
+    // explode; q97 is one constant-size histogram agg + DistributedRank
+    // for the exact audit side; q98 ships two bounded KMinAgg sketches
+    // and does its set algebra on a one-row frame
+    "q96_salted_join", "q97_hdr_quantiles", "q98_kmv_setops")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
