@@ -949,7 +949,85 @@ object Corpus {
     FROM r"""
   }
 
+  // =========================================================================
+  // c19 — dataset version diff
+  // =========================================================================
+
+  /** Snapshot-to-snapshot corpus diff — the governance readout a
+    * versioned training set needs before re-training on "the same
+    * dataset, refreshed": per source, how many documents were added,
+    * removed, changed, or untouched between version N and N+1, and
+    * the net character delta. The algorithm is the production one: a
+    * doc-keyed full outer join of the two snapshots comparing a
+    * CONTENT hash (md5 of the text), so a re-crawled byte-identical
+    * doc is "unchanged" no matter what its storage metadata did —
+    * io/Clone tracks lineage of copies, this tracks drift of content.
+    *
+    * Version N+1 is synthesized deterministically in-query (t5's
+    * fixture discipline — the corpus carries one snapshot): an
+    * md5(doc_id) percent-bucket removes 5%, rewrites 7%, and adds 3%
+    * as new doc_ids above a high offset. Both engines derive the same
+    * v2, so the oracle checks the DIFF algebra, not the fixture.
+    *
+    * Scale shape: ONE equi-join on doc_id (both sides co-partitioned
+    * by the join key) and a map-combined rollup onto the |sources|×4
+    * status grain. Linear in the corpus, no window, no skew surface —
+    * doc_id is unique on each side by construction.
+    */
+  val c19DatasetDiff: Q = (s, dir) => {
+    val v1 = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100"))
+    val v2 = v1.filter(col("bucket") >= 5)
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") < 12, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("bucket") < 3)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+          concat(lit("new "), col("text")).as("text")))
+    val joined = v1.select(col("doc_id"), col("source").as("src1"),
+        md5(col("text")).as("h1"), length(col("text")).cast("long").as("len1"))
+      .join(v2.select(col("doc_id"), col("source").as("src2"),
+          md5(col("text")).as("h2"), length(col("text")).cast("long").as("len2")),
+        Seq("doc_id"), "full_outer")
+    joined.select(
+        coalesce(col("src1"), col("src2")).as("source"),
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("len2"), lit(0L)) - coalesce(col("len1"), lit(0L))).as("delta"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("delta").as("chars_delta"))
+  }
+
+  val c19DatasetDiffSql: String = """
+    WITH v1 AS (
+      SELECT doc_id, source, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+      FROM documents),
+    v2 AS (
+      SELECT doc_id, source,
+             CASE WHEN bucket < 12 THEN text || ' rev2' ELSE text END AS text
+      FROM v1 WHERE bucket >= 5
+      UNION ALL
+      SELECT doc_id + 1000000000, source, 'new ' || text
+      FROM v1 WHERE bucket < 3),
+    j AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(length(b.text), 0) - coalesce(length(a.text), 0) AS delta
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+    SELECT source, status, count(*) AS n_docs,
+           CAST(SUM(delta) AS BIGINT) AS chars_delta
+    FROM j GROUP BY source, status"""
+
   val queries: Map[String, Q] = Map(
+    "c19_dataset_diff" -> c19DatasetDiff,
     "c18_mix_kl" -> c18MixKl,
     "c17_effective_mix" -> c17EffectiveMix,
     "c16_bestfit_pack" -> c16BestfitPack,
@@ -971,6 +1049,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c19_dataset_diff" -> c19DatasetDiffSql,
     "c18_mix_kl" -> c18MixKlSql,
     "c17_effective_mix" -> c17EffectiveMixSql,
     "c15_waterfill_budget" -> c15WaterfillBudgetSql,

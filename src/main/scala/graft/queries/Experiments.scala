@@ -228,15 +228,81 @@ object Experiments {
            (n_obs * 1000 - exp_milli) * (n_obs * 1000 - exp_milli) // exp_milli AS chi2_contrib_milli
     FROM e"""
 
+  // =========================================================================
+  // q99 — seasonal anomaly cells (hour-of-day profile residuals)
+  // =========================================================================
+
+  /** Batch-side telemetry anomaly detection, the companion to the
+    * streaming EWMA detector: event volume per (event_type, day, hour)
+    * cell scored against that type's HOUR-OF-DAY profile (same-hour
+    * cells across all days), flagging cells more than two standard
+    * deviations off their seasonal mean. This is the seasonal-naive
+    * baseline every monitoring system starts with — a weekday-shaped
+    * metric compared to "this hour, usually", not to the global mean
+    * that hides the diurnal cycle.
+    *
+    * Exactness: the z-test runs entirely on integer sufficient
+    * statistics — n, Σc, Σc² per (type, hour) — and the |z| > 2 flag
+    * is the cross-multiplied inequality (n·c − Σc)² > 4·(n·Σc² −
+    * (Σc)²), so no mean, variance, or sqrt is ever materialized in
+    * floats. Bound: |n·c − Σc| must stay under ~3·10⁹ for the square
+    * to fit int64 — comfortable for day-grain profiles (n = days
+    * observed, c = hourly counts); a 100 TB deployment normalizes c
+    * to per-million-events first or lifts the square into decimal.
+    * Cells with fewer than 7 observed days never flag (profile too
+    * thin). Zero-count cells are absent rows, not zeros — the
+    * missing-data anomaly is q37's gap-fill family; this query scores
+    * volume anomalies among observed cells and says so.
+    *
+    * Scale shape: one map-combined count to the cell grain, one
+    * map-combined profile aggregate to the (|types|·24)-row grain
+    * broadcast back onto cells — no data-sized join side, no window.
+    */
+  val q99SeasonalOutliers: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val cells = e.select(col("event_type"),
+        expr("datediff(cast(ts as date), date '1970-01-01')").cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"))
+      .groupBy("event_type", "d", "h").agg(count(lit(1)).as("cnt"))
+    val profile = cells.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s1"),
+        sum(expr("cnt * cnt")).as("s2"))
+    cells.join(broadcast(profile), Seq("event_type", "h"))
+      .select(col("event_type"), col("d"), col("h"), col("cnt"), col("n"),
+        expr("s1 * 1000000 div n").as("mean_micro"),
+        (col("n") >= 7 &&
+          expr("(n*cnt - s1) * (n*cnt - s1) > 4 * (n*s2 - s1*s1)"))
+          .as("is_outlier"))
+  }
+
+  val q99SeasonalOutliersSql: String = """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(hour(ts) AS BIGINT) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    profile AS (
+      SELECT event_type, h, count(*) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s1,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      FROM cells GROUP BY 1, 2)
+    SELECT c.event_type, c.d, c.h, c.cnt, p.n,
+           s1 * 1000000 // n AS mean_micro,
+           (n >= 7 AND (n*cnt - s1) * (n*cnt - s1) > 4 * (n*s2 - s1*s1)) AS is_outlier
+    FROM cells c JOIN profile p ON c.event_type = p.event_type AND c.h = p.h"""
+
   val queries: Map[String, Q] = Map(
     "q93_cohort_retention" -> q93CohortRetention,
     "q94_ab_conversion"    -> q94AbConversion,
     "q95_benford"          -> q95Benford,
+    "q99_seasonal_outliers" -> q99SeasonalOutliers,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q93_cohort_retention" -> q93CohortRetentionSql,
     "q94_ab_conversion"    -> q94AbConversionSql,
     "q95_benford"          -> q95BenfordSql,
+    "q99_seasonal_outliers" -> q99SeasonalOutliersSql,
   )
 }

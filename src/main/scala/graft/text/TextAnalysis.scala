@@ -778,7 +778,56 @@ object TextAnalysis {
              // CAST(round(1e6 * ln(CAST(tokens_so_far AS DOUBLE))) AS BIGINT) AS heaps_ratio_ppm
     FROM cum"""
 
+  // =========================================================================
+  // t16 — readability scores (Flesch reading ease / FK grade level)
+  // =========================================================================
+
+  /** Per-document readability — the audience-difficulty signal a
+    * curriculum (c12) or quality gate (t2/t10) consumes: Flesch
+    * reading ease and Flesch-Kincaid grade level in exact integer
+    * milli-points. Syllables are approximated as vowel-group runs
+    * (`[aeiouy]+`) over the lowercased text — the standard cheap
+    * estimator; consonant-only tokens (numerals, codes) contribute 0,
+    * so the total is floored at one syllable per word to keep the
+    * formula in its intended range. Sentences follow t11's exact
+    * convention (terminal-punctuation split, blank segments dropped).
+    *
+    * Both scores are linear in words/sentence and syllables/word with
+    * published constants; each ratio is computed as ONE floor division
+    * of milli-scaled int64 (1015·w div s, 84600·syl div w …), so the
+    * result is deterministic to the last milli-point on both engines —
+    * never a float in sight. FRE can legitimately go negative on
+    * dense text (subtraction, not division). Pure map stage over the
+    * document scan: zero shuffle at any corpus size.
+    */
+  val t16Readability: Q = (s, dir) =>
+    Tables.loadParallel(s, dir, "documents")
+      .withColumn("w", expr(s"size($tokensExpr)").cast("long"))
+      .withColumn("sen", expr(
+        "cast(greatest(1, size(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0))) as long)"))
+      .withColumn("syl", expr(
+        "greatest(cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as long), w)"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        col("sen").as("n_sentences"), col("syl").as("n_syllables"),
+        expr("206835 - (1015 * w) div sen - (84600 * syl) div w").as("fre_milli"),
+        expr("(390 * w) div sen + (11800 * syl) div w - 15590").as("fkgl_milli"))
+
+  val t16ReadabilitySql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len($oracleTokens) AS BIGINT) AS w,
+             CAST(greatest(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                              x -> length(trim(x)) > 0))) AS BIGINT) AS sen,
+             greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                      CAST(len($oracleTokens) AS BIGINT)) AS syl
+      FROM documents)
+    SELECT doc_id, w AS n_words, sen AS n_sentences, syl AS n_syllables,
+           206835 - (1015 * w) // sen - (84600 * syl) // w AS fre_milli,
+           (390 * w) // sen + (11800 * syl) // w - 15590 AS fkgl_milli
+    FROM t"""
+
   val queries: Map[String, Q] = Map(
+    "t16_readability" -> t16Readability,
     "t15_heaps_law" -> t15HeapsLaw,
     "t14_burstiness" -> t14Burstiness,
     "t13_char_entropy" -> t13CharEntropy,
@@ -797,6 +846,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t16_readability" -> t16ReadabilitySql,
     "t15_heaps_law" -> t15HeapsLawSql,
     "t14_burstiness" -> t14BurstinessSql,
     "t13_char_entropy" -> t13CharEntropySql,

@@ -161,7 +161,13 @@ class ScaleLinearitySpec extends SparkSpec {
     // explode; q97 is one constant-size histogram agg + DistributedRank
     // for the exact audit side; q98 ships two bounded KMinAgg sketches
     // and does its set algebra on a one-row frame
-    "q96_salted_join", "q97_hdr_quantiles", "q98_kmv_setops")
+    "q96_salted_join", "q97_hdr_quantiles", "q98_kmv_setops",
+    // r7 governance/profile batch (probed 0.98/0.92/0.02): t16 is a
+    // pure map stage (readability per doc); c19 is one doc_id-keyed
+    // full-outer join + a |sources|×4 rollup; q99's shuffle is the
+    // (type,day,hour) cell grain — fixed time span, so event growth
+    // lands in the map-side combine, not the exchange
+    "t16_readability", "c19_dataset_diff", "q99_seasonal_outliers")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
