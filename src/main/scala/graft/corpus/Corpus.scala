@@ -1026,7 +1026,71 @@ object Corpus {
            CAST(SUM(delta) AS BIGINT) AS chars_delta
     FROM j GROUP BY source, status"""
 
+  // =========================================================================
+  // c20 — epoch reshuffle decorrelation audit
+  // =========================================================================
+
+  /** Multi-epoch training wants a DIFFERENT document order every epoch
+    * (epoch-correlated order re-creates the same gradient schedule and
+    * wastes the reshuffle's regularization), while staying perfectly
+    * reproducible. The engine's epoch order is `md5(doc_id ':' epoch)`
+    * — deterministic, seedless, and independent across epochs by hash
+    * avalanche. This query PROVES the independence instead of
+    * asserting it: per epoch pair, the Spearman rank correlation of
+    * the two orders, in integer micros — |ρ| should sit near 0 (the
+    * null stderr is 1/√(n−1)), and a buggy order key (e.g. hashing
+    * doc_id alone) would print ρ = 10⁶ and fail review instantly.
+    *
+    * Per-epoch ranks come from ONE DistributedRank pass over the
+    * (doc × epoch) frame sorted by (epoch, hash, doc_id), converted to
+    * within-epoch ranks by subtracting each epoch's broadcast min
+    * offset (m5's exact pattern) — never a partition-less window.
+    * ρ = 1 − 6Σd²/(n(n²−1)) with Σd² an exact int64 sum; Σd² grows
+    * ~n³, so past ~10⁶ docs per epoch the audit runs on a c5-style
+    * fixed-size sample (documented knob, same number, bounded cost).
+    */
+  val c20EpochShuffle: Q = (s, dir) => {
+    val epochs = 3
+    val ranked = graft.ops.DistributedRank.withGlobalRank(
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(s"sequence(1, $epochs)")).as("epoch"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string")))),
+      Seq(col("epoch"), col("h"), col("doc_id")), "gr", "n_total")
+    val offsets = ranked.groupBy("epoch").agg(min("gr").as("off"))
+    val ranks = ranked.join(broadcast(offsets), "epoch")
+      .select(col("doc_id"), col("epoch"), (col("gr") - col("off") + 1L).as("rk"))
+    val pairs = ranks.as("a").join(ranks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.epoch") < col("b.epoch"))
+      .select(col("a.epoch").as("e1"), col("b.epoch").as("e2"),
+        ((col("a.rk") - col("b.rk")) * (col("a.rk") - col("b.rk"))).as("d2"))
+    pairs.groupBy("e1", "e2")
+      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"))
+      .select(col("e1"), col("e2"), col("n"),
+        expr("1000000 - (6 * sd2 * 1000000) div (n * (n*n - 1))").as("rho_micro"))
+  }
+
+  val c20EpochShuffleSql: String = """
+    WITH f AS (
+      SELECT doc_id, epoch,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS h
+      FROM documents, (SELECT unnest([1, 2, 3]) AS epoch)),
+    r AS (
+      SELECT doc_id, epoch,
+             CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS rk
+      FROM f),
+    p AS (
+      SELECT a.epoch AS e1, b.epoch AS e2,
+             (a.rk - b.rk) * (a.rk - b.rk) AS d2
+      FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.epoch < b.epoch)
+    SELECT e1, e2, count(*) AS n,
+           1000000 - (6 * CAST(SUM(d2) AS BIGINT) * 1000000)
+             // (count(*) * (count(*)*count(*) - 1)) AS rho_micro
+    FROM p GROUP BY e1, e2"""
+
   val queries: Map[String, Q] = Map(
+    "c20_epoch_shuffle" -> c20EpochShuffle,
     "c19_dataset_diff" -> c19DatasetDiff,
     "c18_mix_kl" -> c18MixKl,
     "c17_effective_mix" -> c17EffectiveMix,
@@ -1049,6 +1113,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "c20_epoch_shuffle" -> c20EpochShuffleSql,
     "c19_dataset_diff" -> c19DatasetDiffSql,
     "c18_mix_kl" -> c18MixKlSql,
     "c17_effective_mix" -> c17EffectiveMixSql,

@@ -342,13 +342,112 @@ object Multimodal {
            CAST(slot // $SlotsPerModality AS BIGINT) AS batch_id
     FROM r"""
 
+  // =========================================================================
+  // m6 — cross-modal retrieval evaluation (CLIP-style pairing audit)
+  // =========================================================================
+
+  /** The retrieval eval a contrastive text↔media encoder pair ships
+    * with: for a batch of text queries whose TRUE media partner is
+    * known (the caption relation — here doc_id pairs text with its
+    * own payload), rank every media embedding by (squared) L2
+    * distance to the query embedding and report recall@1 / recall@5
+    * of the true partner in basis points. Distance, not raw dot
+    * product: an un-normalized dot rewards vector MAGNITUDE and
+    * buries the aligned pair (measured: recall@1 fell to ~500 bp);
+    * L2 is the metric the noise model actually bounds.
+    *
+    * Encoders are stubbed the m3 way: the media side IS m3's md5-
+    * nibble embedding; the text side simulates a WELL-ALIGNED encoder
+    * as the media vector plus bounded per-dim noise (< 64 on 16-bit
+    * dims) — so the harness demonstrably rewards alignment (recall
+    * lands near 10000 bp) instead of reporting the random-baseline
+    * noise an unaligned stub would give (s8's isotropic-fixture
+    * lesson, deliberately inverted). Swap the two nibble expressions
+    * for real encoder outputs and nothing else changes.
+    *
+    * Rank is computed WITHOUT materializing a top-k: the true
+    * partner's rank = 1 + |{c : score(c) beats score(true)}|, ties
+    * broken by doc_id — one count per query, no window, no sort. The
+    * query batch is the bounded serving load (a hash bucket here);
+    * the corpus side is s1's declared brute-force baseline, and the
+    * scale path is swapping the candidate stage for s5/s12's IVF
+    * cells exactly as s14 documents.
+    */
+  val m6CrossmodalRecall: Q = (s, dir) => {
+    val dims = 0 until EmbDim
+    def nib(src: String, j: Int) =
+      s"cast(conv(substr(md5($src), ${j * 4 + 1}, 4), 16, 10) as bigint)"
+    val media = withPayload(s, dir).select(
+      col("doc_id").as("c_id"),
+      array(dims.map(j => expr(nib("payload", j))): _*).as("em"))
+    val queriesDf = withPayload(s, dir)
+      .filter(expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100 < 10"))
+      .select(col("doc_id").as("q_id"),
+        array(dims.map(j => expr(
+          s"${nib("payload", j)} + ${nib("concat('q', cast(doc_id as string))", j)} % 64")): _*)
+          .as("tq"))
+    val scored = broadcast(queriesDf).crossJoin(media)
+      .select(col("q_id"), col("c_id"),
+        expr(dims.map(j =>
+            s"(element_at(tq, ${j + 1}) - element_at(em, ${j + 1})) * " +
+            s"(element_at(tq, ${j + 1}) - element_at(em, ${j + 1}))")
+          .mkString(" + ")).as("dist2"))
+    val truth = scored.filter(col("q_id") === col("c_id"))
+      .select(col("q_id"), col("dist2").as("true_dist2"))
+    val ranks = scored.join(broadcast(truth), "q_id")
+      .groupBy("q_id")
+      .agg((sum(when(col("dist2") < col("true_dist2") ||
+          (col("dist2") === col("true_dist2") && col("c_id") < col("q_id")), 1L)
+        .otherwise(0L)) + 1L).as("rank"))
+    ranks.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("rank") === 1, 1L).otherwise(0L)).as("hits1"),
+        sum(when(col("rank") <= 5, 1L).otherwise(0L)).as("hits5"))
+      .select(col("n_queries"),
+        expr("hits1 * 10000 div n_queries").as("recall1_bp"),
+        expr("hits5 * 10000 div n_queries").as("recall5_bp"))
+  }
+
+  val m6CrossmodalRecallSql: String = {
+    val dims = 0 until EmbDim
+    def nib(src: String, j: Int) =
+      s"(('0x' || substr(md5($src), ${j * 4 + 1}, 4))::BIGINT)"
+    val em = dims.map(j => s"${nib("text", j)} AS e$j").mkString(", ")
+    val tq = dims.map(j =>
+      s"${nib("text", j)} + ${nib("'q' || CAST(doc_id AS VARCHAR)", j)} % 64 AS t$j").mkString(", ")
+    val dot = dims.map(j => s"(q.t$j - m.e$j) * (q.t$j - m.e$j)").mkString(" + ")
+    s"""
+    WITH media AS (SELECT doc_id AS c_id, $em FROM documents),
+    qs AS (
+      SELECT doc_id AS q_id, $tq FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 10),
+    scored AS (
+      SELECT q_id, c_id, $dot AS dist2 FROM qs q CROSS JOIN media m),
+    truth AS (SELECT q_id, dist2 AS true_dist2 FROM scored WHERE q_id = c_id),
+    ranks AS (
+      SELECT s.q_id,
+             1 + CAST(SUM(CASE WHEN s.dist2 < t.true_dist2
+                          OR (s.dist2 = t.true_dist2 AND s.c_id < s.q_id)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rank
+      FROM scored s JOIN truth t ON s.q_id = t.q_id
+      GROUP BY s.q_id)
+    SELECT count(*) AS n_queries,
+           CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // count(*) AS recall1_bp,
+           CAST(SUM(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // count(*) AS recall5_bp
+    FROM ranks"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "m6_crossmodal_recall" -> m6CrossmodalRecall,
     "m5_modality_batches" -> m5ModalityBatches,
     "m1_media_features" -> m1MediaFeatures,
     "m2_frame_dedup"    -> m2FrameDedup,
     "m3_embed_payload"  -> m3EmbedPayload,
     "m4_resize"         -> m4Resize)
   val oracleSql: Map[String, String] = Map(
+    "m6_crossmodal_recall" -> m6CrossmodalRecallSql,
     "m5_modality_batches" -> m5ModalityBatchesSql,
     "m1_media_features" -> m1MediaFeaturesSql,
     "m2_frame_dedup"    -> m2FrameDedupSql,

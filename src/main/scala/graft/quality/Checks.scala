@@ -63,6 +63,29 @@ object Checks {
         (col("e.violations") === 0L).as("passed"))
   }
 
+  /** Row-level quarantine split — the enforcement half of [[report]]:
+    * rows violating ANY per-row check go to a quarantine frame carrying
+    * the sorted list of violated constraint names (`__violations`),
+    * clean rows pass through column-identical. One pass, no shuffle —
+    * each predicate is evaluated inline in the same projection, so the
+    * split costs one filter each over a shared scan (Catalyst reuses
+    * the subplan under whole-stage codegen). Uniqueness is deliberately
+    * NOT a quarantine criterion: "which of the duplicates is the bad
+    * one" is survivorship (d10's job), not row validity.
+    *
+    * The production loop: quarantine → K6-style audit row with the
+    * violation counts ([[report]]) → clean side feeds the pipeline,
+    * quarantined side lands in a side table for triage.
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "quarantine needs at least one check")
+    val reasons = array_sort(concat(checks.map(c =>
+      when(c.violation, array(lit(c.name))).otherwise(array())): _*))
+    val tagged = df.withColumn("__violations", reasons)
+    (tagged.filter(size(col("__violations")) === 0).drop("__violations"),
+      tagged.filter(size(col("__violations")) > 0))
+  }
+
   // =========================================================================
   // q32 — the orders constraint suite as an oracle query
   // =========================================================================

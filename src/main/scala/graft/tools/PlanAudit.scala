@@ -98,7 +98,10 @@ object PlanAudit {
       "q97_hdr_quantiles",
       // q98's whole set algebra is three ONE-row frames (sketch a,
       // sketch b, exact counts) crossed into a single row
-      "q98_kmv_setops")
+      "q98_kmv_setops",
+      // m6's candidate stage is s1's declared brute-force baseline
+      // (broadcast query batch × corpus); scale path = s5/s12 IVF
+      "m6_crossmodal_recall")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

@@ -167,4 +167,17 @@ class CorpusSpec extends SparkSpec {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
     packed.unpersist(): Unit
   }
+
+  test("c20: epoch orders are decorrelated (|rho| within 3 sigma of the null)") {
+    val rows = Corpus.c20EpochShuffle(spark, sfDir).collect()
+    assert(rows.length === 3) // epoch pairs (1,2) (1,3) (2,3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val rho = r.getAs[Long]("rho_micro")
+      // null stderr of Spearman rho is 1/sqrt(n-1)
+      val limit = (3.0 / math.sqrt((n - 1).toDouble) * 1e6).toLong
+      assert(math.abs(rho) < limit,
+        s"epochs (${r.getAs[Long]("e1")},${r.getAs[Long]("e2")}): rho=$rho micro exceeds $limit")
+    }
+  }
 }

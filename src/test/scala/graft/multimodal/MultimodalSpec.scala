@@ -71,4 +71,16 @@ class MultimodalSpec extends SparkSpec {
       declarative.exceptAll(batched).isEmpty)
   }
 
+  test("m6: the aligned-encoder stub retrieves its true partner (recall@5 = 100%)") {
+    // the per-dim noise bound (< 64 on 16-bit dims) keeps the true
+    // pair's L2 distance at least an order of magnitude below a
+    // random cross-doc distance, so the harness must report perfect
+    // recall on the fixture — anything lower means the ranking join,
+    // tie-break, or distance algebra regressed
+    val r = Multimodal.m6CrossmodalRecall(spark, sfDir).head()
+    assert(r.getAs[Long]("n_queries") > 0)
+    assert(r.getAs[Long]("recall5_bp") === 10000L,
+      s"recall@5 = ${r.getAs[Long]("recall5_bp")} bp")
+  }
+
 }

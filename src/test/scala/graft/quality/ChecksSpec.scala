@@ -42,4 +42,20 @@ class ChecksSpec extends SparkSpec {
     // one parquet scan feeds every constraint
     assert("Scan parquet".r.findAllIn(plan).size == 1)
   }
+
+  test("quarantine splits losslessly and tags every violated constraint") {
+    val df = Seq(
+      ("a", 5L), ("b", -1L), (null.asInstanceOf[String], 3L), (null, -2L))
+      .toDF("name", "amount")
+    val checks = Seq(Checks.notNull("name"), Checks.nonNegative("amount"))
+    val (good, bad) = Checks.quarantine(df, checks)
+    assert(good.columns.toSeq === df.columns.toSeq) // schema-identical
+    assert(good.count() + bad.count() === df.count()) // lossless split
+    assert(good.count() === 1)
+    val reasons = bad.select(col("amount"), col("__violations")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[String](1).toList).toMap
+    assert(reasons(-1L) === List("non_negative_amount"))
+    assert(reasons(3L) === List("not_null_name"))
+    assert(reasons(-2L) === List("non_negative_amount", "not_null_name"))
+  }
 }

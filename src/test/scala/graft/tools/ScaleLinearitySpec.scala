@@ -167,7 +167,12 @@ class ScaleLinearitySpec extends SparkSpec {
     // full-outer join + a |sources|×4 rollup; q99's shuffle is the
     // (type,day,hour) cell grain — fixed time span, so event growth
     // lands in the map-side combine, not the exchange
-    "t16_readability", "c19_dataset_diff", "q99_seasonal_outliers")
+    "t16_readability", "c19_dataset_diff", "q99_seasonal_outliers",
+    // r7 eval/audit pair (probed 0.56/0.79): m6's shuffle is the
+    // per-query rank counts (its broadcast cross is s1's declared
+    // baseline); c20 is one DistributedRank range exchange over the
+    // 3×|docs| epoch frame + a doc-keyed self-join on that grain
+    "m6_crossmodal_recall", "c20_epoch_shuffle")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
