@@ -168,9 +168,10 @@ class ScaleLinearitySpec extends SparkSpec {
     // (type,day,hour) cell grain — fixed time span, so event growth
     // lands in the map-side combine, not the exchange
     "t16_readability", "c19_dataset_diff", "q99_seasonal_outliers",
-    // r7 eval/audit pair (probed 0.56/0.79): m6's shuffle is the
-    // per-query rank counts (its broadcast cross is s1's declared
-    // baseline); c20 is one DistributedRank range exchange over the
+    // r7 eval/audit pair (probed 0.87/0.79): m6's shuffle is the
+    // loadParallel round-robin of the corpus side + per-query rank
+    // counts (its broadcast cross is s1's declared baseline); c20 is
+    // one DistributedRank range exchange over the
     // 3×|docs| epoch frame + a doc-keyed self-join on that grain
     "m6_crossmodal_recall", "c20_epoch_shuffle")
 
