@@ -101,7 +101,10 @@ object PlanAudit {
       "q98_kmv_setops",
       // m6's candidate stage is s1's declared brute-force baseline
       // (broadcast query batch × corpus); scale path = s5/s12 IVF
-      "m6_crossmodal_recall")
+      "m6_crossmodal_recall",
+      // q100 crosses its one-row actual-count and one-row estimate
+      // frames into a single output row (q39's scalar shape)
+      "q100_join_size_sketch")
 
   /** Partition-less windows bounded by construction, per query: the
     * window runs over a grain capped by a constant (never the data),

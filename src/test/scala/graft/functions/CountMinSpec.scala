@@ -31,4 +31,16 @@ class CountMinSpec extends SparkSpec {
     val n = CountMin.sketch(ev, "k").count()
     assert(n <= 3L * 64L)
   }
+
+  test("q100: inner-product join-size estimate overestimates only, within the width bound") {
+    val r = CountMin.q100JoinSizeSketch(spark, sfDir).head()
+    val actual = r.getAs[Long]("actual_rows")
+    val est = r.getAs[Long]("est_rows")
+    assert(actual > 0)
+    // AMS/CM inner product: colliding keys only ADD — never under
+    assert(est >= actual, s"est=$est < actual=$actual")
+    // the 5x16384 grid's collision noise stays well inside 20%
+    assert(r.getAs[Long]("over_bp") < 2000L,
+      s"over_bp=${r.getAs[Long]("over_bp")}")
+  }
 }

@@ -173,7 +173,11 @@ class ScaleLinearitySpec extends SparkSpec {
     // counts (its broadcast cross is s1's declared baseline); c20 is
     // one DistributedRank range exchange over the
     // 3×|docs| epoch frame + a doc-keyed self-join on that grain
-    "m6_crossmodal_recall", "c20_epoch_shuffle")
+    "m6_crossmodal_recall", "c20_epoch_shuffle",
+    // q100 (probed 0.83): two constant-size CM grids (map-combined)
+    // + the actual-join honesty count; the estimate side alone is
+    // corpus-size-independent
+    "q100_join_size_sketch")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
