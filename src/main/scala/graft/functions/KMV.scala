@@ -123,15 +123,20 @@ object KMV {
       .groupByKey(_._1).mapValues(_._2)
       .agg(new KMinAgg(K).toColumn.name("mins"))
       .toDF("event_type", "mins")
-    val a = sketches.filter(col("event_type") === "view")
-      .select(col("mins").as("ma"))
-    val b = sketches.filter(col("event_type") === "purchase")
-      .select(col("mins").as("mb"))
+      // collapse to ONE row so a missing audience shows up as an empty
+      // sketch instead of silently zeroing the whole report (the c17
+      // empty-group lesson): a global aggregate always emits its row
+      .agg(
+        coalesce(max(when(col("event_type") === "view", col("mins"))),
+          expr("array()")).as("ma"),
+        coalesce(max(when(col("event_type") === "purchase", col("mins"))),
+          expr("array()")).as("mb"))
     val exact = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n_types"))
       .agg(count(lit(1)).as("exact_union"),
-        sum(when(col("n_types") === 2, 1L).otherwise(0L)).as("exact_intersect"))
-    a.crossJoin(b).crossJoin(broadcast(exact))
+        coalesce(sum(when(col("n_types") === 2, 1L).otherwise(0L)), lit(0L))
+          .as("exact_intersect"))
+    sketches.crossJoin(broadcast(exact))
       .withColumn("merged", expr(s"slice(array_sort(array_union(ma, mb)), 1, $K)"))
       .withColumn("m", size(col("merged")))
       .withColumn("both",
@@ -154,14 +159,15 @@ object KMV {
     mins AS (SELECT event_type, list(h ORDER BY h) AS mins FROM (
                SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
                FROM h) WHERE rn <= $K GROUP BY event_type),
-    a AS (SELECT mins AS ma FROM mins WHERE event_type = 'view'),
-    b AS (SELECT mins AS mb FROM mins WHERE event_type = 'purchase'),
+    ab AS (SELECT coalesce(max(CASE WHEN event_type = 'view' THEN mins END), []) AS ma,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN mins END), []) AS mb
+           FROM mins),
     exact AS (SELECT count(*) AS exact_union,
-                     CAST(SUM(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+                     coalesce(CAST(SUM(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT), 0) AS exact_intersect
               FROM (SELECT user_id, count(*) AS n_types FROM ev GROUP BY user_id)),
     alg AS (SELECT ma, mb,
                    list_slice(list_sort(list_distinct(list_concat(ma, mb))), 1, $K) AS merged
-            FROM a CROSS JOIN b),
+            FROM ab),
     st AS (SELECT ma, mb, merged, len(merged) AS m,
                   len(list_filter(merged, x -> list_contains(ma, x) AND list_contains(mb, x))) AS n_both
            FROM alg)

@@ -101,4 +101,25 @@ class EmptyGroupVisibilitySpec extends SparkSpec {
     // the clustered vectors do have neighbors
     assert(out(0L).getAs[Long]("n_neighbors") == 3L)
   }
+
+  test("q98: a missing audience yields an empty sketch, not an empty report") {
+    val dir = tmpDir("q98-oneside")
+    // only 'view' events — no purchasers at all. The report row must
+    // survive: the global sketch aggregate always emits its row, the
+    // absent side coalesces to an empty array, and the estimates
+    // degenerate to the exact view count / zero intersection.
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType),
+      StructField("ts", TimestampType))) // Tables.load normalizes ts
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val rows = (1L to 5L).map(u => Row("view", u, t0)) :+ Row("click", 99L, t0)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.functions.KMV.q98KmvSetops(spark, dir).collect()
+    assert(r.length == 1, "report row must survive a missing audience")
+    assert(r(0).getAs[Long]("exact_union") == 5L)
+    assert(r(0).getAs[Long]("exact_intersect") == 0L)
+    assert(r(0).getAs[Double]("union_est") == 5.0) // m < k branch: exact
+    assert(r(0).getAs[Double]("intersect_est") == 0.0)
+  }
 }
