@@ -766,9 +766,13 @@ object Corpus {
     * O(OpenCap), never O(shard). At 100 TB the knob is NShards: shards
     * size to executor memory exactly like c6's per-shard window sort.
     * BFD's 11/9·OPT+1 bound holds per shard; the spec pins the
-    * packing invariants and the bound. Not SQL-expressible (stateful
-    * fold) — spec-gated like the streaming family, rows-only in the
-    * oracle gate.
+    * packing invariants and the bound. The stateful fold IS
+    * SQL-expressible after all: the DuckDB oracle replays it as a
+    * recursive CTE whose working row per shard carries the open-bin
+    * list as a LIST<STRUCT(bid,rem)> column (q85's recursive-CTE
+    * precedent, one iteration per doc in the shard's descending-size
+    * spine) — so c16 gets the same three-gate hash check as every
+    * other query.
     */
   private val OpenCap = 64
   val c16BestfitPack: Q = (s, dir) => {
@@ -817,6 +821,77 @@ object Corpus {
       }
       .toDF("doc_id", "shard", "bin_id", "n_tokens")
   }
+
+  /** DuckDB oracle for c16: the BFD fold replayed as a recursive CTE.
+    * One working row per shard per iteration; the open-bin ArrayBuffer
+    * becomes a LIST<STRUCT(bid,rem)> column, best-fit = index of the
+    * first bin holding the minimal remaining capacity ≥ n (same
+    * first-of-ties rule as the Scala while-loop), bin close / OpenCap
+    * eviction replicated with list slices. Iterations = max docs per
+    * shard (bounded: NShards is the parallelism knob), working set =
+    * NShards rows × ≤OpenCap structs.
+    */
+  val c16BestfitPackSql: String = s"""
+    WITH RECURSIVE
+    d0 AS MATERIALIZED (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % $NShards AS shard,
+             CAST(len(str_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    docs AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM d0),
+    shardinfo AS MATERIALIZED (
+      SELECT shard, min(n_tokens) AS min_n FROM docs GROUP BY 1),
+    pack AS (
+      SELECT shard, CAST(0 AS BIGINT) AS rn,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin_id,
+             CAST(NULL AS BIGINT) AS n_tokens,
+             CAST([] AS STRUCT(bid BIGINT, rem BIGINT)[]) AS open,
+             CAST(0 AS BIGINT) AS next_bin
+      FROM shardinfo
+      UNION ALL
+      SELECT shard, rn, doc_id,
+             CASE WHEN big OR best_i IS NULL THEN p_next_bin
+                  ELSE open_arr[best_i].bid END AS bin_id,
+             n_tokens,
+             CASE WHEN big THEN open_arr
+                  WHEN best_i IS NOT NULL THEN
+                    CASE WHEN open_arr[best_i].rem - n_tokens = 0
+                           OR open_arr[best_i].rem - n_tokens < min_n
+                         THEN list_concat(open_arr[1:best_i-1], open_arr[best_i+1:])
+                         ELSE list_concat(list_concat(open_arr[1:best_i-1],
+                                [{'bid': open_arr[best_i].bid,
+                                  'rem': open_arr[best_i].rem - n_tokens}]),
+                                open_arr[best_i+1:])
+                    END
+                  WHEN len(open_arr) + 1 > $OpenCap
+                         THEN list_concat(open_arr[2:],
+                                [{'bid': p_next_bin, 'rem': $CtxLen - n_tokens}])
+                  ELSE list_append(open_arr, {'bid': p_next_bin, 'rem': $CtxLen - n_tokens})
+             END AS open,
+             CASE WHEN big OR best_i IS NULL THEN p_next_bin + 1
+                  ELSE p_next_bin END AS next_bin
+      FROM (
+        SELECT *,
+               CASE WHEN big THEN NULL
+                    ELSE list_filter(range(1, len(open_arr) + 1),
+                                     i -> open_arr[i].rem = best_rem)[1]
+               END AS best_i
+        FROM (
+          SELECT d.shard AS shard, d.rn AS rn, d.doc_id AS doc_id,
+                 d.n_tokens AS n_tokens, si.min_n AS min_n,
+                 p.open AS open_arr, p.next_bin AS p_next_bin,
+                 (d.n_tokens >= $CtxLen) AS big,
+                 list_min(list_transform(list_filter(p.open, x -> x.rem >= d.n_tokens),
+                                         x -> x.rem)) AS best_rem
+          FROM pack p
+          JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+          JOIN shardinfo si ON si.shard = p.shard
+        )
+      )
+    )
+    SELECT doc_id, shard, bin_id, n_tokens FROM pack WHERE rn >= 1"""
 
   /** c17 — effective mixture after dedup: the question every sampling
     * plan (c2/c7/c11) actually needs answered is not "how many raw
@@ -1117,6 +1192,7 @@ object Corpus {
     "c19_dataset_diff" -> c19DatasetDiffSql,
     "c18_mix_kl" -> c18MixKlSql,
     "c17_effective_mix" -> c17EffectiveMixSql,
+    "c16_bestfit_pack" -> c16BestfitPackSql,
     "c15_waterfill_budget" -> c15WaterfillBudgetSql,
     "c14_dataset_card" -> c14DatasetCardSql,
     "c13_contamination_score" -> c13ContaminationScoreSql,

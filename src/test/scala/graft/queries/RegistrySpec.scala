@@ -4,14 +4,14 @@ import graft.SparkSpec
 
 class RegistrySpec extends SparkSpec {
 
-  /** Queries deliberately WITHOUT a SQL oracle: stateful folds DuckDB
-    * cannot express. Each must carry its own semantic spec (c16:
-    * CorpusSpec pins exhaustiveness, per-bin budget, the BFD bound and
-    * determinism); the driver records a rows-only check for them.
-    * Adding a name here without a spec is a coverage hole — keep this
-    * set justified entry by entry.
+  /** Queries deliberately WITHOUT a SQL oracle. Empty since round 8:
+    * even c16's stateful BFD fold turned out to be DuckDB-expressible
+    * (recursive CTE carrying the open-bin list as a LIST<STRUCT>
+    * column — `Corpus.c16BestfitPackSql`). Adding a name here without
+    * a semantic spec is a coverage hole — keep this set justified
+    * entry by entry.
     */
-  private val specGatedOnly = Set("c16_bestfit_pack")
+  private val specGatedOnly = Set.empty[String]
 
   test("every query has an oracle and every oracle a query") {
     assert(Registry.queries.keySet -- specGatedOnly == Registry.oracleSql.keySet)
