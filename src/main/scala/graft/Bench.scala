@@ -135,34 +135,31 @@ object Bench {
       System.err.println(s"[bench] mirror write to $mirror failed: $e")
     }
     // The driver's round artifact captures only the LAST ~2000 bytes of
-    // stdout; the full-name line above is ~3.6 KB at 147 queries, so
-    // round 5's BENCH artifact ended up `parsed:null` with a line cut
-    // mid-JSON. Stdout therefore gets a COMPACT twin that fits the
-    // capture window: query keys shortened to their family id (the
-    // prefix before the first '_' — "d10_survivorship" -> "d10",
-    // unique across the registry, full name kept on collision) and
-    // values trimmed to centisecond precision. Full names + ms
-    // precision + passes stay in the mirror file; `detail` points
-    // there. Totals are computed over the SAME query population as
-    // always, so cross-round `value` comparisons are unaffected.
-    val shortCounts = results.groupBy { case (k, _) => k.takeWhile(_ != '_') }
-    def shortKey(name: String): String = {
-      val p = name.takeWhile(_ != '_')
-      if (shortCounts(p).size == 1) p else name
+    // stdout; a per-query map at 208 queries can't fit (rounds 5-7:
+    // even the shortened-key twin overflowed and the artifact landed
+    // `parsed:null`). Stdout therefore rolls `queries` up to FAMILY
+    // grain (the leading alphabetic prefix: every d-query sums into
+    // "d", every q-query into "q" — ~10 keys, a few hundred bytes, so
+    // the whole line parses inside the capture window no matter how
+    // wide the registry grows). `grain` names the rollup, `nqueries`
+    // the population, and the full per-query map with ms precision +
+    // full names stays in the mirror file `detail` points at. The
+    // headline `value` is the same all-query total as always, so
+    // cross-round comparisons are unaffected.
+    def family(name: String): String = {
+      val f = name.takeWhile(c => c.isLetter)
+      if (f.isEmpty) name else f
     }
-    def fmt2(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-      }
-    val qsCompact = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt2(v) }
+    def fmt2(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val famCompact = results.filter(_._2 >= 0)
+      .groupBy { case (k, _) => family(k) }.toSeq.sortBy(_._1)
+      .map { case (f, kvs) => "\"" + f + "\":" + fmt2(kvs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val failedCompact =
-      if (failed.isEmpty) ""
-      else s""","failed":${results.collect { case (k, v) if v < 0 => "\"" + shortKey(k) + "\"" }.mkString("[", ",", "]")}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"passes":$passesJson,"sf":"$sfDir","detail":"bench_last.json"$failedCompact}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","grain":"family","nqueries":${results.size},"queries":$famCompact,"passes":$passesJson,"sf":"$sfDir","detail":"bench_last.json"$failedJson}"""
     if (compact.length > 1900)
       System.err.println(
         s"[bench] compact stdout line is ${compact.length} bytes — approaching the driver's 2000-byte capture; shrink keys or precision")

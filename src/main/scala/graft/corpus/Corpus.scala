@@ -1120,8 +1120,11 @@ object Corpus {
     * (doc × epoch) frame sorted by (epoch, hash, doc_id), converted to
     * within-epoch ranks by subtracting each epoch's broadcast min
     * offset (m5's exact pattern) — never a partition-less window.
-    * ρ = 1 − 6Σd²/(n(n²−1)) with Σd² an exact int64 sum; Σd² grows
-    * ~n³, so past ~10⁶ docs per epoch the audit runs on a c5-style
+    * ρ = 1 − 6Σd²/(n(n²−1)) with Σd² summed exactly in
+    * DECIMAL(38,0)/HUGEINT (Σd² ~ n³/3 — int64 would wrap silently at
+    * ~1.6×10⁴ docs per epoch once the ·6·10⁶ scale lands, the r7
+    * advice finding); decimal keeps ρ exact to n ≈ 2.7×10¹⁰, past
+    * which (and long before, for COST) the audit runs on a c5-style
     * fixed-size sample (documented knob, same number, bounded cost).
     */
   val c20EpochShuffle: Q = (s, dir) => {
@@ -1141,9 +1144,19 @@ object Corpus {
       .select(col("a.epoch").as("e1"), col("b.epoch").as("e2"),
         ((col("a.rk") - col("b.rk")) * (col("a.rk") - col("b.rk"))).as("d2"))
     pairs.groupBy("e1", "e2")
-      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"))
+      // Σd² ≈ n³/3: the sum accumulates in DECIMAL(38,0) (long wraps
+      // silently at n ≈ 2×10⁶ docs per epoch — one scale step up) and
+      // the ρ arithmetic stays decimal end-to-end: 6·Σd²·10⁶ ≈
+      // 2·10⁶·n³ wraps int64 at n ≈ 1.6×10⁴ (the r7 advice finding),
+      // in decimal it is exact to n ≈ 2.7×10¹⁰; DuckDB sums BIGINT
+      // into HUGEINT natively, so both engines floor the same
+      // rational. Per-row d2 ≤ n² keeps int64 to n ≈ 3×10⁹.
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(38,0)")).as("sd2"))
       .select(col("e1"), col("e2"), col("n"),
-        expr("1000000 - (6 * sd2 * 1000000) div (n * (n*n - 1))").as("rho_micro"))
+        expr("""1000000 - (6 * sd2 * 1000000)
+                div (cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * n - 1))""")
+          .as("rho_micro"))
   }
 
   val c20EpochShuffleSql: String = """
@@ -1160,8 +1173,9 @@ object Corpus {
              (a.rk - b.rk) * (a.rk - b.rk) AS d2
       FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.epoch < b.epoch)
     SELECT e1, e2, count(*) AS n,
-           1000000 - (6 * CAST(SUM(d2) AS BIGINT) * 1000000)
-             // (count(*) * (count(*)*count(*) - 1)) AS rho_micro
+           CAST(1000000 - (6 * CAST(SUM(d2) AS HUGEINT) * 1000000)
+             // (CAST(count(*) AS HUGEINT) * (CAST(count(*) AS HUGEINT)*count(*) - 1))
+             AS BIGINT) AS rho_micro
     FROM p GROUP BY e1, e2"""
 
   val queries: Map[String, Q] = Map(

@@ -463,9 +463,11 @@ object Dedup {
   }
 
   /** d8 — cluster the d3 LSH candidate pairs; survivors are the
-    * per-component min doc_id. */
+    * per-component min doc_id. Labels serve from the materialized
+    * ClusterStore tier (the convergence loop runs once per corpus
+    * snapshot; d8/d10/d22 all read the same labels). */
   val d8DupClusters: Q = (s, dir) =>
-    components(d3LshPairs(s, dir))
+    ClusterStore.lshComponents(s, dir)
       .withColumn("is_survivor", col("doc_id") === col("component"))
 
   /** Oracle: transitive closure via recursive CTE, component = min
@@ -512,8 +514,7 @@ object Dedup {
     * Survivor = per-component min vec_id, as d8.
     */
   val d9SemanticClusters: Q = (s, dir) =>
-    components(graft.sim.Similarity.s4EmbeddingNeardup(s, dir)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    ClusterStore.embComponents(s, dir)
       .select(col("doc_id").as("vec_id"), col("component"),
         (col("doc_id") === col("component")).as("is_survivor"))
 
@@ -552,7 +553,7 @@ object Dedup {
   val d10Survivorship: Q = (s, dir) => {
     val docs = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val comp = components(d3LshPairs(s, dir)).registerCache()
+    val comp = ClusterStore.lshComponents(s, dir).registerCache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -1236,10 +1237,9 @@ object Dedup {
     */
   val d22ClusterAgreement: Q = (s, dir) => {
     val docs = Tables.loadParallel(s, dir, "documents").select("doc_id")
-    val lex = components(d3LshPairs(s, dir))
+    val lex = ClusterStore.lshComponents(s, dir)
       .select(col("doc_id"), col("component").as("ca"))
-    val sem = components(graft.sim.Similarity.s4EmbeddingNeardup(s, dir)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val sem = ClusterStore.embComponents(s, dir)
       .select(col("doc_id"), col("component").as("cb"))
     val lab = docs
       .join(lex, Seq("doc_id"), "left_outer")

@@ -144,7 +144,12 @@ object KMV {
       .withColumn("union_est",
         when(col("m") < K, col("m").cast("double"))
           .otherwise(lit((K - 1).toDouble * HashSpace) / expr(s"element_at(merged, $K)")))
-      .withColumn("intersect_est", col("both") * col("union_est") / col("m"))
+      // m=0 (BOTH audiences absent) must read 0.0, not 0/0: Spark's
+      // double division gives NaN where DuckDB gives NULL — the one
+      // degenerate board the empty-sketch coalesce above doesn't cover
+      .withColumn("intersect_est",
+        when(col("m") === 0, lit(0.0))
+          .otherwise(col("both") * col("union_est") / col("m")))
       .select(col("exact_union"), col("exact_intersect"),
         col("union_est"), col("intersect_est"))
   }
@@ -174,8 +179,9 @@ object KMV {
     SELECT exact_union, exact_intersect,
            CASE WHEN m < $K THEN m::DOUBLE
                 ELSE ${(K - 1).toDouble} * $HashSpace / merged[$K] END AS union_est,
-           n_both * (CASE WHEN m < $K THEN m::DOUBLE
-                        ELSE ${(K - 1).toDouble} * $HashSpace / merged[$K] END) / m
+           CASE WHEN m = 0 THEN 0.0
+                ELSE n_both * (CASE WHEN m < $K THEN m::DOUBLE
+                        ELSE ${(K - 1).toDouble} * $HashSpace / merged[$K] END) / m END
              AS intersect_est
     FROM st CROSS JOIN exact"""
 

@@ -1,0 +1,120 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Materialized graph-edge tier — `text/TokenStore`'s build-once
+  * pattern applied to the g-family (round-7 verdict #2).
+  *
+  * Every g-query is built on one of two derived edge sets:
+  *
+  *  - the PURCHASE edges: distinct customer→supplier pairs from
+  *    lineitem⋈orders (g1/g3/g5/g6/g8/g9/g10), and
+  *  - the CO-SUPPLY edges: each supplier's top-3 strongest partners
+  *    by shared parts, canonicalized to undirected `eu < ev` pairs
+  *    (g2/g4/g11) — the expensive wedge self-join.
+  *
+  * Rebuilding those inside every query is the "raw loads feed every
+  * job" anti-pattern the reference's derived-table tier exists to
+  * avoid (`AWS_GLUE_ETL.py:79-132`: compute domain tables once, serve
+  * all downstream jobs). Here each edge set is computed ONCE per
+  * source snapshot, written range-sorted on its join key
+  * ([[SortedLayout.writeRangeSorted]] — per-file min/max prune
+  * node-keyed lookups), and every consumer reads the parquet tier.
+  *
+  * Freshness is fingerprint-keyed, not faith-based: the store records
+  * the (size, mtime) of every source table it was derived from and
+  * rebuilds when they drift — the incremental-refresh contract a
+  * 100 TB tier needs (a new corpus snapshot invalidates exactly the
+  * stores derived from the tables that changed). Publication is
+  * atomic (build into a temp dir, `ATOMIC_MOVE` into place — the
+  * SchemaRegistry commit discipline), so a concurrent reader sees
+  * either the old complete store or the new complete store, never a
+  * half-written directory.
+  *
+  * The inline forms stay available ([[purchaseEdgesInline]] /
+  * [[cosupplyUndInline]]) — they are the semantic ground truth the
+  * served tier is row-equal to (`GraphStoreSpec`), and what the
+  * DuckDB oracles compute independently from the raw tables.
+  */
+object GraphStore {
+
+  /** Supplier ids offset to share a node-id space with customers —
+    * must match `graph.Graph.SuppOffset`. */
+  private val SuppOffset = 1000000000L
+
+  // ---------------------------------------------------------------------
+  // Inline (self-contained) builders — the ground-truth forms
+  // ---------------------------------------------------------------------
+
+  /** Distinct customer→supplier purchase pairs; supplier ids offset.
+    * Columns: `cust`, `supp` (BIGINT) plus the two degree columns
+    * every consumer otherwise recomputes (`cust_deg` = edges per
+    * customer, `supp_deg` = edges per supplier) — denormalized into
+    * the tier exactly like a warehouse dimension carries its
+    * aggregates: g1's outdeg window and g6's two degree joins become
+    * column reads. Both windows ride the single hash(cust) exchange
+    * the dedup already pays (supp_deg adds one more exchange at BUILD
+    * time, paid once per snapshot, never per query).
+    */
+  def purchaseEdgesInline(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadParallel(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        (col("l_suppkey") + SuppOffset).cast("long").as("supp"))
+      .repartition(col("cust"))
+      .distinct()
+      .withColumn("cust_deg", count(lit(1)).over(Window.partitionBy("cust")))
+      .withColumn("supp_deg", count(lit(1)).over(Window.partitionBy("supp")))
+  }
+
+  /** Top-3 co-supply partners per supplier (by shared parts, ties to
+    * the smaller partner id), canonical undirected edges `eu < ev`.
+    * Columns: `eu`, `ev` (BIGINT). The hash(u) repartition clusters
+    * (u,v) so the pair count AND the per-u top-3 window ride ONE
+    * wedge-sized exchange (g2's measured fix, scale_probe exp ~1.0).
+    */
+  def cosupplyUndInline(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
+    val shared = ps.as("a")
+      .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sp") =!= col("b.sp"))
+      .select(col("a.sp").as("u"), col("b.sp").as("v"))
+      .repartition(col("u"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy("u").orderBy(col("shared").desc, col("v"))
+    shared
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(least(col("u"), col("v")).cast("long").as("eu"),
+        greatest(col("u"), col("v")).cast("long").as("ev"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // Served tier
+  // ---------------------------------------------------------------------
+
+  /** Store-served purchase edges: columns `cust`, `supp`. */
+  def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    served(s, dir, "purchase", Seq("lineitem", "orders"),
+      purchaseEdgesInline, numFiles = 8, sortKey = "cust")
+
+  /** Store-served co-supply undirected edges: columns `eu`, `ev`. */
+  def cosupplyUnd(s: SparkSession, dir: String): DataFrame =
+    served(s, dir, "cosupply", Seq("lineitem"),
+      cosupplyUndInline, numFiles = 4, sortKey = "eu")
+
+  // ---------------------------------------------------------------------
+
+  private def served(s: SparkSession, dir: String, name: String,
+                     sources: Seq[String],
+                     build: (SparkSession, String) => DataFrame,
+                     numFiles: Int, sortKey: String): DataFrame =
+    DerivedStore.served(s, dir, name, sources, build, numFiles, sortKey)
+}

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -456,7 +457,147 @@ object Multimodal {
     FROM ranks"""
   }
 
+
+  /** m7 — the PRODUCTION twin of m6 (round-7 verdict #9): the same
+    * cross-modal eval served through an IVF candidate stage instead
+    * of the brute-force query×corpus cross. Centroids are elected
+    * from the media vectors exactly as s5 elects them from the
+    * embeddings table (`id % CellMod`, here the media doc ids); the
+    * corpus assigns once to its nearest cell (L2, ties to the smaller
+    * centroid id), each query probes its TWO nearest cells (s6's
+    * nprobe knob), and ranks are computed over the probed candidates
+    * only. `coverage_bp` is the honesty column — the fraction of
+    * queries whose TRUE partner sits in a probed cell, i.e. the hard
+    * ceiling IVF puts on recall — and m6's exhaustive scan remains
+    * the declared exact denominator (the same baseline→production
+    * split as s1/s9 → s5/s12 and d5 → d7).
+    *
+    * Scale shape: the two centroid crosses are s5's bounded
+    * |rows|×|cells| assignment shape (broadcast centroids, map-side
+    * combine collapses to the row grain before any exchange); the
+    * candidate join is cell-keyed — |q|·nprobe·cell-size rows, LINEAR
+    * in the corpus at fixed fan-out where m6's eval cross is
+    * |q|×|corpus|. All-integer arithmetic end-to-end (the md5-nibble
+    * space), so the IVF serve itself is hash-gate exact.
+    */
+  private val CellMod = 125
+  val m7CrossmodalIvf: Q = (s, dir) => {
+    val dims = 0 until EmbDim
+    def nib(hexCol: String, j: Int) =
+      s"cast(conv(substr($hexCol, ${j * 4 + 1}, 4), 16, 10) as bigint)"
+    val media = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id").as("c_id"),
+        md5(col("text").cast("binary")).as("hm"))
+      .select(col("c_id") +:
+        dims.map(j => expr(nib("hm", j)).as(s"e$j")): _*)
+    val cents = media.filter(col("c_id") % CellMod === 0)
+      .select(col("c_id").as("k_id") +: dims.map(j => col(s"e$j").as(s"k$j")): _*)
+    // one pass elects each row's cell: min(struct(dist, k_id)) is the
+    // deterministic argmin (ties to the smaller centroid id), and the
+    // partial aggregate collapses the ×|cells| fan-out map-side
+    val kd = dims.map(j => s"(e$j - k$j) * (e$j - k$j)").mkString(" + ")
+    val cells = media.crossJoin(broadcast(cents))
+      .withColumn("kd", expr(kd))
+      .groupBy("c_id")
+      .agg(min(struct(col("kd"), col("k_id"))).as("mk"))
+      .select(col("c_id"), col("mk.k_id").as("cell"))
+    val postings = media.join(cells, "c_id")
+    val queriesDf = withPayload(s, dir)
+      .filter(expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100 < 10"))
+      .select(col("doc_id").as("q_id"), md5(col("payload")).as("hm"),
+        md5(concat(lit("q"), col("doc_id").cast("string"))).as("hn"))
+      .select(col("q_id") +:
+        dims.map(j => expr(s"${nib("hm", j)} + ${nib("hn", j)} % 64").as(s"t$j")) :+
+        expr(dims.map { j =>
+          val n = s"(${nib("hn", j)} % 64)"
+          s"$n * $n"
+        }.mkString(" + ")).as("true_dist2"): _*)
+    val qdExpr = dims.map(j => s"(t$j - k$j) * (t$j - k$j)").mkString(" + ")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qd"), col("k_id"))
+    val probes = queriesDf.crossJoin(broadcast(cents))
+      .withColumn("qd", expr(qdExpr))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("k_id").as("cell"))
+    val dist = dims.map(j => s"(t$j - e$j) * (t$j - e$j)").mkString(" + ")
+    // covered = the true partner (c_id == q_id) appeared among the
+    // candidates at all; a probed cell is never empty (each centroid
+    // assigns to itself at distance 0), so every query emits a group
+    val perQ = probes.join(postings, Seq("cell"))
+      .join(broadcast(queriesDf), Seq("q_id"))
+      .withColumn("dist2", expr(dist))
+      .groupBy("q_id")
+      .agg((sum(when(col("dist2") < col("true_dist2") ||
+          (col("dist2") === col("true_dist2") && col("c_id") < col("q_id")), 1L)
+        .otherwise(0L)) + 1L).as("rnk"),
+        max(when(col("c_id") === col("q_id"), 1L).otherwise(0L)).as("covered"))
+    perQ.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("covered")).as("covered_q"),
+        sum(when(col("covered") === 1 && col("rnk") === 1, 1L).otherwise(0L)).as("hits1"),
+        sum(when(col("covered") === 1 && col("rnk") <= 5, 1L).otherwise(0L)).as("hits5"))
+      .select(col("n_queries"), col("covered_q"),
+        expr("covered_q * 10000 div n_queries").as("coverage_bp"),
+        expr("hits1 * 10000 div n_queries").as("recall1_bp"),
+        expr("hits5 * 10000 div n_queries").as("recall5_bp"))
+  }
+
+  val m7CrossmodalIvfSql: String = {
+    val dims = 0 until EmbDim
+    def nib(src: String, j: Int) =
+      s"(('0x' || substr(md5($src), ${j * 4 + 1}, 4))::BIGINT)"
+    val em = dims.map(j => s"${nib("text", j)} AS e$j").mkString(", ")
+    val tq = dims.map(j =>
+      s"${nib("text", j)} + ${nib("'q' || CAST(doc_id AS VARCHAR)", j)} % 64 AS t$j").mkString(", ")
+    val td = dims.map { j =>
+      val n = s"(${nib("'q' || CAST(doc_id AS VARCHAR)", j)} % 64)"
+      s"$n * $n"
+    }.mkString(" + ")
+    val ks = dims.map(j => s"e$j AS k$j").mkString(", ")
+    val kd = dims.map(j => s"(m.e$j - c.k$j) * (m.e$j - c.k$j)").mkString(" + ")
+    val qd = dims.map(j => s"(q.t$j - c.k$j) * (q.t$j - c.k$j)").mkString(" + ")
+    val dd = dims.map(j => s"(q.t$j - p.e$j) * (q.t$j - p.e$j)").mkString(" + ")
+    s"""
+    WITH media AS (SELECT doc_id AS c_id, $em FROM documents),
+    cents AS (SELECT c_id AS k_id, $ks FROM media WHERE c_id % $CellMod = 0),
+    cells AS (
+      SELECT c_id, k_id AS cell FROM (
+        SELECT m.c_id, c.k_id,
+               row_number() OVER (PARTITION BY m.c_id
+                                  ORDER BY $kd, c.k_id) AS rn
+        FROM media m CROSS JOIN cents c) WHERE rn = 1),
+    postings AS (SELECT media.*, cells.cell FROM media JOIN cells USING (c_id)),
+    qs AS (
+      SELECT doc_id AS q_id, $tq, $td AS true_dist2 FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 10),
+    pr AS (
+      SELECT q_id, k_id AS cell FROM (
+        SELECT q.q_id, c.k_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY $qd, c.k_id) AS rn
+        FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+    cand AS (
+      SELECT q.q_id, p.c_id, q.true_dist2, $dd AS dist2
+      FROM pr JOIN postings p USING (cell) JOIN qs q USING (q_id)),
+    perq AS (
+      SELECT q_id,
+             1 + CAST(SUM(CASE WHEN dist2 < true_dist2
+                          OR (dist2 = true_dist2 AND c_id < q_id)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rnk,
+             CAST(MAX(CASE WHEN c_id = q_id THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM cand GROUP BY q_id)
+    SELECT count(*) AS n_queries,
+           CAST(SUM(covered) AS BIGINT) AS covered_q,
+           CAST(SUM(covered) AS BIGINT) * 10000 // count(*) AS coverage_bp,
+           CAST(SUM(CASE WHEN covered = 1 AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 // count(*) AS recall1_bp,
+           CAST(SUM(CASE WHEN covered = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 // count(*) AS recall5_bp
+    FROM perq"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "m7_crossmodal_ivf" -> m7CrossmodalIvf,
     "m6_crossmodal_recall" -> m6CrossmodalRecall,
     "m5_modality_batches" -> m5ModalityBatches,
     "m1_media_features" -> m1MediaFeatures,
@@ -464,6 +605,7 @@ object Multimodal {
     "m3_embed_payload"  -> m3EmbedPayload,
     "m4_resize"         -> m4Resize)
   val oracleSql: Map[String, String] = Map(
+    "m7_crossmodal_ivf" -> m7CrossmodalIvfSql,
     "m6_crossmodal_recall" -> m6CrossmodalRecallSql,
     "m5_modality_batches" -> m5ModalityBatchesSql,
     "m1_media_features" -> m1MediaFeaturesSql,

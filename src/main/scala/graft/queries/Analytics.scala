@@ -1075,6 +1075,14 @@ object Analytics {
     * each other.
     */
   val q85HierarchyRollup: Q = (s, dir) => {
+    // Recursion-limit guard (round-7 verdict #6): depth here is
+    // log₂(max doc_id) — 34 levels at doc_id ~10¹⁰ — but Spark's
+    // default cteRecursionLevelLimit=100 is a SILENT cap shared with
+    // whatever else the session runs; a TESTDATA generation with
+    // larger ids must fail loudly at this query's own declared bound,
+    // not truncate. 200 covers doc_id up to 2²⁰⁰ — structurally
+    // unreachable — while still catching a non-terminating rewrite.
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "200")
     Tables.loadParallel(s, dir, "documents")
       .selectExpr("doc_id",
         "size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')) AS n_tokens")

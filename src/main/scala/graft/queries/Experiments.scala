@@ -103,9 +103,15 @@ object Experiments {
     * equi-join of the purchase stream against it (both sides hash on
     * user_id; the window predicate filters in-join), one user-grain
     * conversion aggregate riding the SAME partitioning, then a
-    * one-row conditional aggregate. Intermediate bound: with U
-    * exposed users, the largest term is 10⁶·(diff² div n_a·n_b) ≈
-    * 10⁶·U — int64-safe to ~10¹² users.
+    * one-row conditional aggregate. Numeric bound (r7 advice): the
+    * statistic is ONE division — 10⁶·diff²·n over n_a·n_b·c·(n−c) —
+    * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the
+    * numerator ≈ 10⁶·U⁵/16 under the worst split, so values are
+    * EXACT (no staged-truncation bias) to U ≈ 4×10⁶ exposed users.
+    * Past that Spark's non-ANSI decimal overflow yields NULL while
+    * DuckDB raises — at that scale the readout moves to float z
+    * (the threshold compare is monotone; the hash gate is a small-SF
+    * instrument anyway).
     */
   val q94AbConversion: Q = (s, dir) => {
     val e = Tables.load(s, dir, "events")
@@ -127,10 +133,17 @@ object Experiments {
         sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      // ONE final division with the 10^6 scale already in the
+      // numerator: no intermediate truncation (the staged form biased
+      // z2 low by up to 10^6·n/(c·(n−c)) micro), and the numerator
+      // runs in DECIMAL(38,0) — diff² alone wraps int64 at ~10^5-10^6
+      // exposed users, silently under non-ANSI. The denominator also
+      // goes decimal (n_a·n_b·c·(n−c) ≈ U⁴/16 wraps int64 at ~3×10⁴).
       .withColumn("z2_micro", expr(
-        """((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
-             div (n_a * n_b)) * 1000000 * (n_a + n_b)
-           div nullif((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b), 0)"""))
+        """(cast(conv_a * n_b - conv_b * n_a as decimal(38,0))
+             * (conv_a * n_b - conv_b * n_a) * 1000000 * (n_a + n_b))
+           div (cast(n_a as decimal(38,0)) * n_b
+                * nullif((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b), 0))"""))
       .select(col("n_a"), col("conv_a"),
         expr("conv_a * 10000 div n_a").as("cvr_a_bp"),
         col("n_b"), col("conv_b"),
@@ -163,9 +176,11 @@ object Experiments {
       FROM v),
     z AS (
       SELECT *,
-             ((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
-                // (n_a * n_b)) * 1000000 * (n_a + n_b)
-              // nullif((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b), 0) AS z2_micro
+             CAST((CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                     * (conv_a * n_b - conv_b * n_a) * 1000000 * (n_a + n_b))
+                  // (CAST(n_a AS HUGEINT) * n_b
+                      * nullif((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b), 0))
+                  AS BIGINT) AS z2_micro
       FROM agg)
     SELECT n_a, conv_a, conv_a * 10000 // n_a AS cvr_a_bp,
            n_b, conv_b, conv_b * 10000 // n_b AS cvr_b_bp,

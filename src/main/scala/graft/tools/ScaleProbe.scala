@@ -165,6 +165,9 @@ object ScaleProbe {
     val report = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def run(dir: String): (Long, Long) = {
+        // warm-construct so DerivedStore tier builds happen off the
+        // measurement (same rule as ScanCount/ScaleLinearitySpec)
+        fn(spark, dir): Unit
         val b = shuffleBytes(spark) {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
         }

@@ -49,4 +49,20 @@ class SketchQuerySpec extends SparkSpec {
     assert(math.abs(estI - exactI) <= 0.5 * exactU,
       s"intersect: est=$estI exact=$exactI (union=$exactU)")
   }
+
+  test("q98: fully-degenerate board (BOTH audiences absent) reads 0.0, never NaN") {
+    // an events table with no view/purchase rows at all: m = 0, and
+    // intersect_est = both·union/m must short-circuit to 0.0 (the r7
+    // advice NaN/NULL divergence)
+    val dir = tmpDir("q98-degenerate")
+    graft.core.Tables.load(spark, sfDir, "events")
+      .filter(!org.apache.spark.sql.functions.col("event_type")
+        .isin("view", "purchase"))
+      .write.parquet(s"$dir/events.parquet")
+    val r = KMV.q98KmvSetops(spark, dir).head()
+    assert(r.getAs[Long]("exact_union") == 0L)
+    assert(r.getAs[Double]("union_est") == 0.0)
+    assert(r.getAs[Double]("intersect_est") == 0.0,
+      s"degenerate intersect_est must be 0.0, got ${r.getAs[Double]("intersect_est")}")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.tools.ScanCount
+
+/** Scan-repetition bounds for the whole g-family (round-7 verdict #7).
+  *
+  * Each bound is the measured executed-plan scan count of the
+  * store-served form (sf0.01, recorded in PLANS.md): an iterative
+  * query that loses a cache recomputes its lineage per round and the
+  * count multiplies (g5's round-6 2^4 blow-up read purchase=16 in this
+  * audit's terms). Any scanned input NOT named in a query's bound —
+  * in particular a raw `lineitem`/`orders` scan from a query that
+  * should be serving from the GraphStore tier — fails the audit too.
+  */
+class GraphScanAuditSpec extends SparkSpec {
+
+  /** input basename -> max allowed executed-plan scans */
+  private val bounds: Map[String, Map[String, Int]] = Map(
+    "g1_pagerank"       -> Map("purchase" -> 1),
+    "g2_triangles"      -> Map("cosupply" -> 1),
+    "g3_bfs_hops"       -> Map("purchase" -> 1, "customer.parquet" -> 2),
+    "g4_label_prop"     -> Map("cosupply" -> 1),
+    "g5_hits"           -> Map("purchase" -> 1),
+    "g6_degree_stats"   -> Map("purchase" -> 1),
+    "g7_link_predict"   -> Map("lineitem.parquet" -> 1, "orders.parquet" -> 1),
+    "g8_kcore"          -> Map("purchase" -> 1),
+    // g9/g10 build their symmetric edge cache from two store reads
+    "g9_hash_walks"     -> Map("purchase" -> 2),
+    "g10_sage_features" -> Map("purchase" -> 2,
+                               "customer.parquet" -> 2, "supplier.parquet" -> 2),
+    "g11_modularity"    -> Map("cosupply" -> 1),
+  )
+
+  test("every g-query's executed plan scans each input within its bound") {
+    val qs = graft.queries.Registry.queries
+    for ((name, bound) <- bounds.toSeq.sortBy(_._1)) {
+      val counts = ScanCount.counts(spark, sfDir, qs(name))
+      for ((input, n) <- counts) {
+        withClue(s"$name scans $input $n times (bound ${bound.get(input)}): ") {
+          assert(bound.contains(input) && n <= bound(input))
+        }
+      }
+    }
+  }
+
+  test("the g-family bound set matches the registry's g-queries") {
+    assert(bounds.keySet ==
+      graft.queries.Registry.queries.keySet.filter(_.startsWith("g")))
+  }
+}

@@ -7,6 +7,12 @@ import graft.core.Tables
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("q85 pins the recursion-level guard on its session") {
+    graft.queries.Registry.queries("q85_hierarchy_rollup")(spark, sfDir).count(): Unit
+    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit").toInt >= 200,
+      "q85 must declare its own recursion bound, not ride the silent default")
+  }
+
   test("q34 cube emits all four grouping sets; grand total matches table count") {
     val out = Analytics.q34Cube(spark, sfDir).cache()
     assert(out.select("gid").distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))

@@ -29,6 +29,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.nonEmpty && served == inline)
   }
 
+  test("nprobe=2 serving equals s6's inline multiprobe row-for-row") {
+    val s = spark
+    val dir = tmpDir("annindex-np2")
+    AnnIndex.build(s, sfDir, dir)
+    val queries = Similarity.quantized(s, sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"), col("n2"))
+    val served = AnnIndex.query(s, dir, queries, 3, nprobe = 2)
+      .drop("cell").collect().toSet
+    val inline = graft.queries.Registry.queries("s6_multiprobe_ann")(s, sfDir)
+      .collect().toSet
+    assert(served.nonEmpty && served == inline)
+  }
+
+  test("append == rebuild: incremental postings and serving match the full build") {
+    val s = spark
+    val full = Similarity.quantized(s, sfDir)
+    // the delta slice holds NO centroid ids (125k mod 10 ∈ {0,5}, never
+    // 3), so the full rebuild elects exactly the base build's centroids
+    // — the precondition under which append must equal rebuild
+    val base = full.filter(col("vec_id") % 10 =!= 3)
+    val delta = full.filter(col("vec_id") % 10 === 3)
+    val dirFull = tmpDir("annindex-full")
+    val dirInc = tmpDir("annindex-inc")
+    AnnIndex.buildFrom(full, dirFull)
+    AnnIndex.buildFrom(base, dirInc)
+    AnnIndex.append(s, dirInc, delta)
+    def postings(d: String) =
+      s.read.parquet(s"$d/postings").collect().toSet
+    assert(postings(dirInc) == postings(dirFull))
+    val queries = full.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"), col("n2"))
+    def serve(d: String) =
+      AnnIndex.query(s, d, queries, 3, nprobe = 2).collect().toSet
+    assert(serve(dirInc).nonEmpty && serve(dirInc) == serve(dirFull))
+    // maintenance: appends left extra files per touched cell; the
+    // partition-preserving compaction folds them back and changes
+    // neither postings nor serving
+    def nFiles(d: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d, "postings"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = nFiles(dirInc)
+    graft.io.Compaction.compactPartitions(s, s"$dirInc/postings", "cell"): Unit
+    assert(nFiles(dirInc) < before)
+    assert(postings(dirInc) == postings(dirFull))
+    assert(serve(dirInc) == serve(dirFull))
+  }
+
   test("cell predicate prunes the postings scan to one partition") {
     val s = spark
     val dir = tmpDir("annindex2")

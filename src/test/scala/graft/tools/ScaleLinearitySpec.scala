@@ -177,12 +177,22 @@ class ScaleLinearitySpec extends SparkSpec {
     // q100 (probed 0.83): two constant-size CM grids (map-combined)
     // + the actual-join honesty count; the estimate side alone is
     // corpus-size-independent
-    "q100_join_size_sketch")
+    "q100_join_size_sketch",
+    // r8: m7 (probed 1.00) — the IVF-served eval: centroid crosses
+    // collapse map-side to the row grain, candidates ride a cell-keyed
+    // equi-join (|q|·nprobe·cell-size, linear at fixed fan-out)
+    "m7_crossmodal_ivf")
 
   test("blocked/capped paths shuffle ≤ linearly across a 10× corpus step") {
     val fails = productionPaths.flatMap { name =>
       val fn = graft.SparkEntry.queries(name)
       def bytes(dir: String): Long = {
+        // warm-construct first: DerivedStore tiers (GraphStore,
+        // ClusterStore) build on first construction — that one-off
+        // per-snapshot cost must not land inside one SF's measurement
+        // and not the other's, or the exponent reads the BUILD's
+        // shuffle asymmetry instead of the query's (ScanCount's rule)
+        fn(spark, dir): Unit
         val b = ScaleProbe.shuffleBytes(spark) {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
         }
