@@ -48,4 +48,30 @@ class GraphScanAuditSpec extends SparkSpec {
     assert(bounds.keySet ==
       graft.queries.Registry.queries.keySet.filter(_.startsWith("g")))
   }
+
+  /** Same audit for the ClusterStore consumers: labels must come from
+    * the tier (or the docs spine), never a re-run of the component
+    * convergence loop (whose signature here would be shingle-stage
+    * documents re-scans and embeddings scans reappearing). Broadcast
+    * reuse hides some store reads from the walker, so bounds name the
+    * scans the plans DO surface. */
+  private val dedupBounds: Map[String, Map[String, Int]] = Map(
+    "d8_dup_clusters"       -> Map("lsh_components" -> 1),
+    "d9_semantic_clusters"  -> Map("emb_components" -> 1),
+    "d10_survivorship"      -> Map("documents.parquet" -> 1, "lsh_components" -> 1),
+    "d22_cluster_agreement" -> Map("documents.parquet" -> 1,
+                                   "lsh_components" -> 1, "emb_components" -> 1),
+  )
+
+  test("cluster-store consumers scan labels from the tier, within bounds") {
+    val qs = graft.queries.Registry.queries
+    for ((name, bound) <- dedupBounds.toSeq.sortBy(_._1)) {
+      val counts = ScanCount.counts(spark, sfDir, qs(name))
+      for ((input, n) <- counts) {
+        withClue(s"$name scans $input $n times (bound ${bound.get(input)}): ") {
+          assert(bound.contains(input) && n <= bound(input))
+        }
+      }
+    }
+  }
 }
