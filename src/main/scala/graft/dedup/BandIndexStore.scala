@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Caching.RegisterSyntax
+import graft.io.SortedLayout
+
+/** Persisted standing LSH band index — the dedup-side lifecycle twin
+  * of `sim/AnnIndex` (round-7 verdict #3's pattern, applied to d15's
+  * seam).
+  *
+  * d15 proves the incremental-dedup JOIN shape (batch band keys ⋈
+  * corpus band index, O(|batch| + matched buckets) per day); this
+  * store is the artifact that makes it a production lifecycle:
+  *
+  *  - [[build]] writes the corpus's (doc_id, band_idx, band_hash)
+  *    keys range-sorted on `band_hash`, so a batch's bucket probes
+  *    prune to the files whose min/max straddle its hashes;
+  *  - [[append]] adds an ingested batch's band keys to the standing
+  *    index — tomorrow's batch dedups against today's arrivals
+  *    without any rebuild (band keys are a pure per-doc map, so
+  *    append IS rebuild for this artifact — no geometry to go stale,
+  *    unlike AnnIndex's frozen centroids; the spec pins the
+  *    equivalence);
+  *  - appends accumulate small unsorted files; `io/Compaction
+  *    .compact` folds them back without changing the row set.
+  *
+  * [[dedupBatch]] reproduces d15's exact output contract (every batch
+  * doc reported, matched or not, with its distinct corpus-candidate
+  * count) — `BandIndexStoreSpec` pins store-served == d15-inline on
+  * d15's own deterministic split, so the oracle gate transitively
+  * checks the store path every round.
+  */
+object BandIndexStore {
+
+  /** (doc_id, band_idx, band_hash) for a slice of `documents`-shaped
+    * rows — the shared shingle→minhash→band pipeline. */
+  def bandKeys(docs: DataFrame): DataFrame =
+    Dedup.bandKeysOf(docs)
+
+  /** Materialize the standing index from a corpus slice. */
+  def build(docs: DataFrame, indexDir: String, numFiles: Int = 8): Unit =
+    SortedLayout.writeRangeSorted(bandKeys(docs), indexDir, numFiles,
+      col("band_hash"))
+
+  /** Add an ingested batch's band keys to the standing index. */
+  def append(docs: DataFrame, indexDir: String): Unit =
+    bandKeys(docs).write.mode("append").parquet(indexDir)
+
+  def load(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(indexDir)
+
+  /** Dedup an arriving batch against the standing index: d15's
+    * output contract — (doc_id, n_corpus_matches, is_dup), every
+    * batch doc present. The batch side is |batch|-sized; the index
+    * side prunes to the probed buckets. */
+  def dedupBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    // persisted: the band frame feeds the probe join and is tiny next
+    // to the shingle pipeline that produces it
+    val nb = bandKeys(batch).registerCache()
+    val hits = nb.as("n")
+      .join(load(s, indexDir).as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+        col("n.band_hash") === col("c.band_hash"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(countDistinct(col("c.doc_id")).as("n_corpus_matches"))
+    batch.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+}

@@ -168,6 +168,11 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Band keys straight from a `documents`-shaped frame — the
+    * shingle→minhash→band pipeline BandIndexStore materializes. */
+  private[dedup] def bandKeysOf(docs: DataFrame): DataFrame =
+    bandsOf(signaturesOf(withShingles(docs)))
+
   private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
     // persist: both sides of the self-join read the same tiny
     // (doc, band) frame instead of recomputing the shingle+hash
