@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions.col
   *    incremental-refresh contract (a new corpus snapshot invalidates
   *    exactly the tiers derived from the tables that changed, nothing
   *    else rebuilds).
-  *  - PUBLICATION: build into a temp dir, `ATOMIC_MOVE` into place
-  *    (the SchemaRegistry commit discipline) — a concurrent reader
-  *    sees the old complete store or the new complete store, never a
-  *    half-written directory. A process losing the move race falls
-  *    back to the winner's (complete) store.
+  *  - PUBLICATION: versioned. Each build lands in its own `v<N>`
+  *    directory (staged via temp dir + `ATOMIC_MOVE`), then the
+  *    `_current` pointer file is replaced atomically (the
+  *    SchemaRegistry commit discipline) — a concurrent reader
+  *    resolves the pointer to a COMPLETE version dir; there is no
+  *    window where the store is half-written or absent (a plain
+  *    delete-then-move swap has exactly that window). Superseded
+  *    versions are swept one publish LATER, so a reader that
+  *    resolved v(N-1) just before v(N) committed keeps its files for
+  *    a full refresh cycle. A process losing the pointer race falls
+  *    back to the winner's (complete) version.
   *  - LAYOUT: range-sorted on the tier's serve key
   *    ([[SortedLayout.writeRangeSorted]]) so per-file min/max stats
   *    prune keyed lookups; `numFiles` is the parallelism knob.
@@ -60,36 +66,60 @@ object DerivedStore {
   private def storePath(dir: String, name: String): Path =
     Paths.get(root, dir.replace('/', '_').stripPrefix("_"), name)
 
-  private def metaPath(store: Path): Path = store.resolve("_graft_store_meta")
+  /** Pointer file: first line `v<N>`, second line the fingerprint. */
+  private[io] def currentPath(store: Path): Path = store.resolve("_current")
 
-  private def isFresh(store: Path, fp: String): Boolean =
-    Files.exists(metaPath(store)) &&
-      new String(Files.readAllBytes(metaPath(store)), StandardCharsets.UTF_8) == fp
+  private def readCurrent(store: Path): Option[(Int, String)] = {
+    val c = currentPath(store)
+    if (!Files.exists(c)) None
+    else new String(Files.readAllBytes(c), StandardCharsets.UTF_8)
+      .split("\n", 2) match {
+        case Array(v, fp) if v.startsWith("v") =>
+          v.drop(1).toIntOption.map(n => (n, fp))
+        case _ => None
+      }
+  }
 
-  /** Serve `name` for `dir`: read the materialized tier, building it
-    * first if absent or stale. Builds are in-JVM-serialized. */
+  /** Serve `name` for `dir`: resolve the `_current` pointer to a
+    * complete version dir, publishing a new version first if the
+    * pointer is absent or its fingerprint is stale. Builds are
+    * in-JVM-serialized. */
   def served(s: SparkSession, dir: String, name: String,
              sources: Seq[String],
              build: (SparkSession, String) => DataFrame,
              numFiles: Int, sortKey: String): DataFrame = {
     val store = storePath(dir, name)
     val fp = fingerprint(dir, sources)
-    if (!isFresh(store, fp)) lock.synchronized {
-      if (!isFresh(store, fp)) { // recheck under the lock
-        val tmp = store.getParent.resolve(
-          s".${name}.tmp-${ProcessHandle.current.pid}-${nonce.incrementAndGet()}")
-        Files.createDirectories(store.getParent)
-        SortedLayout.writeRangeSorted(build(s, dir), tmp.toString, numFiles, col(sortKey))
-        Files.write(metaPath(tmp), fp.getBytes(StandardCharsets.UTF_8))
-        deleteRecursively(store)
-        try Files.move(tmp, store, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          // another process published first; its store is complete
-          deleteRecursively(tmp)
+    def fresh = readCurrent(store).filter(_._2 == fp)
+    val version = fresh.getOrElse {
+      lock.synchronized {
+        fresh.getOrElse { // recheck under the lock
+          val prev = readCurrent(store)
+          val n = prev.map(_._1).getOrElse(0) + 1
+          val tmp = store.resolve(
+            s".v$n.tmp-${ProcessHandle.current.pid}-${nonce.incrementAndGet()}")
+          Files.createDirectories(store)
+          SortedLayout.writeRangeSorted(build(s, dir), tmp.toString, numFiles, col(sortKey))
+          try Files.move(tmp, store.resolve(s"v$n"), StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException => deleteRecursively(tmp) }
+          val ptmp = store.resolve(s"._current.tmp-${ProcessHandle.current.pid}")
+          Files.write(ptmp, s"v$n\n$fp".getBytes(StandardCharsets.UTF_8))
+          Files.move(ptmp, currentPath(store),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          // sweep versions superseded BEFORE this publish: a reader
+          // that resolved v(n-1) moments ago keeps its files until
+          // the NEXT refresh cycle
+          val it = Files.list(store)
+          try it.forEach { d =>
+            val dn = d.getFileName.toString
+            if (dn.startsWith("v") && dn.drop(1).toIntOption.exists(_ < n - 1))
+              deleteRecursively(d)
+          } finally it.close()
+          (n, fp)
         }
       }
     }
-    s.read.parquet(store.toString)
+    s.read.parquet(store.resolve(s"v${version._1}").toString)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -30,10 +30,10 @@ import graft.core.Tables
   * rebuilds when they drift — the incremental-refresh contract a
   * 100 TB tier needs (a new corpus snapshot invalidates exactly the
   * stores derived from the tables that changed). Publication is
-  * atomic (build into a temp dir, `ATOMIC_MOVE` into place — the
-  * SchemaRegistry commit discipline), so a concurrent reader sees
-  * either the old complete store or the new complete store, never a
-  * half-written directory.
+  * versioned-atomic (each build lands in its own `v<N>` dir, the
+  * `_current` pointer swaps via `ATOMIC_MOVE` — `DerivedStore`'s
+  * commit discipline), so a concurrent reader always resolves a
+  * complete version; superseded versions survive one refresh cycle.
   *
   * The inline forms stay available ([[purchaseEdgesInline]] /
   * [[cosupplyUndInline]]) — they are the semantic ground truth the

@@ -69,7 +69,12 @@ object ScanCount {
       require(qe != null, "listener never fired")
       allNodes(qe.executedPlan)
         .collect { case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.map(_.getName).toSeq
+          f.relation.location.rootPaths.map { p =>
+            // DerivedStore tiers read versioned subdirs (…/purchase/v3):
+            // report the tier name, not the version
+            val n = p.getName
+            if (n.matches("v\\d+")) p.getParent.getName else n
+          }.toSeq
         }
         .flatten.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
     } finally {

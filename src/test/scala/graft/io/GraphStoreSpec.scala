@@ -64,17 +64,21 @@ class GraphStoreSpec extends SparkSpec {
       GraphStore.purchaseEdges(spark, dir).count(): Unit
       val store = Paths.get(sys.props("graft.graphstore.dir"),
         dir.replace('/', '_').stripPrefix("_"), "purchase")
-      val meta = store.resolve("_graft_store_meta")
-      val m1 = Files.getLastModifiedTime(meta)
+      val current = store.resolve("_current")
+      def pointer = new String(Files.readAllBytes(current)).linesIterator.next()
+      val v1 = pointer
       GraphStore.purchaseEdges(spark, dir).count(): Unit
-      assert(Files.getLastModifiedTime(meta) == m1, "re-serve must not rebuild")
+      assert(pointer == v1, "re-serve must not publish a new version")
       // drift one source: mtime bump is enough for the fingerprint
       val li = Paths.get(dir, "lineitem.parquet")
       Files.setLastModifiedTime(li,
         java.nio.file.attribute.FileTime.fromMillis(
           Files.getLastModifiedTime(li).toMillis + 5000)): Unit
       GraphStore.purchaseEdges(spark, dir).count(): Unit
-      assert(Files.getLastModifiedTime(meta) != m1, "source drift must rebuild")
+      assert(pointer != v1, "source drift must publish a new version")
+      // the superseded version survives ONE refresh cycle (grace for
+      // readers that resolved it just before the publish)
+      assert(Files.exists(store.resolve(v1)), "previous version swept too early")
     }
   }
 }
