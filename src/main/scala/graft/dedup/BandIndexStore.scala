@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Caching.RegisterSyntax
-import graft.io.SortedLayout
+import graft.core.Tables
+import graft.io.{DerivedStore, SortedLayout}
 
 /** Persisted standing LSH band index — the dedup-side lifecycle twin
   * of `sim/AnnIndex` (round-7 verdict #3's pattern, applied to d15's
@@ -48,6 +49,24 @@ object BandIndexStore {
   def append(docs: DataFrame, indexDir: String): Unit =
     bandKeys(docs).write.mode("append").parquet(indexDir)
 
+  /** The corpus-snapshot standing index, served through
+    * [[DerivedStore]]: fingerprint-keyed against the `documents`
+    * table, so a refreshed corpus snapshot rebuilds the bands instead
+    * of silently serving stale ones (the freshness contract GraphStore
+    * and ClusterStore already carry — the explicit-dir [[build]]/
+    * [[append]] lifecycle has no source table to fingerprint, because
+    * ingested batches ARE its source of truth; this entry point is for
+    * the snapshot-derived tier). */
+  def corpusIndex(s: SparkSession, dir: String): DataFrame =
+    DerivedStore.served(s, dir, "band_index", Seq("documents"),
+      (s2, d) => bandKeys(Tables.loadParallel(s2, d, "documents")),
+      numFiles = 8, sortKey = "band_hash")
+
+  /** [[dedupBatch]] against the snapshot-served [[corpusIndex]]. */
+  def dedupBatchAgainstCorpus(s: SparkSession, dir: String,
+                              batch: DataFrame): DataFrame =
+    dedupAgainst(corpusIndex(s, dir), batch)
+
   def load(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(indexDir)
 
@@ -55,12 +74,15 @@ object BandIndexStore {
     * output contract — (doc_id, n_corpus_matches, is_dup), every
     * batch doc present. The batch side is |batch|-sized; the index
     * side prunes to the probed buckets. */
-  def dedupBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+  def dedupBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
+    dedupAgainst(load(s, indexDir), batch)
+
+  private def dedupAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
     // persisted: the band frame feeds the probe join and is tiny next
     // to the shingle pipeline that produces it
     val nb = bandKeys(batch).registerCache()
     val hits = nb.as("n")
-      .join(load(s, indexDir).as("c"),
+      .join(index.as("c"),
         col("n.band_idx") === col("c.band_idx") &&
         col("n.band_hash") === col("c.band_hash"))
       .groupBy(col("n.doc_id").as("doc_id"))

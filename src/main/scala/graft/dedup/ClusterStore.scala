@@ -26,7 +26,7 @@ import graft.io.DerivedStore
   * corpus-sized identity rows would bloat the tier for no reader).
   *
   * Freshness/atomicity ride [[DerivedStore]]: fingerprint-keyed
-  * rebuild on source drift, temp-dir + ATOMIC_MOVE publish. Layout is
+  * rebuild on source drift, staged OCC versioned publish. Layout is
   * range-sorted on doc_id so per-file stats prune doc-keyed lookups
   * ("which cluster is this doc in" serves from one file).
   *

@@ -35,8 +35,10 @@ object Graph {
   type Q = (SparkSession, String) => DataFrame
 
   /** Supplier node ids are offset so they can't collide with customer
-    * keys in one rank table. */
-  private val SuppOffset = 1000000000L
+    * keys in one rank table. Single source of truth — `io/GraphStore`'s
+    * materialized edge tier shares the node-id space through this
+    * constant. */
+  val SuppOffset = 1000000000L
   private val Damping = 850000L // 0.85 in micros
   private val Base = 150000L    // 0.15 in micros
   private val Rounds = 3

@@ -196,9 +196,17 @@ object AtomicPublish {
     * crash here orphans bytes but never corrupts the table. The
     * expensive half of an OCC publish; committing is one rename.
     */
-  def stageVersion(df: DataFrame, table: String): Path = {
+  def stageVersion(df: DataFrame, table: String): Path =
+    stageVersionWith(table)(p => df.write.mode("overwrite").parquet(p))
+
+  /** [[stageVersion]] with the writer inverted — for stagers that
+    * need a non-default layout (e.g. `SortedLayout.writeRangeSorted`
+    * for a DerivedStore tier). The writer MUST leave a `_SUCCESS`
+    * marker (any Spark parquet write does); [[commitStaged]] treats
+    * it as the commit record. */
+  def stageVersionWith(table: String)(write: String => Unit): Path = {
     val staging = new Path(s"$table/.tx-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    write(staging.toString)
     staging
   }
 
@@ -232,9 +240,16 @@ object AtomicPublish {
     * Delta/Iceberg's optimistic protocol reduced to this layout.
     */
   def publishVersionedOcc(df: DataFrame, table: String,
-                          maxAttempts: Int = 5): Long = {
-    val spark = df.sparkSession
-    val staging = stageVersion(df, table)
+                          maxAttempts: Int = 5): Long =
+    commitStagedOcc(df.sparkSession, table, stageVersion(df, table), maxAttempts)
+
+  /** The OCC commit loop on already-staged data: race for the next
+    * version number, retrying at higher numbers on loss (the staged
+    * bytes are never rewritten — only the O(1) commit rename repeats).
+    * Shared by [[publishVersionedOcc]] and `DerivedStore`'s tier
+    * publication, so the protocol exists exactly once. */
+  def commitStagedOcc(spark: SparkSession, table: String, staging: Path,
+                      maxAttempts: Int = 5): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val next = currentVersion(spark, table).getOrElse(0L) + 1
@@ -244,7 +259,7 @@ object AtomicPublish {
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true)
     throw new IllegalStateException(
-      s"publishVersionedOcc lost $maxAttempts version races on $table")
+      s"versioned OCC publish lost $maxAttempts version races on $table")
   }
 
   /** Highest committed snapshot (manifest is the commit record). */

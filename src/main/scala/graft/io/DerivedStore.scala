@@ -1,32 +1,46 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** The build-once / serve-many tier machinery shared by every
   * materialized derived table ([[GraphStore]]'s edge tiers,
-  * `dedup.ClusterStore`'s component labels, `text.TokenStore`-style
-  * artifacts): fingerprint-keyed freshness + atomic publication.
+  * `dedup.ClusterStore`'s component labels, `dedup.BandIndexStore`'s
+  * standing band index): fingerprint-keyed freshness + atomic
+  * versioned publication, entirely on the Hadoop `FileSystem` API so
+  * the tier deploys wherever the data lives (HDFS, object stores via
+  * their Hadoop connectors, local FS in tests — the same portability
+  * contract as [[AtomicPublish]]/[[Vacuum]]/[[Backup]]).
   *
   *  - FRESHNESS: a store records the (size, mtime) of every source
   *    table it derives from and rebuilds when any drifts — the
   *    incremental-refresh contract (a new corpus snapshot invalidates
   *    exactly the tiers derived from the tables that changed, nothing
-  *    else rebuilds).
-  *  - PUBLICATION: versioned. Each build lands in its own `v<N>`
-  *    directory (staged via temp dir + `ATOMIC_MOVE`), then the
-  *    `_current` pointer file is replaced atomically (the
-  *    SchemaRegistry commit discipline) — a concurrent reader
-  *    resolves the pointer to a COMPLETE version dir; there is no
-  *    window where the store is half-written or absent (a plain
-  *    delete-then-move swap has exactly that window). Superseded
-  *    versions are swept one publish LATER, so a reader that
-  *    resolved v(N-1) just before v(N) committed keeps its files for
-  *    a full refresh cycle. A process losing the pointer race falls
-  *    back to the winner's (complete) version.
+  *    else rebuilds). The fingerprint travels INSIDE each committed
+  *    version (`v=n/_fingerprint`, written into the staging dir before
+  *    the commit rename), so data and the fingerprint that describes
+  *    it are one atomic unit — there is no pointer file that can
+  *    advertise a fingerprint for data that failed to land.
+  *  - PUBLICATION: [[AtomicPublish]]'s versioned OCC protocol, not a
+  *    private re-implementation. Each build stages under a dot-prefixed
+  *    tx dir ([[AtomicPublish.stageVersionWith]]) — invisible to
+  *    readers — then races for the next `v=n` via the one O(1) commit
+  *    rename ([[AtomicPublish.commitStagedOcc]]). `_SUCCESS` is the
+  *    commit record; readers resolve the highest COMMITTED version
+  *    ([[AtomicPublish.currentVersion]]), so a concurrent reader always
+  *    sees a complete version and a crashed build orphans bytes without
+  *    ever corrupting the store. Two processes publishing concurrently
+  *    both commit (serialized by version number); each version carries
+  *    the fingerprint of the sources ITS build read, so the highest
+  *    committed version is always self-consistent — a lost race can
+  *    never advertise one build's fingerprint over another's data.
+  *  - GC: [[Vacuum.sweep]] with `keepVersions = 2` — the superseded
+  *    version survives exactly one refresh cycle (grace for a reader
+  *    that resolved it just before the publish), and in-flight
+  *    uncommitted staging is protected by Vacuum's mtime grace.
   *  - LAYOUT: range-sorted on the tier's serve key
   *    ([[SortedLayout.writeRangeSorted]]) so per-file min/max stats
   *    prune keyed lookups; `numFiles` is the parallelism knob.
@@ -38,95 +52,88 @@ object DerivedStore {
       .orElse(sys.env.get("GRAFT_GRAPHSTORE_DIR"))
       .getOrElse("spark-warehouse/graphstore")
 
+  /** In-JVM build serialization (the common single-process case:
+    * concurrent consumers of a stale tier build it once). Cross-process
+    * publication needs no lock — the OCC commit rename arbitrates. */
   private val lock = new Object
-  private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val FingerprintFile = "_fingerprint"
+
+  private def hadoopFs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** (size, mtime) fingerprint of the source tables a store derives
     * from — drift in any source invalidates exactly this store. */
-  private def fingerprint(dir: String, sources: Seq[String]): String =
+  private def fingerprint(s: SparkSession, dir: String,
+                          sources: Seq[String]): String =
     sources.map { t =>
-      val p = Paths.get(dir, s"$t.parquet")
+      val p = new Path(dir, s"$t.parquet")
+      val fs = hadoopFs(s, p)
       val (sz, mt) =
-        if (Files.isDirectory(p)) {
-          val it = Files.list(p)
-          try {
-            val fs = it.iterator()
-            var s = 0L; var m = 0L
-            while (fs.hasNext) {
-              val f = fs.next()
-              s += Files.size(f); m = math.max(m, Files.getLastModifiedTime(f).toMillis)
-            }
-            (s, m)
-          } finally it.close()
-        } else if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        else (0L, 0L)
+        if (!fs.exists(p)) (0L, 0L)
+        else {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory) {
+            val children = fs.listStatus(p)
+            (children.map(_.getLen).sum,
+             children.foldLeft(0L)((m, c) => math.max(m, c.getModificationTime)))
+          } else (st.getLen, st.getModificationTime)
+        }
       s"$t:$sz:$mt"
     }.mkString(";")
 
-  private def storePath(dir: String, name: String): Path =
-    Paths.get(root, dir.replace('/', '_').stripPrefix("_"), name)
+  /** Where a tier lives on disk — the introspection surface specs and
+    * tooling (ScanCount's tier mapping, Vacuum runs) key off. */
+  def storePath(dir: String, name: String): String =
+    s"$root/${dir.replace('/', '_').stripPrefix("_")}/$name"
 
-  /** Pointer file: first line `v<N>`, second line the fingerprint. */
-  private[io] def currentPath(store: Path): Path = store.resolve("_current")
-
-  private def readCurrent(store: Path): Option[(Int, String)] = {
-    val c = currentPath(store)
-    if (!Files.exists(c)) None
-    else new String(Files.readAllBytes(c), StandardCharsets.UTF_8)
-      .split("\n", 2) match {
-        case Array(v, fp) if v.startsWith("v") =>
-          v.drop(1).toIntOption.map(n => (n, fp))
-        case _ => None
-      }
+  /** Fingerprint a committed version was built from, if recorded. */
+  private def versionFingerprint(s: SparkSession, store: String,
+                                 v: Long): Option[String] = {
+    val p = new Path(s"$store/v=$v", FingerprintFile)
+    val fs = hadoopFs(s, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
-  /** Serve `name` for `dir`: resolve the `_current` pointer to a
-    * complete version dir, publishing a new version first if the
-    * pointer is absent or its fingerprint is stale. Builds are
-    * in-JVM-serialized. */
+  /** Serve `name` for `dir`: resolve the highest committed `v=n` whose
+    * recorded fingerprint matches the sources' current state,
+    * publishing a new version first if the store is absent or stale.
+    * Builds are in-JVM-serialized; cross-process racers serialize on
+    * the OCC commit. */
   def served(s: SparkSession, dir: String, name: String,
              sources: Seq[String],
              build: (SparkSession, String) => DataFrame,
              numFiles: Int, sortKey: String): DataFrame = {
     val store = storePath(dir, name)
-    val fp = fingerprint(dir, sources)
-    def fresh = readCurrent(store).filter(_._2 == fp)
+    val fp = fingerprint(s, dir, sources)
+    def fresh: Option[Long] = AtomicPublish.currentVersion(s, store)
+      .filter(v => versionFingerprint(s, store, v).contains(fp))
     val version = fresh.getOrElse {
       lock.synchronized {
         fresh.getOrElse { // recheck under the lock
-          val prev = readCurrent(store)
-          val n = prev.map(_._1).getOrElse(0) + 1
-          val tmp = store.resolve(
-            s".v$n.tmp-${ProcessHandle.current.pid}-${nonce.incrementAndGet()}")
-          Files.createDirectories(store)
-          SortedLayout.writeRangeSorted(build(s, dir), tmp.toString, numFiles, col(sortKey))
-          try Files.move(tmp, store.resolve(s"v$n"), StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileSystemException => deleteRecursively(tmp) }
-          val ptmp = store.resolve(s"._current.tmp-${ProcessHandle.current.pid}")
-          Files.write(ptmp, s"v$n\n$fp".getBytes(StandardCharsets.UTF_8))
-          Files.move(ptmp, currentPath(store),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          // sweep versions superseded BEFORE this publish: a reader
+          val staging = AtomicPublish.stageVersionWith(store) { p =>
+            SortedLayout.writeRangeSorted(build(s, dir), p, numFiles, col(sortKey))
+          }
+          // the fingerprint rides inside the staged version so the
+          // commit rename publishes data + provenance atomically
+          val fs = hadoopFs(s, staging)
+          val out = fs.create(new Path(staging, FingerprintFile), true)
+          try out.write(fp.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val n = AtomicPublish.commitStagedOcc(s, store, staging)
+          // superseded versions survive ONE refresh cycle: a reader
           // that resolved v(n-1) moments ago keeps its files until
-          // the NEXT refresh cycle
-          val it = Files.list(store)
-          try it.forEach { d =>
-            val dn = d.getFileName.toString
-            if (dn.startsWith("v") && dn.drop(1).toIntOption.exists(_ < n - 1))
-              deleteRecursively(d)
-          } finally it.close()
-          (n, fp)
+          // the NEXT publish (Vacuum's keep-window, shared GC)
+          Vacuum.sweep(s, store, keepVersions = 2): Unit
+          n
         }
       }
     }
-    s.read.parquet(store.resolve(s"v${version._1}").toString)
+    s.read.parquet(s"$store/v=$version")
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val it = Files.walk(p)
-      try it.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.deleteIfExists(f): Unit })
-      finally it.close()
-    }
 }

@@ -30,10 +30,11 @@ import graft.core.Tables
   * rebuilds when they drift — the incremental-refresh contract a
   * 100 TB tier needs (a new corpus snapshot invalidates exactly the
   * stores derived from the tables that changed). Publication is
-  * versioned-atomic (each build lands in its own `v<N>` dir, the
-  * `_current` pointer swaps via `ATOMIC_MOVE` — `DerivedStore`'s
-  * commit discipline), so a concurrent reader always resolves a
-  * complete version; superseded versions survive one refresh cycle.
+  * versioned-atomic (each build stages under a `.tx-` dir and commits
+  * as `v=<n>` + `_SUCCESS` via [[AtomicPublish]]'s OCC rename —
+  * [[DerivedStore]]'s shared protocol), so a concurrent reader always
+  * resolves a complete version; superseded versions survive one
+  * refresh cycle.
   *
   * The inline forms stay available ([[purchaseEdgesInline]] /
   * [[cosupplyUndInline]]) — they are the semantic ground truth the
@@ -43,8 +44,8 @@ import graft.core.Tables
 object GraphStore {
 
   /** Supplier ids offset to share a node-id space with customers —
-    * must match `graph.Graph.SuppOffset`. */
-  private val SuppOffset = 1000000000L
+    * THE constant, not a copy ([[graft.graph.Graph.SuppOffset]]). */
+  private val SuppOffset = graft.graph.Graph.SuppOffset
 
   // ---------------------------------------------------------------------
   // Inline (self-contained) builders — the ground-truth forms

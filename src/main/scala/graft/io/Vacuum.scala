@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   *    `keepVersions`, delete the rest — old snapshots age out oldest
   *    first, and the CURRENT version is always inside the keep window
   *    (`keepVersions >= 1` is enforced);
-  *  - uncommitted dirs: delete only when their modification time is
+  *  - uncommitted dirs (torn `v=n` without `_SUCCESS`, and orphaned
+  *    `.tx-` OCC staging): delete only when their modification time is
   *    older than `graceMs` — a publish IN FLIGHT right now is
   *    uncommitted and must not be swept from under the writer. The
   *    grace default (1h) is far beyond any single parquet commit.
@@ -57,10 +58,16 @@ object Vacuum {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Report(Nil, Nil, Nil)
 
-    val entries = fs.listStatus(dir).toSeq
+    val all = fs.listStatus(dir).toSeq
+    val entries = all
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-    val (committed, uncommitted) = entries.partition(s =>
+    val (committed, uncommitted0) = entries.partition(s =>
       fs.exists(new Path(s.getPath, "_SUCCESS")))
+    // orphaned OCC staging (.tx- dirs from a crashed stageVersion /
+    // DerivedStore build) ages out under the same mtime grace — a
+    // stager IN FLIGHT is shielded exactly like a torn v= dir
+    val uncommitted = uncommitted0 ++ all
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tx-"))
 
     val byVersion = committed
       .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s.getPath)

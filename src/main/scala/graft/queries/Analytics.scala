@@ -1082,12 +1082,17 @@ object Analytics {
     // larger ids must fail loudly at this query's own declared bound,
     // not truncate. 200 covers doc_id up to 2²⁰⁰ — structurally
     // unreachable — while still catching a non-terminating rewrite.
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "200")
-    Tables.loadParallel(s, dir, "documents")
+    // The limit is read at EXECUTION time, so it is scoped to a child
+    // session (own SQLConf, shared context/catalog defaults) rather
+    // than mutated on the caller's session — no other query, present
+    // or future, inherits the relaxed bound (round-8 advice).
+    val sq = s.newSession()
+    sq.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    Tables.loadParallel(sq, dir, "documents")
       .selectExpr("doc_id",
         "size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')) AS n_tokens")
       .createOrReplaceTempView("q85_docs")
-    s.sql("""
+    sq.sql("""
       WITH RECURSIVE anc AS (
         SELECT doc_id, doc_id AS ancestor, n_tokens
         FROM q85_docs

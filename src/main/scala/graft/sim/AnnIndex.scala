@@ -73,6 +73,15 @@ object AnnIndex {
     * partition-sized job at a time.
     */
   def append(s: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    // append == rebuild only while the batch carries no
+    // centroid-eligible ids (a rebuild over the union would elect a
+    // different cell geometry). The precondition is cheap to CHECK —
+    // one scan of the small batch — so violating batches fail loudly
+    // here instead of silently diverging from a rebuild (round-8
+    // advice).
+    require(newVectors.filter(col("vec_id") % 125 === 0).isEmpty,
+      "append batch contains centroid-eligible ids (vec_id % 125 == 0): " +
+        "a rebuild would elect different cells — rebuild the index instead")
     val centroids = s.read.parquet(s"$indexDir/centroids")
     assign(newVectors, centroids).write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/postings")

@@ -70,10 +70,10 @@ object ScanCount {
       allNodes(qe.executedPlan)
         .collect { case f: FileSourceScanExec =>
           f.relation.location.rootPaths.map { p =>
-            // DerivedStore tiers read versioned subdirs (…/purchase/v3):
-            // report the tier name, not the version
+            // DerivedStore/AtomicPublish tiers read versioned subdirs
+            // (…/purchase/v=3): report the tier name, not the version
             val n = p.getName
-            if (n.matches("v\\d+")) p.getParent.getName else n
+            if (n.matches("v=?\\d+")) p.getParent.getName else n
           }.toSeq
         }
         .flatten.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }

@@ -32,6 +32,37 @@ class BandIndexStoreSpec extends SparkSpec {
     assert(rows(served).nonEmpty && rows(served) == rows(inline))
   }
 
+  test("snapshot-served corpus index: row-equal to the band map, stale corpus rebuilds") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = tmpDir("bandindex-snap-src")
+    Files.copy(Paths.get(sfDir, "documents.parquet"),
+      Paths.get(dir, "documents.parquet"), StandardCopyOption.COPY_ATTRIBUTES): Unit
+    val prev = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("bandindex-snap-root")
+    try {
+      val served = BandIndexStore.corpusIndex(spark, dir)
+      assert(rows(served) == rows(BandIndexStore.bandKeys(
+        Tables.loadParallel(spark, dir, "documents"))))
+      val store = graft.io.DerivedStore.storePath(dir, "band_index")
+      assert(graft.io.AtomicPublish.currentVersion(spark, store).contains(1L))
+      // a refreshed corpus snapshot (mtime drift) must NOT serve stale bands
+      val src = Paths.get(dir, "documents.parquet")
+      Files.setLastModifiedTime(src, java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(src).toMillis + 5000)): Unit
+      BandIndexStore.corpusIndex(spark, dir).count(): Unit
+      assert(graft.io.AtomicPublish.currentVersion(spark, store).contains(2L),
+        "corpus drift must republish the band tier")
+      // the served probe path keeps d15's output contract
+      val batch = Tables.loadParallel(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 7)
+      val out = BandIndexStore.dedupBatchAgainstCorpus(spark, dir, batch)
+      assert(out.count() == batch.count(), "every batch doc reported")
+    } finally prev match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
   test("append == rebuild, the index accumulates, and compaction preserves it") {
     val base = docs.filter(col("doc_id") % 10 < 6)
     val batch1 = docs.filter(col("doc_id") % 10 === 6)

@@ -1,0 +1,114 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The tier-publication protocol itself (GraphStore/ClusterStore/
+  * BandIndexStore all ride it): Hadoop-FS versioned OCC commit, the
+  * fingerprint travelling inside the committed version, crash/torn-dir
+  * tolerance, and the OccPublishSpec-style race where a competing
+  * process publishes between our staleness check and our commit. */
+class DerivedStoreSpec extends SparkSpec {
+
+  private var builds = 0
+  private val build: (SparkSession, String) => DataFrame =
+    (s, dir) => { builds += 1; Tables.load(s, dir, "nation").select("n_nationkey", "n_name") }
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Private copy of nation.parquet under an isolated store root. */
+  private def withIsolated[A](body: String => A): A = {
+    val dir = tmpDir("derivedstore-src")
+    Files.copy(Paths.get(sfDir, "nation.parquet"), Paths.get(dir, "nation.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES): Unit
+    val prev = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("derivedstore-root")
+    builds = 0
+    try body(dir)
+    finally prev match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  private def serve(dir: String): DataFrame =
+    DerivedStore.served(spark, dir, "nation_tier", Seq("nation"),
+      build, numFiles = 2, sortKey = "n_nationkey")
+
+  test("commit is v=n + _SUCCESS with the fingerprint inside the version dir") {
+    withIsolated { dir =>
+      assert(serve(dir).count() == 25 && builds == 1)
+      val store = DerivedStore.storePath(dir, "nation_tier")
+      assert(AtomicPublish.currentVersion(spark, store).contains(1L))
+      val fs = fsOf(store)
+      assert(fs.exists(new Path(s"$store/v=1/_SUCCESS")), "commit record missing")
+      assert(fs.exists(new Path(s"$store/v=1/_fingerprint")), "fingerprint not in version")
+      assert(serve(dir).count() == 25 && builds == 1, "fresh serve must not rebuild")
+    }
+  }
+
+  test("a version missing its fingerprint is stale; torn dirs and orphaned staging never serve") {
+    withIsolated { dir =>
+      serve(dir).count(): Unit
+      val store = DerivedStore.storePath(dir, "nation_tier")
+      val fs = fsOf(store)
+      // a torn publish (no _SUCCESS) at a higher version + a crashed
+      // stager's .tx- orphan: both invisible to resolution
+      fs.mkdirs(new Path(s"$store/v=9"))
+      fs.mkdirs(new Path(s"$store/.tx-dead"))
+      assert(serve(dir).count() == 25 && builds == 1,
+        "torn/orphan dirs must neither serve nor trigger a rebuild")
+      // strip the committed version's fingerprint -> provenance unknown
+      // -> the store must rebuild rather than trust the data
+      fs.delete(new Path(s"$store/v=1/_fingerprint"), false)
+      assert(serve(dir).count() == 25 && builds == 2)
+      assert(AtomicPublish.currentVersion(spark, store).contains(2L),
+        "rebuild commits at the next COMMITTED version; torn dirs don't advance it")
+    }
+  }
+
+  test("lost OCC race: competing publish between staleness check and commit, both land") {
+    withIsolated { dir =>
+      serve(dir).count(): Unit
+      val store = DerivedStore.storePath(dir, "nation_tier")
+      // a competing process commits v=2 out from under us (same data,
+      // different build) — exactly OccPublishSpec's interleaving, here
+      // driven through the store's own publish path
+      AtomicPublish.publishVersionedOcc(build(spark, dir), store): Unit
+      assert(AtomicPublish.currentVersion(spark, store).contains(2L))
+      // v=2 carries no fingerprint -> stale -> our rebuild must race
+      // past it and commit at v=3; v=2's data is never clobbered
+      assert(serve(dir).count() == 25 && builds >= 2)
+      assert(AtomicPublish.currentVersion(spark, store).contains(3L))
+      assert(AtomicPublish.readVersion(spark, store, 2L).count() == 25)
+      val leftovers = fsOf(store).listStatus(new Path(store))
+        .map(_.getPath.getName).filter(_.startsWith(".tx-")).filterNot(_ == ".tx-dead")
+      assert(leftovers.isEmpty, s"staging not cleaned: ${leftovers.mkString(",")}")
+    }
+  }
+
+  test("source drift republishes with the new fingerprint; GC keeps exactly one superseded version") {
+    withIsolated { dir =>
+      serve(dir).count(): Unit
+      val store = DerivedStore.storePath(dir, "nation_tier")
+      val src = Paths.get(dir, "nation.parquet")
+      def drift(): Unit = Files.setLastModifiedTime(src,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(src).toMillis + 5000)): Unit
+      drift(); serve(dir).count(): Unit
+      assert(builds == 2 && AtomicPublish.currentVersion(spark, store).contains(2L))
+      val fs = fsOf(store)
+      assert(fs.exists(new Path(s"$store/v=1")), "superseded version must survive one cycle")
+      drift(); serve(dir).count(): Unit
+      assert(builds == 3 && AtomicPublish.currentVersion(spark, store).contains(3L))
+      assert(!fs.exists(new Path(s"$store/v=1")), "two-cycle-old version must be swept")
+      assert(fs.exists(new Path(s"$store/v=2")))
+    }
+  }
+}

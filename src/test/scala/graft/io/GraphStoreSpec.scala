@@ -63,22 +63,31 @@ class GraphStoreSpec extends SparkSpec {
     withIsolated { dir =>
       GraphStore.purchaseEdges(spark, dir).count(): Unit
       val store = Paths.get(sys.props("graft.graphstore.dir"),
-        dir.replace('/', '_').stripPrefix("_"), "purchase")
-      val current = store.resolve("_current")
-      def pointer = new String(Files.readAllBytes(current)).linesIterator.next()
-      val v1 = pointer
+        dir.replace('/', '_').stripPrefix("_"), "purchase").toString
+      def current = AtomicPublish.currentVersion(spark, store).get
+      val v1 = current
       GraphStore.purchaseEdges(spark, dir).count(): Unit
-      assert(pointer == v1, "re-serve must not publish a new version")
+      assert(current == v1, "re-serve must not publish a new version")
       // drift one source: mtime bump is enough for the fingerprint
       val li = Paths.get(dir, "lineitem.parquet")
       Files.setLastModifiedTime(li,
         java.nio.file.attribute.FileTime.fromMillis(
           Files.getLastModifiedTime(li).toMillis + 5000)): Unit
       GraphStore.purchaseEdges(spark, dir).count(): Unit
-      assert(pointer != v1, "source drift must publish a new version")
+      assert(current == v1 + 1, "source drift must publish a new version")
       // the superseded version survives ONE refresh cycle (grace for
-      // readers that resolved it just before the publish)
-      assert(Files.exists(store.resolve(v1)), "previous version swept too early")
+      // readers that resolved it just before the publish); a third
+      // publish (second drift) finally sweeps it
+      assert(Files.exists(Paths.get(store, s"v=$v1")),
+        "previous version swept too early")
+      Files.setLastModifiedTime(li,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(li).toMillis + 5000)): Unit
+      GraphStore.purchaseEdges(spark, dir).count(): Unit
+      assert(current == v1 + 2)
+      assert(!Files.exists(Paths.get(store, s"v=$v1")),
+        "version two publishes old must age out")
+      assert(Files.exists(Paths.get(store, s"v=${v1 + 1}")))
     }
   }
 }

@@ -7,10 +7,14 @@ import graft.core.Tables
 
 class AnalyticsSpec extends SparkSpec {
 
-  test("q85 pins the recursion-level guard on its session") {
-    graft.queries.Registry.queries("q85_hierarchy_rollup")(spark, sfDir).count(): Unit
-    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit").toInt >= 200,
+  test("q85 pins its recursion bound on a child session, not the caller's") {
+    val df = graft.queries.Registry.queries("q85_hierarchy_rollup")(spark, sfDir)
+    df.count(): Unit
+    assert(df.sparkSession.conf.get("spark.sql.cteRecursionLevelLimit").toInt >= 200,
       "q85 must declare its own recursion bound, not ride the silent default")
+    assert(df.sparkSession ne spark, "the bound must live on q85's own session")
+    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit").toInt == 100,
+      "the caller's session must not inherit the relaxed bound (round-8 advice)")
   }
 
   test("q34 cube emits all four grouping sets; grand total matches table count") {

@@ -75,6 +75,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(nFiles(dirInc) < before)
     assert(postings(dirInc) == postings(dirFull))
     assert(serve(dirInc) == serve(dirFull))
+    // a batch carrying a centroid-eligible id breaks the append ==
+    // rebuild equivalence (different cell geometry on rebuild) — it
+    // must be rejected loudly, not silently assigned (round-8 advice)
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(s, dirInc, full.filter(col("vec_id") % 125 === 0).limit(1))
+    }
+    assert(postings(dirInc) == postings(dirFull),
+      "a rejected append must leave the index untouched")
   }
 
   test("cell predicate prunes the postings scan to one partition") {
