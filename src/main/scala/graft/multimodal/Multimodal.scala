@@ -596,6 +596,75 @@ object Multimodal {
     FROM perq"""
   }
 
+  // -------------------------------------------------------------------------
+  // m7 served from a persisted AnnIndex (round-8 verdict #4)
+  // -------------------------------------------------------------------------
+
+  /** The media corpus in `sim/AnnIndex`'s quantized shape `(vec_id,
+    * label, qv, n2)` — the same md5-nibble vectors m7 builds inline,
+    * as int64 arrays with their squared norms, so the index's exact
+    * integer L2 (`n2a + n2b − 2·dot`) reproduces m7's Σ(e−t)²
+    * bit-for-bit. Centroid election is shared by construction: both
+    * use id % 125. */
+  def m7MediaQuantized(s: SparkSession, dir: String): DataFrame = {
+    def nib(j: Int) = s"cast(conv(substr(hm, ${j * 4 + 1}, 4), 16, 10) as bigint)"
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        md5(col("text").cast("binary")).as("hm"))
+      .select(col("vec_id"), col("vec_id").cast("string").as("label"),
+        array((0 until EmbDim).map(j => expr(nib(j))): _*).as("qv"))
+      .withColumn("n2", expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+  }
+
+  /** m7's query batch in the index's shape: `(query_id, qv, n2,
+    * true_dist2)` — the 10% doc sample with its noised text vector
+    * and the known true distance to its media partner. */
+  def m7QueriesQuantized(s: SparkSession, dir: String): DataFrame = {
+    def nibc(c: String, j: Int) =
+      s"cast(conv(substr($c, ${j * 4 + 1}, 4), 16, 10) as bigint)"
+    val dims = 0 until EmbDim
+    withPayload(s, dir)
+      .filter(expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100 < 10"))
+      .select(col("doc_id").as("query_id"), md5(col("payload")).as("hm"),
+        md5(concat(lit("q"), col("doc_id").cast("string"))).as("hn"))
+      .select(col("query_id"),
+        array(dims.map(j => expr(s"${nibc("hm", j)} + ${nibc("hn", j)} % 64")): _*).as("qv"),
+        expr(dims.map { j =>
+          val n = s"(${nibc("hn", j)} % 64)"
+          s"$n * $n"
+        }.mkString(" + ")).as("true_dist2"))
+      .withColumn("n2", expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+  }
+
+  /** m7's aggregate served from a persisted L2 `sim/AnnIndex` over
+    * [[m7MediaQuantized]] — the inline-as-oracle / store-as-production
+    * split ClusterStore executed, applied to the media space: the
+    * candidate stage reads the stored centroids/postings (cell-pruned
+    * directories) instead of electing centroids and assigning the
+    * corpus per run. Output schema equals m7's registry output;
+    * `MultimodalSpec` pins row equality served-vs-inline. */
+  def m7ServedFrom(s: SparkSession, dir: String, indexDir: String): DataFrame = {
+    val qs = m7QueriesQuantized(s, dir)
+    val cand = graft.sim.AnnIndex.candidates(s, indexDir,
+      qs.select("query_id", "qv", "n2"), nprobe = 2)
+    val perQ = cand
+      .join(broadcast(qs.select(col("query_id"), col("true_dist2"))), Seq("query_id"))
+      .groupBy("query_id")
+      .agg((sum(when(col("dist2") < col("true_dist2") ||
+          (col("dist2") === col("true_dist2") && col("vec_id") < col("query_id")), 1L)
+        .otherwise(0L)) + 1L).as("rnk"),
+        max(when(col("vec_id") === col("query_id"), 1L).otherwise(0L)).as("covered"))
+    perQ.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("covered")).as("covered_q"),
+        sum(when(col("covered") === 1 && col("rnk") === 1, 1L).otherwise(0L)).as("hits1"),
+        sum(when(col("covered") === 1 && col("rnk") <= 5, 1L).otherwise(0L)).as("hits5"))
+      .select(col("n_queries"), col("covered_q"),
+        expr("covered_q * 10000 div n_queries").as("coverage_bp"),
+        expr("hits1 * 10000 div n_queries").as("recall1_bp"),
+        expr("hits5 * 10000 div n_queries").as("recall5_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m7_crossmodal_ivf" -> m7CrossmodalIvf,
     "m6_crossmodal_recall" -> m6CrossmodalRecall,

@@ -83,4 +83,15 @@ class MultimodalSpec extends SparkSpec {
       s"recall@5 = ${r.getAs[Long]("recall5_bp")} bp")
   }
 
+  test("m7 served from a persisted L2 AnnIndex equals the inline IVF row-for-row") {
+    val idx = tmpDir("annindex-media")
+    graft.sim.AnnIndex.buildFrom(
+      Multimodal.m7MediaQuantized(spark, sfDir), idx, metric = graft.sim.AnnMetric.L2)
+    val served = Multimodal.m7ServedFrom(spark, sfDir, idx).collect().toSeq
+    val inline = Multimodal.m7CrossmodalIvf(spark, sfDir).collect().toSeq
+    assert(served.nonEmpty && served.map(_.toSeq) == inline.map(_.toSeq))
+    // and the true partner is actually found: same honesty columns
+    assert(served.head.getAs[Long]("coverage_bp") > 0L)
+  }
+
 }

@@ -85,6 +85,31 @@ class AnnIndexSpec extends SparkSpec {
       "a rejected append must leave the index untouched")
   }
 
+  test("L2 media index: marker round-trips, serving ranks ascending by exact dist2") {
+    val s = spark
+    val media = graft.multimodal.Multimodal.m7MediaQuantized(s, sfDir)
+    val dir = tmpDir("annindex-l2")
+    AnnIndex.buildFrom(media, dir, metric = AnnMetric.L2)
+    assert(AnnIndex.metricOf(s, dir) == AnnMetric.L2)
+    val queries = graft.multimodal.Multimodal.m7QueriesQuantized(s, sfDir)
+      .select("query_id", "qv", "n2")
+    val served = AnnIndex.query(s, dir, queries, k = 5, nprobe = 2,
+      excludeSelf = false)
+    assert(served.count() > 0)
+    // ascending within each query: rank r's dist2 <= rank r+1's
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val bad = served.withColumn("nxt", lead(col("dist2"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("dist2") > col("nxt"))
+    assert(bad.isEmpty, "L2 ranks must be ascending in dist2")
+    // the same-id media row is the planted nearest partner: with
+    // excludeSelf=false it must dominate rank 1 whenever its cell was
+    // probed (coverage pinned > 0 in MultimodalSpec)
+    val self = served.filter(col("rank") === 1 &&
+      col("neighbor_id") === col("query_id"))
+    assert(self.count() > 0)
+  }
+
   test("cell predicate prunes the postings scan to one partition") {
     val s = spark
     val dir = tmpDir("annindex2")
