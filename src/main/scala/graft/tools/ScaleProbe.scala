@@ -168,9 +168,7 @@ object ScaleProbe {
         // warm-construct so DerivedStore tier builds happen off the
         // measurement (same rule as ScanCount/ScaleLinearitySpec)
         fn(spark, dir): Unit
-        val b = shuffleBytes(spark) {
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-        }
+        val b = shuffleBytesOf(fn(spark, dir))
         // drop per-query registered caches so consecutive probes
         // measure from cold and don't accumulate blocks
         graft.core.Caching.releaseAll()
@@ -237,6 +235,17 @@ object ScaleProbe {
     * cache, so the final action's record already contains the cache
     * build's shuffles; summing would count them once per record.
     */
+  /** Probe a query by the session its DataFrame actually belongs to.
+    * `QueryMetrics` registers on the session-scoped
+    * `ExecutionListenerManager`, and a registry query is free to build
+    * on a CHILD session (q85 scopes its recursion-limit conf on
+    * `s.newSession()`) — a listener on the parent session never sees
+    * that execution and the probe reads a phantom 0. */
+  def shuffleBytesOf(df: org.apache.spark.sql.DataFrame): Long =
+    shuffleBytes(df.sparkSession) {
+      df.write.format("noop").mode("overwrite").save()
+    }
+
   def shuffleBytes(spark: SparkSession)(action: => Unit): Long = {
     val l = QueryMetrics.attach(spark)
     try {

@@ -193,9 +193,9 @@ class ScaleLinearitySpec extends SparkSpec {
         // and not the other's, or the exponent reads the BUILD's
         // shuffle asymmetry instead of the query's (ScanCount's rule)
         fn(spark, dir): Unit
-        val b = ScaleProbe.shuffleBytes(spark) {
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-        }
+        // probe on the DataFrame's OWN session — q85 builds on
+        // s.newSession() and a parent-session listener reads 0
+        val b = ScaleProbe.shuffleBytesOf(fn(spark, dir))
         graft.core.Caching.releaseAll()
         spark.catalog.clearCache()
         b
