@@ -15,15 +15,31 @@ import org.apache.spark.sql.functions.col
   * their Hadoop connectors, local FS in tests — the same portability
   * contract as [[AtomicPublish]]/[[Vacuum]]/[[Backup]]).
   *
-  *  - FRESHNESS: a store records the (size, mtime) of every source
-  *    table it derives from and rebuilds when any drifts — the
-  *    incremental-refresh contract (a new corpus snapshot invalidates
-  *    exactly the tiers derived from the tables that changed, nothing
-  *    else rebuilds). The fingerprint travels INSIDE each committed
-  *    version (`v=n/_fingerprint`, written into the staging dir before
-  *    the commit rename), so data and the fingerprint that describes
-  *    it are one atomic unit — there is no pointer file that can
-  *    advertise a fingerprint for data that failed to land.
+  *  - FRESHNESS: a store records the per-file (path, size, mtime)
+  *    state of every source table it derives from and rebuilds when
+  *    any drifts — the incremental-refresh contract (a new corpus
+  *    snapshot invalidates exactly the tiers derived from the tables
+  *    that changed, nothing else rebuilds). The fingerprint travels
+  *    INSIDE each committed version (`v=n/_fingerprint`, written into
+  *    the staging dir before the commit rename), so data and the
+  *    fingerprint that describes it are one atomic unit — there is no
+  *    pointer file that can advertise a fingerprint for data that
+  *    failed to land.
+  *  - INCREMENTAL REFRESH: because the fingerprint is file-grain, the
+  *    store can CLASSIFY drift instead of only detecting it. When
+  *    every file the current version was built from is still present
+  *    and byte-identical and the only change is NEW files (the
+  *    warehouse's daily reality: immutable part files appended to a
+  *    table, a new day landing in a partitioned layout), a tier that
+  *    registered a merge callback ([[servedIncremental]]) builds its
+  *    next version from the SERVED tier + just the delta files —
+  *    the history-sized scan/join/distinct of a full rebuild never
+  *    re-runs. Any other drift (shrink, in-place rewrite, unknown or
+  *    legacy fingerprint) falls back to the full build. Publication
+  *    of a merged version is byte-for-byte the same protocol as a
+  *    full one — same staging, same fingerprint-inside-version, same
+  *    OCC commit — so readers cannot tell (and need not care) how a
+  *    version was produced.
   *  - PUBLICATION: [[AtomicPublish]]'s versioned OCC protocol, not a
   *    private re-implementation. Each build stages under a dot-prefixed
   *    tx dir ([[AtomicPublish.stageVersionWith]]) — invisible to
@@ -47,6 +63,28 @@ import org.apache.spark.sql.functions.col
   */
 object DerivedStore {
 
+  /** How the sources moved between a committed version's recorded
+    * file-grain fingerprint and their current on-disk state. */
+  sealed trait SourceDrift
+  object SourceDrift {
+    case object Unchanged extends SourceDrift
+    /** Every recorded file is still present with identical size+mtime;
+      * only new files appeared. `newFiles`: table → absolute paths. */
+    final case class AppendOnly(newFiles: Map[String, Seq[String]]) extends SourceDrift
+    /** Shrink, in-place rewrite, a table that was absent at build
+      * time, or a legacy/unparseable record — full rebuild territory. */
+    case object Rewritten extends SourceDrift
+  }
+
+  /** A tier's append-only refresh: `(session, sfDir, servedTier,
+    * deltaFilesPerTable) => next version's rows`. */
+  type Merge = (SparkSession, String, DataFrame, Map[String, Seq[String]]) => DataFrame
+
+  /** Last build this JVM ran: (store name, "full" | "merge") — test
+    * introspection only (specs assert WHICH path produced a version;
+    * readers can't and shouldn't tell). */
+  @volatile private[graft] var lastBuild: Option[(String, String)] = None
+
   private def root: String =
     sys.props.get("graft.graphstore.dir")
       .orElse(sys.env.get("GRAFT_GRAPHSTORE_DIR"))
@@ -62,25 +100,60 @@ object DerivedStore {
   private def hadoopFs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** (size, mtime) fingerprint of the source tables a store derives
-    * from — drift in any source invalidates exactly this store. */
-  private def fingerprint(s: SparkSession, dir: String,
-                          sources: Seq[String]): String =
-    sources.map { t =>
+  /** One fingerprint line per source DATA file (recursive, so a new
+    * day dir in a partitioned layout is just new lines): sorted
+    * `table/relpath:size:mtime` entries. Hidden files (`_`/`.`
+    * prefixed segments — commit records, staging) are excluded: they
+    * carry no rows, and rewriting a `_SUCCESS` must not look like
+    * data drift. An absent table records a sentinel line so its later
+    * materialization reads as a rewrite, never an append. */
+  private def fileEntries(s: SparkSession, dir: String,
+                          sources: Seq[String]): Seq[String] =
+    sources.flatMap { t =>
       val p = new Path(dir, s"$t.parquet")
       val fs = hadoopFs(s, p)
-      val (sz, mt) =
-        if (!fs.exists(p)) (0L, 0L)
+      if (!fs.exists(p)) Seq(s"$t absent:0:0")
+      else {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory)
+          Seq(s"$t/${p.getName}:${st.getLen}:${st.getModificationTime}")
         else {
-          val st = fs.getFileStatus(p)
-          if (st.isDirectory) {
-            val children = fs.listStatus(p)
-            (children.map(_.getLen).sum,
-             children.foldLeft(0L)((m, c) => math.max(m, c.getModificationTime)))
-          } else (st.getLen, st.getModificationTime)
+          val prefix = p.toUri.getPath
+          val it = fs.listFiles(p, true)
+          val buf = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            val rel = f.getPath.toUri.getPath.stripPrefix(prefix).stripPrefix("/")
+            if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+              buf += s"$t/$rel:${f.getLen}:${f.getModificationTime}"
+          }
+          buf.result()
         }
-      s"$t:$sz:$mt"
-    }.mkString(";")
+      }
+    }.sorted
+
+  /** Classify how the sources moved since `prev` (a committed
+    * version's recorded fingerprint) against `cur` (their state now). */
+  private def classify(prev: String, cur: Seq[String], dir: String): SourceDrift = {
+    val prevSet = prev.split("\n").iterator.filter(_.nonEmpty).toSet
+    val curSet = cur.toSet
+    if (prevSet == curSet) SourceDrift.Unchanged
+    else if (prevSet.nonEmpty && prevSet.subsetOf(curSet) &&
+             !prevSet.exists(_.contains(" absent"))) {
+      val fresh = (curSet -- prevSet).toSeq.sorted.flatMap { e =>
+        // entry = table/relpath:size:mtime — table is the first '/'
+        // segment, the trailing :size:mtime pair is stripped
+        val slash = e.indexOf('/')
+        val relAndStats = e.substring(slash + 1)
+        val cut = relAndStats.lastIndexOf(':', relAndStats.lastIndexOf(':') - 1)
+        if (slash < 0 || cut < 0) None
+        else Some(e.substring(0, slash) -> relAndStats.substring(0, cut))
+      }
+      SourceDrift.AppendOnly(fresh.groupBy(_._1).map { case (t, es) =>
+        t -> es.map { case (_, rel) => s"$dir/$t.parquet/$rel" }
+      })
+    } else SourceDrift.Rewritten
+  }
 
   /** Where a tier lives on disk — the introspection surface specs and
     * tooling (ScanCount's tier mapping, Vacuum runs) key off. */
@@ -108,16 +181,53 @@ object DerivedStore {
   def served(s: SparkSession, dir: String, name: String,
              sources: Seq[String],
              build: (SparkSession, String) => DataFrame,
-             numFiles: Int, sortKey: String): DataFrame = {
+             numFiles: Int, sortKey: String): DataFrame =
+    servedWith(s, dir, name, sources, build, None, numFiles, sortKey)
+
+  /** [[served]] plus an append-only fast path: when drift classifies
+    * as [[SourceDrift.AppendOnly]], the next version is
+    * `merge(s, dir, servedTier, deltaFiles)` instead of a full
+    * `build` — O(delta + |tier|) instead of O(history). The merge
+    * MUST produce exactly what `build` over the grown sources would
+    * (the spec-pinned contract); any non-append drift still takes the
+    * full build. */
+  def servedIncremental(s: SparkSession, dir: String, name: String,
+                        sources: Seq[String],
+                        build: (SparkSession, String) => DataFrame,
+                        merge: Merge,
+                        numFiles: Int, sortKey: String): DataFrame =
+    servedWith(s, dir, name, sources, build, Some(merge), numFiles, sortKey)
+
+  private def servedWith(s: SparkSession, dir: String, name: String,
+                         sources: Seq[String],
+                         build: (SparkSession, String) => DataFrame,
+                         merge: Option[Merge],
+                         numFiles: Int, sortKey: String): DataFrame = {
     val store = storePath(dir, name)
-    val fp = fingerprint(s, dir, sources)
+    val entries = fileEntries(s, dir, sources)
+    val fp = entries.mkString("\n")
     def fresh: Option[Long] = AtomicPublish.currentVersion(s, store)
       .filter(v => versionFingerprint(s, store, v).contains(fp))
     val version = fresh.getOrElse {
       lock.synchronized {
         fresh.getOrElse { // recheck under the lock
+          val rows = (for {
+            m <- merge
+            v <- AtomicPublish.currentVersion(s, store)
+            recorded <- versionFingerprint(s, store, v)
+            delta <- classify(recorded, entries, dir) match {
+              case SourceDrift.AppendOnly(nf) => Some(nf)
+              case _ => None
+            }
+          } yield {
+            lastBuild = Some(name -> "merge")
+            m(s, dir, s.read.parquet(s"$store/v=$v"), delta)
+          }).getOrElse {
+            lastBuild = Some(name -> "full")
+            build(s, dir)
+          }
           val staging = AtomicPublish.stageVersionWith(store) { p =>
-            SortedLayout.writeRangeSorted(build(s, dir), p, numFiles, col(sortKey))
+            SortedLayout.writeRangeSorted(rows, p, numFiles, col(sortKey))
           }
           // the fingerprint rides inside the staged version so the
           // commit rename publishes data + provenance atomically

@@ -101,10 +101,47 @@ object GraphStore {
   // Served tier
   // ---------------------------------------------------------------------
 
-  /** Store-served purchase edges: columns `cust`, `supp`. */
+  /** Store-served purchase edges: columns `cust`, `supp`. Registered
+    * with the append-only merge, so daily part-file arrivals refresh
+    * the tier at O(Δ + |edges|) instead of re-running the
+    * history-sized lineitem⋈orders distinct ([[purchaseEdgesMerge]]);
+    * any non-append drift still takes the full inline build. */
   def purchaseEdges(s: SparkSession, dir: String): DataFrame =
-    served(s, dir, "purchase", Seq("lineitem", "orders"),
-      purchaseEdgesInline, numFiles = 8, sortKey = "cust")
+    DerivedStore.servedIncremental(s, dir, "purchase", Seq("lineitem", "orders"),
+      purchaseEdgesInline, purchaseEdgesMerge, numFiles = 8, sortKey = "cust")
+
+  /** Append-only refresh of the purchase tier. New edges can only
+    * come from NEW lineitem rows: a lineitem's order is present in
+    * the same snapshot (the FK invariant q87 audits), so delta
+    * lineitem ⋈ full orders is the complete new-pair set — the small
+    * delta side broadcasts and the full distinct-over-history never
+    * re-runs. Orders-only growth (orders whose lineitems haven't
+    * landed yet) adds no edges by construction; their edges arrive
+    * with a later lineitem delta. The degree columns are re-derived
+    * over the merged edge set — the honest O(|edges|) tail, still
+    * orders of magnitude below the O(history) join+distinct a full
+    * rebuild pays. */
+  private def purchaseEdgesMerge(s: SparkSession, dir: String,
+                                 prev: DataFrame,
+                                 deltas: Map[String, Seq[String]]): DataFrame = {
+    val liPaths = deltas.getOrElse("lineitem", Seq.empty)
+    if (liPaths.isEmpty) prev // no new lineitems -> identical edge set
+    else {
+      val bare = prev.select("cust", "supp")
+      val dLi = s.read.option("basePath", s"$dir/lineitem.parquet")
+        .parquet(liPaths: _*).select("l_orderkey", "l_suppkey")
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val freshPairs = dLi.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("cust"),
+          (col("l_suppkey") + SuppOffset).cast("long").as("supp"))
+        .distinct()
+        .join(bare, Seq("cust", "supp"), "left_anti")
+      bare.union(freshPairs)
+        .repartition(col("cust"))
+        .withColumn("cust_deg", count(lit(1)).over(Window.partitionBy("cust")))
+        .withColumn("supp_deg", count(lit(1)).over(Window.partitionBy("supp")))
+    }
+  }
 
   /** Store-served co-supply undirected edges: columns `eu`, `ev`. */
   def cosupplyUnd(s: SparkSession, dir: String): DataFrame =
