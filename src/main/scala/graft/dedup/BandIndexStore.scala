@@ -58,9 +58,24 @@ object BandIndexStore {
     * ingested batches ARE its source of truth; this entry point is for
     * the snapshot-derived tier). */
   def corpusIndex(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.served(s, dir, "band_index", Seq("documents"),
+    DerivedStore.servedIncremental(s, dir, "band_index", Seq("documents"),
       (s2, d) => bandKeys(Tables.loadParallel(s2, d, "documents")),
-      numFiles = 8, sortKey = "band_hash")
+      corpusIndexMerge, numFiles = 8, sortKey = "band_hash")
+
+  /** Append-only refresh of the snapshot tier: band keys are a pure
+    * per-doc map, so the next version is exactly prev ∪ bands(delta) —
+    * the [[append]] lifecycle expressed as [[DerivedStore]]'s merge,
+    * O(Δ) band computation instead of re-shingling the corpus.
+    * Contract (the append-only table contract generally): delta files
+    * carry NEW doc_ids; re-ingesting an existing doc is a rewrite of
+    * the table, which classifies as such and takes the full rebuild. */
+  private def corpusIndexMerge(s: SparkSession, dir: String, prev: DataFrame,
+                               deltas: Map[String, Seq[String]]): DataFrame =
+    deltas.getOrElse("documents", Seq.empty) match {
+      case Seq() => prev
+      case paths => prev.unionByName(bandKeys(
+        s.read.option("basePath", s"$dir/documents.parquet").parquet(paths: _*)))
+    }
 
   /** [[dedupBatch]] against the snapshot-served [[corpusIndex]]. */
   def dedupBatchAgainstCorpus(s: SparkSession, dir: String,

@@ -48,13 +48,81 @@ object ClusterStore {
     Dedup.components(graft.sim.Similarity.s4EmbeddingNeardup(s, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 
-  /** Store-served lexical dup-cluster labels. */
+  /** Store-served lexical dup-cluster labels. Registered with the
+    * incremental merge: append-only corpus growth refreshes the labels
+    * from only the delta-touching pairs ([[lshComponentsMerge]]). */
   def lshComponents(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.served(s, dir, "lsh_components", Seq("documents"),
-      lshComponentsInline, numFiles = 4, sortKey = "doc_id")
+    DerivedStore.servedIncremental(s, dir, "lsh_components", Seq("documents"),
+      lshComponentsInline, lshComponentsMerge, numFiles = 4, sortKey = "doc_id")
 
-  /** Store-served semantic cluster labels. */
+  /** Store-served semantic cluster labels. Full rebuild on any drift:
+    * s4's near-dup candidates come from its own quantized-embedding
+    * bucketing, so an incremental form needs that candidate machinery
+    * exposed on a delta slice — deferred until a consumer needs it
+    * (the lexical tier is the expensive one; emb pairs are ~10× fewer). */
   def embComponents(s: SparkSession, dir: String): DataFrame =
     DerivedStore.served(s, dir, "emb_components", Seq("embeddings"),
       embComponentsInline, numFiles = 4, sortKey = "doc_id")
+
+  /** Incremental connected components under append-only corpus growth.
+    *
+    * Banding is doc-local, so old×old pairs cannot change: every NEW
+    * pair touches ≥1 delta doc. The delta docs' band keys probe the
+    * standing [[BandIndexStore.corpusIndex]] (itself incrementally
+    * refreshed by the same drift — the tiers compose) for d3's exact
+    * pair contract, then old components are CONTRACTED to their label
+    * node (the component's min doc_id) and the convergence loop runs
+    * on that graph — |delta pairs| edges, never the historical pair
+    * set. Labels stay the global min doc_id: an old component's label
+    * IS its min, so the contracted minimum equals the full rebuild's
+    * (`IncrementalTierSpec` pins row-equality).
+    *
+    * Cost: O(Δ-bands ⋈ band tier) + CC over delta-touching pairs +
+    * O(|tier|) relabel join — against the full rebuild's corpus-wide
+    * band self-join and a convergence loop shuffling EVERY historical
+    * pair per round. */
+  private def lshComponentsMerge(s: SparkSession, dir: String, prev: DataFrame,
+                                 deltas: Map[String, Seq[String]]): DataFrame = {
+    val paths = deltas.getOrElse("documents", Seq.empty)
+    if (paths.isEmpty) return prev
+    val deltaDocs = s.read.option("basePath", s"$dir/documents.parquet")
+      .parquet(paths: _*)
+    val deltaBands = Dedup.bandKeysOf(deltaDocs)
+    val allBands = BandIndexStore.corpusIndex(s, dir)
+    // d3's pair contract (canonical doc_a < doc_b, distinct), restricted
+    // to pairs with a delta endpoint; no forced broadcast — a day-sized
+    // delta may exceed the broadcast budget at 100 TB, and AQE picks
+    // the broadcast side when it does fit
+    val newPairs = deltaBands.as("n")
+      .join(allBands.as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+        col("n.band_hash") === col("c.band_hash") &&
+        col("n.doc_id") =!= col("c.doc_id"))
+      .select(least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
+      .distinct()
+    // contract: an endpoint inside an old component participates as its
+    // label; singletons and delta docs participate as themselves
+    val labA = prev.select(col("doc_id").as("doc_a"), col("component").as("comp_a"))
+    val labB = prev.select(col("doc_id").as("doc_b"), col("component").as("comp_b"))
+    val contracted = newPairs
+      .join(labA, Seq("doc_a"), "left").join(labB, Seq("doc_b"), "left")
+      .select(coalesce(col("comp_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val relabel = Dedup.components(contracted) // (doc_id=node, component)
+    // old rows follow their (possibly re-labelled) component; nodes that
+    // are NOT old labels — delta docs and formerly-singleton old docs —
+    // enter the tier directly with their new component
+    val relabelMap = relabel
+      .select(col("doc_id").as("component"), col("component").as("next_component"))
+    val oldRows = prev.join(broadcast(relabelMap), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("next_component"), col("component")).as("component"))
+    // no broadcast hint: |labels| is cluster-count-sized and may not
+    // broadcast at scale; relabel is delta-sized either way
+    val labelNodes = prev.select(col("component").as("doc_id")).distinct()
+    val directRows = relabel.join(labelNodes, Seq("doc_id"), "left_anti")
+    oldRows.unionByName(directRows)
+  }
 }

@@ -211,7 +211,12 @@ object DerivedStore {
     val version = fresh.getOrElse {
       lock.synchronized {
         fresh.getOrElse { // recheck under the lock
-          val rows = (for {
+          // a merge may serve ANOTHER tier inside its body (the lsh
+          // components merge probes the band-index tier) — the inner
+          // serve re-enters the (reentrant) lock and may publish
+          // first; lastBuild is set AFTER the callback so it reports
+          // THIS store's mode, not the inner one's
+          val (rows, mode) = (for {
             m <- merge
             v <- AtomicPublish.currentVersion(s, store)
             recorded <- versionFingerprint(s, store, v)
@@ -219,13 +224,9 @@ object DerivedStore {
               case SourceDrift.AppendOnly(nf) => Some(nf)
               case _ => None
             }
-          } yield {
-            lastBuild = Some(name -> "merge")
-            m(s, dir, s.read.parquet(s"$store/v=$v"), delta)
-          }).getOrElse {
-            lastBuild = Some(name -> "full")
-            build(s, dir)
-          }
+          } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
+            .getOrElse((build(s, dir), "full"))
+          lastBuild = Some(name -> mode)
           val staging = AtomicPublish.stageVersionWith(store) { p =>
             SortedLayout.writeRangeSorted(rows, p, numFiles, col(sortKey))
           }

@@ -113,4 +113,62 @@ class IncrementalTierSpec extends SparkSpec {
       case None => sys.props.remove("graft.graphstore.dir"): Unit
     }
   }
+
+  test("band index and LSH components compose incrementally and equal the full rebuild") {
+    val dir = tmpDir("incr-docs")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-docs-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      // doc_id-parity halves: day 1 evens, day 2's arrivals odd
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+
+      def bands(d: String): Set[(Long, Int, String)] =
+        graft.dedup.BandIndexStore.corpusIndex(spark, d).collect()
+          .map(r => (r.getAs[Number]("doc_id").longValue, r.getAs[Number]("band_idx").intValue,
+            r.getAs[String]("band_hash"))).toSet
+      def clusters(d: String): Set[(Long, Long)] =
+        graft.dedup.ClusterStore.lshComponents(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def inlineClusters(d: String): Set[(Long, Long)] =
+        graft.dedup.ClusterStore.lshComponentsInline(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      DerivedStore.lastBuild = None
+      val b1 = bands(dir)
+      assert(lastMode.contains("full") && b1.nonEmpty)
+      val c1 = clusters(dir)
+      assert(lastMode.contains("full"))
+      assert(c1 == inlineClusters(dir))
+
+      // day 2: odd docs land as a new part file
+      val stage = tmpDir("incr-docs-delta")
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      // the d3 pipeline registers its bands frame in the cache manager;
+      // a cached plan pins the PRE-APPEND file snapshot, so drop caches
+      // when the source drifts (the releaseAll discipline every probe
+      // follows) or the inline ground truth reads yesterday's corpus
+      graft.core.Caching.releaseAll()
+      spark.catalog.clearCache()
+
+      // serve the band tier first so the components merge probes an
+      // already-fresh index (and its own mode is observable)
+      DerivedStore.lastBuild = None
+      val b2 = bands(dir)
+      assert(lastMode.contains("merge"), "band index must refresh incrementally")
+      assert(b1.subsetOf(b2) && b2.size > b1.size,
+        "delta docs' bands appended beside the old ones")
+
+      DerivedStore.lastBuild = None
+      val c2 = clusters(dir)
+      assert(lastMode.contains("merge"), "components must refresh via the contracted merge")
+      assert(c2 == inlineClusters(dir),
+        "incremental components must equal the full rebuild over the grown corpus")
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
 }
