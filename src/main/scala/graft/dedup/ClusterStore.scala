@@ -55,14 +55,14 @@ object ClusterStore {
     DerivedStore.servedIncremental(s, dir, "lsh_components", Seq("documents"),
       lshComponentsInline, lshComponentsMerge, numFiles = 4, sortKey = "doc_id")
 
-  /** Store-served semantic cluster labels. Full rebuild on any drift:
-    * s4's near-dup candidates come from its own quantized-embedding
-    * bucketing, so an incremental form needs that candidate machinery
-    * exposed on a delta slice — deferred until a consumer needs it
-    * (the lexical tier is the expensive one; emb pairs are ~10× fewer). */
+  /** Store-served semantic cluster labels, incrementally refreshed
+    * under append-only embedding growth ([[embComponentsMerge]]) —
+    * s4's label block and quantization are per-vector, so the same
+    * old-pairs-cannot-change property the lexical merge rests on
+    * holds here. */
   def embComponents(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.served(s, dir, "emb_components", Seq("embeddings"),
-      embComponentsInline, numFiles = 4, sortKey = "doc_id")
+    DerivedStore.servedIncremental(s, dir, "emb_components", Seq("embeddings"),
+      embComponentsInline, embComponentsMerge, numFiles = 4, sortKey = "doc_id")
 
   /** Incremental connected components under append-only corpus growth.
     *
@@ -101,6 +101,28 @@ object ClusterStore {
       .select(least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
       .distinct()
+    contractedComponents(prev, newPairs)
+  }
+
+  /** Semantic twin of [[lshComponentsMerge]]: delta embeddings quantize
+    * alone, s4's pair contract restricted to delta-touching pairs, then
+    * the same label contraction. */
+  private def embComponentsMerge(s: SparkSession, dir: String, prev: DataFrame,
+                                 deltas: Map[String, Seq[String]]): DataFrame = {
+    val paths = deltas.getOrElse("embeddings", Seq.empty)
+    if (paths.isEmpty) return prev
+    val delta = graft.sim.Similarity.quantizedOf(
+      s.read.option("basePath", s"$dir/embeddings.parquet").parquet(paths: _*))
+    contractedComponents(prev,
+      graft.sim.Similarity.neardupPairsTouching(delta,
+        graft.sim.Similarity.quantized(s, dir)))
+  }
+
+  /** The shared incremental step: contract old components to their
+    * label node (the component's min doc_id), run the convergence loop
+    * over only `newPairs` (each touching ≥1 new doc), then relabel. */
+  private def contractedComponents(prev: DataFrame,
+                                   newPairs: DataFrame): DataFrame = {
     // contract: an endpoint inside an old component participates as its
     // label; singletons and delta docs participate as themselves
     val labA = prev.select(col("doc_id").as("doc_a"), col("component").as("comp_a"))

@@ -51,9 +51,13 @@ object Similarity {
   }
 
   /** vec_id, label, qv (int64 millionths), n2 (int64 squared norm). */
-  private[sim] def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.loadParallel(s, dir, "embeddings")
-      .withColumn("qv",
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    quantizedOf(Tables.loadParallel(s, dir, "embeddings"))
+
+  /** The quantization applied to any embeddings-shaped slice (the
+    * incremental tiers quantize delta files alone). */
+  private[graft] def quantizedOf(df: DataFrame): DataFrame =
+    df.withColumn("qv",
         expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))"))
       .withColumn("n2", graft.plans.LongArrayDot.dot(col("qv"), col("qv")))
 
@@ -187,6 +191,10 @@ object Similarity {
     * blocking is the same bounded-candidate idea as d5's language
     * blocks; at scale the block key would be the LSH bucket instead.
     */
+  /** s4's near-dup threshold — shared with the incremental tier merge
+    * so the two pair generators cannot drift. */
+  private[graft] val NeardupMinCos = 0.4
+
   val s4EmbeddingNeardup: Q = (s, dir) => {
     val e = quantized(s, dir)
     e.as("a")
@@ -194,9 +202,27 @@ object Similarity {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot", graft.plans.LongArrayDot.dot(col("a.qv"), col("b.qv")))
       .withColumn("cos_sim", cosine(col("dot"), col("a.n2"), col("b.n2")))
-      .filter(col("cos_sim") >= 0.4)
+      .filter(col("cos_sim") >= NeardupMinCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
   }
+
+  /** s4's pair contract restricted to pairs touching `delta`
+    * (quantized rows): label-blocked candidates, the same quantized
+    * cosine, the same threshold, canonical `doc_a < doc_b`. Because
+    * quantization and the label block are per-vector, old×old pairs
+    * cannot change under append-only growth — this IS the complete
+    * new-pair set, the property `ClusterStore`'s incremental
+    * components merge rests on. */
+  private[graft] def neardupPairsTouching(delta: DataFrame,
+                                          all: DataFrame): DataFrame =
+    delta.as("n").join(all.as("c"),
+        col("n.label") === col("c.label") && col("n.vec_id") =!= col("c.vec_id"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("n.qv"), col("c.qv")))
+      .withColumn("cos_sim", cosine(col("dot"), col("n.n2"), col("c.n2")))
+      .filter(col("cos_sim") >= NeardupMinCos)
+      .select(least(col("n.vec_id"), col("c.vec_id")).as("doc_a"),
+        greatest(col("n.vec_id"), col("c.vec_id")).as("doc_b"))
+      .distinct()
 
   val s4EmbeddingNeardupSql: String = s"""
     WITH $oracleQuantized,

@@ -171,4 +171,41 @@ class IncrementalTierSpec extends SparkSpec {
       case None => sys.props.remove("graft.graphstore.dir"): Unit
     }
   }
+
+  test("semantic components refresh incrementally under append-only embedding growth") {
+    val dir = tmpDir("incr-emb")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-emb-store")
+    try {
+      val emb = Tables.load(spark, sfDir, "embeddings").cache()
+      writeTable(emb.filter(col("vec_id") % 2 === 0), dir, "embeddings")
+
+      def clusters(d: String): Set[(Long, Long)] =
+        graft.dedup.ClusterStore.embComponents(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def inlineClusters(d: String): Set[(Long, Long)] =
+        graft.dedup.ClusterStore.embComponentsInline(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      DerivedStore.lastBuild = None
+      assert(clusters(dir) == inlineClusters(dir))
+      assert(lastMode.contains("full"))
+
+      val stage = tmpDir("incr-emb-delta")
+      emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/e")
+      appendParts(s"$stage/e", s"$dir/embeddings.parquet")
+      graft.core.Caching.releaseAll()
+      spark.catalog.clearCache()
+
+      DerivedStore.lastBuild = None
+      val c2 = clusters(dir)
+      assert(lastMode.contains("merge"), "semantic components must refresh via the contracted merge")
+      assert(c2 == inlineClusters(dir),
+        "incremental semantic components must equal the full rebuild")
+      emb.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
 }
