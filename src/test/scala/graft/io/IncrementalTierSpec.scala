@@ -172,6 +172,39 @@ class IncrementalTierSpec extends SparkSpec {
     }
   }
 
+  test("the merge callback receives exactly the appended files, nothing from history") {
+    val dir = tmpDir("incr-rec")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-rec-store")
+    try {
+      val nation = Tables.load(spark, sfDir, "nation").select("n_nationkey")
+      writeTable(nation.filter(col("n_nationkey") < 10), dir, "nation")
+      var seen: Option[Map[String, Seq[String]]] = None
+      def serve(): Long = DerivedStore.servedIncremental(spark, dir, "rec",
+        Seq("nation"), (s, d) => Tables.load(s, d, "nation").select("n_nationkey"),
+        (s, _, prev, deltas) => {
+          seen = Some(deltas)
+          prev.unionByName(s.read.parquet(deltas("nation"): _*).select("n_nationkey"))
+        }, numFiles = 1, sortKey = "n_nationkey").count()
+
+      assert(serve() == 10 && seen.isEmpty, "full build must not call the merge")
+      val stage = tmpDir("incr-rec-delta")
+      nation.filter(col("n_nationkey") >= 10).coalesce(1).write.parquet(s"$stage/n")
+      val deltaNames = Files.list(Paths.get(s"$stage/n")).toArray
+        .map(_.asInstanceOf[JPath].getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+      appendParts(s"$stage/n", s"$dir/nation.parquet")
+      assert(serve() == 25)
+      val got = seen.getOrElse(fail("merge not called on append-only drift"))
+      assert(got.keySet == Set("nation"))
+      assert(got("nation").map(p => p.substring(p.lastIndexOf('/') + 1)).toSet == deltaNames,
+        "delta file list must be exactly the appended files — history never re-enters the merge")
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
   test("semantic components refresh incrementally under append-only embedding growth") {
     val dir = tmpDir("incr-emb")
     val prevRoot = sys.props.get("graft.graphstore.dir")
