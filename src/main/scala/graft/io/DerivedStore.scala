@@ -227,24 +227,62 @@ object DerivedStore {
           } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
             .getOrElse((build(s, dir), "full"))
           lastBuild = Some(name -> mode)
-          val staging = AtomicPublish.stageVersionWith(store) { p =>
+          publishStaged(s, store, fp) { p =>
             SortedLayout.writeRangeSorted(rows, p, numFiles, col(sortKey))
           }
-          // the fingerprint rides inside the staged version so the
-          // commit rename publishes data + provenance atomically
-          val fs = hadoopFs(s, staging)
-          val out = fs.create(new Path(staging, FingerprintFile), true)
-          try out.write(fp.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          val n = AtomicPublish.commitStagedOcc(s, store, staging)
-          // superseded versions survive ONE refresh cycle: a reader
-          // that resolved v(n-1) moments ago keeps its files until
-          // the NEXT publish (Vacuum's keep-window, shared GC)
-          Vacuum.sweep(s, store, keepVersions = 2): Unit
-          n
         }
       }
     }
     s.read.parquet(s"$store/v=$version")
+  }
+
+  /** Serve a DIRECTORY-shaped tier — multi-dataset artifacts whose
+    * builder owns the inner layout (an ANN index's centroids +
+    * cell-partitioned postings + metric marker) — through the same
+    * fingerprint/OCC protocol as the frame tiers. Returns the fresh
+    * committed version's PATH; the caller reads the structure inside.
+    * Directory tiers are full-rebuild-only: incremental maintenance of
+    * a multi-dataset artifact is the builder's own lifecycle (e.g.
+    * `AnnIndex.append`), not a frame merge. */
+  def servedDir(s: SparkSession, dir: String, name: String,
+                sources: Seq[String])
+               (write: (SparkSession, String, String) => Unit): String = {
+    val store = storePath(dir, name)
+    val fp = fileEntries(s, dir, sources).mkString("\n")
+    def fresh: Option[Long] = AtomicPublish.currentVersion(s, store)
+      .filter(v => versionFingerprint(s, store, v).contains(fp))
+    val version = fresh.getOrElse {
+      lock.synchronized {
+        fresh.getOrElse {
+          lastBuild = Some(name -> "full")
+          publishStaged(s, store, fp)(p => write(s, dir, p))
+        }
+      }
+    }
+    s"$store/v=$version"
+  }
+
+  /** The shared publication tail: stage via `write`, drop the
+    * fingerprint (and a `_SUCCESS` commit record if the writer didn't
+    * leave one at the root — parquet writes do, directory builders
+    * may not) INSIDE the staged dir, then the OCC commit rename and
+    * the keep-2 GC sweep. */
+  private def publishStaged(s: SparkSession, store: String, fp: String)
+                           (write: String => Unit): Long = {
+    val staging = AtomicPublish.stageVersionWith(store)(write)
+    // the fingerprint rides inside the staged version so the
+    // commit rename publishes data + provenance atomically
+    val fs = hadoopFs(s, staging)
+    val out = fs.create(new Path(staging, FingerprintFile), true)
+    try out.write(fp.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val succ = new Path(staging, "_SUCCESS")
+    if (!fs.exists(succ)) fs.create(succ, true).close()
+    val n = AtomicPublish.commitStagedOcc(s, store, staging)
+    // superseded versions survive ONE refresh cycle: a reader
+    // that resolved v(n-1) moments ago keeps its files until
+    // the NEXT publish (Vacuum's keep-window, shared GC)
+    Vacuum.sweep(s, store, keepVersions = 2): Unit
+    n
   }
 }

@@ -102,9 +102,11 @@ object PlanAudit {
       // m6's candidate stage is s1's declared brute-force baseline
       // (broadcast query batch × corpus); scale path = s5/s12 IVF
       "m6_crossmodal_recall",
-      // m7 IS that scale path: its two crosses are s5's bounded
-      // row × broadcast-centroid-set assignment shape; the candidate
-      // stage itself is a cell-keyed equi-join, never a cross
+      // m7 IS that scale path, served (r9) from the snapshot media
+      // index: the remaining cross is the query-batch × broadcast
+      // centroid probe (bounded |q|×|centroids|, s5's shape) — corpus
+      // assignment happens at index BUILD, off the query plan; the
+      // candidate stage itself is a cell-keyed equi-join, never a cross
       "m7_crossmodal_ivf",
       // q100 crosses its one-row actual-count and one-row estimate
       // frames into a single output row (q39's scalar shape)

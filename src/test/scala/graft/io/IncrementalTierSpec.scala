@@ -205,6 +205,36 @@ class IncrementalTierSpec extends SparkSpec {
     }
   }
 
+  test("directory tiers (the media ANN index) are snapshot-keyed: drift rebuilds, fresh serves") {
+    val dir = tmpDir("incr-ann")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-ann-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      DerivedStore.lastBuild = None
+      val p1 = graft.multimodal.Multimodal.m7Index(spark, dir)
+      assert(p1.endsWith("v=1") && lastMode.contains("full"))
+      val n1 = spark.read.parquet(s"$p1/postings").count()
+      DerivedStore.lastBuild = None
+      assert(graft.multimodal.Multimodal.m7Index(spark, dir) == p1 && lastMode.isEmpty,
+        "fresh serve must not rebuild the index")
+
+      val stage = tmpDir("incr-ann-delta")
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val p2 = graft.multimodal.Multimodal.m7Index(spark, dir)
+      assert(p2.endsWith("v=2") && lastMode.contains("full"),
+        "directory tiers rebuild on ANY drift (their builders own incremental lifecycle)")
+      assert(spark.read.parquet(s"$p2/postings").count() > n1,
+        "rebuilt index covers the grown corpus")
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
   test("semantic components refresh incrementally under append-only embedding growth") {
     val dir = tmpDir("incr-emb")
     val prevRoot = sys.props.get("graft.graphstore.dir")
