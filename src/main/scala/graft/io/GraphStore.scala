@@ -143,7 +143,13 @@ object GraphStore {
     }
   }
 
-  /** Store-served co-supply undirected edges: columns `eu`, `ev`. */
+  /** Store-served co-supply undirected edges: columns `eu`, `ev`.
+    * Full rebuild on any drift: the tier stores only each supplier's
+    * TOP-3 partners, so an append-only merge would need the full
+    * (u, v, shared) count table as its standing state — a different
+    * (larger) artifact than what the consumers read. Until a consumer
+    * needs incremental co-supply, the bounded wedge join stays the
+    * per-snapshot cost. */
   def cosupplyUnd(s: SparkSession, dir: String): DataFrame =
     served(s, dir, "cosupply", Seq("lineitem"),
       cosupplyUndInline, numFiles = 4, sortKey = "eu")
