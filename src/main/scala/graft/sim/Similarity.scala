@@ -1026,6 +1026,124 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("adist2"), col("cos_sim"))
   }
 
+  // -------------------------------------------------------------------------
+  // s12 served from a snapshot-keyed PQ index (r9)
+  // -------------------------------------------------------------------------
+
+  /** Build the PQ-index artifact — s12's standing state as a directory
+    * tier: the trained codebooks (4 subspaces × 16 centroids, one tiny
+    * parquet) and each vector's PQ codes with its IVF cell (16 bytes
+    * of state per vector in place of the raw 64-dim array). Every
+    * stage is s12's own — deterministic id-elected init, one
+    * integer-exact update round, the same cosine cell assignment — so
+    * serving from the artifact reproduces the inline rows bit-for-bit. */
+  private def pqIndexBuild(s: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = quantized(s, dir)
+    val centroids = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("n2").as("c_n2"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val cells = corpus.join(broadcast(centroids))
+      .withColumn("c_cos", cosine(
+        graft.plans.LongArrayDot.dot(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val subs = pqSubs(kmVectors(s, dir)).registerCache()
+    val c0 = subs.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    val c1 = pqUpdate(pqAssign(subs, pqPack(c0)))
+    c1.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // codes PACKED per vector — (vec_id, cell, cids[4] ordered by m):
+    // the serve path reconstructs a candidate's ADC distance in one
+    // map step from the broadcast LUT, so no per-(query,m) rows ever
+    // form, let alone shuffle
+    pqAssign(subs, pqPack(c1)).select("vec_id", "m", "cid")
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), e -> e.cid)")
+        .as("cids"))
+      .join(cells, "vec_id")
+      .repartition(8, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** The snapshot-keyed PQ index for this corpus, under
+    * `DerivedStore.servedDir`'s fingerprint/OCC protocol: a
+    * regenerated embeddings table rebuilds codebooks + codes instead
+    * of silently serving stale ones. */
+  def s12Index(s: SparkSession, dir: String): String =
+    graft.io.DerivedStore.servedDir(s, dir, "pq_index", Seq("embeddings"))(pqIndexBuild)
+
+  /** Registry s12, SERVED from [[s12Index]]: codebook training, PQ
+    * encoding and cell assignment happen once per embeddings snapshot
+    * at index build — the query plan reads the artifact, computes the
+    * |q|-sized ADC LUT, scans the stored CODES (16 bytes/vector of
+    * state, never the raw vectors) and exact-re-ranks only the top-10
+    * candidates. The inline [[s12IvfPq]] stays the spec's ground
+    * truth; the DuckDB oracle recomputes the whole pipeline
+    * independently, so the hash gate re-proves served == inline every
+    * Verify run (the m7/g-family transitive check). */
+  val s12IvfPqServed: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val idx = s12Index(s, dir)
+    val codebooks = s.read.parquet(s"$idx/codebooks")
+    val codes = s.read.parquet(s"$idx/codes") // vec_id, cids[4], cell
+    val qsubs = pqSubs(kmVectors(s, dir)).filter(col("vec_id") % 50 === 0)
+    val qcells = codes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("cell").as("q_cell"))
+    // per-query PACKED LUT: the 64 subspace distances ordered by
+    // m*16+cid, one row per query — broadcast to the codes scan
+    val luts = qsubs
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(codebooks), "m")
+      .withColumn("qd2", expr(
+        """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+                     cast(0 as bigint), (a, x) -> a + x)"""))
+      .groupBy("query_id")
+      // the trained codebook is SPARSE (only cids some training vector
+      // landed on exist), so the LUT is a map keyed by m*16+cid, not a
+      // dense positional array — codes only ever reference trained cids
+      .agg(expr(
+        "map_from_entries(collect_list(struct(cast(m * 16 + cid as int) AS k, qd2)))")
+        .as("lut"))
+      .join(qcells, "query_id")
+    // cell-keyed candidate scan: ADC distance reconstructed map-side
+    // from the packed codes + LUT, and the per-query top-10 kept in a
+    // bounded buffer (MinKDistAggregator) so the exchange carries
+    // |q|·k pairs — never the Σ cell² candidate volume
+    val minK = udaf(new graft.ops.MinKDistAggregator(10))
+    val cand = codes.join(broadcast(luts), col("cell") === col("q_cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist2", expr(
+        """aggregate(sequence(0, 3), cast(0 as bigint),
+             (a, m) -> a + element_at(lut,
+               cast(m * 16 + element_at(cids, m + 1) as int)))"""))
+      .groupBy("query_id", "q_cell")
+      .agg(minK(col("vec_id"), col("adist2")).as("top"))
+      .select(col("query_id"), col("q_cell").as("cell"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("cell"),
+        col("t._2").as("vec_id"), col("t._1").as("adist2"))
+    val qn = quantized(s, dir).select("vec_id", "qv", "n2")
+    // cand is |q|·k rows BY CONSTRUCTION, but it flows out of a udaf
+    // whose output has no size estimate — without the hint AQE
+    // sometimes sort-merges these joins and shuffles the whole
+    // quantized corpus (measured: the served probe read exp 1.49 from
+    // exactly that flip; every stage is linear with the hint pinned)
+    val withQ = broadcast(cand)
+      .join(qn.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2")), "query_id")
+    broadcast(withQ).join(qn, "vec_id")
+      .withColumn("cos_sim",
+        cosine(graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")),
+          col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cell"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adist2"), col("cos_sim"))
+  }
+
   val s12IvfPqSql: String = s"""
     WITH $oracleQuantized,
     $pqSqlChain,
@@ -1585,7 +1703,7 @@ object Similarity {
     "s15_mmr_rerank"       -> s15MmrRerank,
     "s14_knn_classify"     -> s14KnnClassify,
     "s13_filtered_ann"     -> s13FilteredAnn,
-    "s12_ivf_pq"           -> s12IvfPq,
+    "s12_ivf_pq"           -> s12IvfPqServed,
     "s10_pq_adc"           -> s10PqAdc,
     "s11_kmeans"           -> s11Kmeans,
     "d19_semdedup"         -> d19Semdedup,

@@ -128,4 +128,17 @@ class AnnIndexSpec extends SparkSpec {
       .count(_.getAs[Number]("cell").longValue == cells.min)
     assert(one.count() == expected)
   }
+
+  test("s12 served from the snapshot PQ index equals the inline IVF+PQ row-for-row") {
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("pqindex-store")
+    try {
+      val served = Similarity.s12IvfPqServed(spark, sfDir).collect().toSeq
+      val inline = Similarity.s12IvfPq(spark, sfDir).collect().toSeq
+      assert(served.nonEmpty && served.map(_.toSeq).toSet == inline.map(_.toSeq).toSet)
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
 }
