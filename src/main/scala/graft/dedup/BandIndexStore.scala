@@ -67,14 +67,22 @@ object BandIndexStore {
     * the [[append]] lifecycle expressed as [[DerivedStore]]'s merge,
     * O(Δ) band computation instead of re-shingling the corpus.
     * Contract (the append-only table contract generally): delta files
-    * carry NEW doc_ids; re-ingesting an existing doc is a rewrite of
-    * the table, which classifies as such and takes the full rebuild. */
+    * carry NEW doc_ids. File-grain drift classification can't see key
+    * overlap, so the precondition is ENFORCED here: a re-ingested
+    * existing doc_id (which would silently duplicate its band rows and
+    * diverge from a rebuild) is detected by a delta-sized key probe
+    * and routed to the full rebuild instead — AnnIndex.append's guard,
+    * with the graceful fallback a frame merge affords. */
   private def corpusIndexMerge(s: SparkSession, dir: String, prev: DataFrame,
                                deltas: Map[String, Seq[String]]): DataFrame =
     deltas.getOrElse("documents", Seq.empty) match {
       case Seq() => prev
-      case paths => prev.unionByName(bandKeys(
-        s.read.option("basePath", s"$dir/documents.parquet").parquet(paths: _*)))
+      case paths =>
+        val delta = s.read.option("basePath", s"$dir/documents.parquet")
+          .parquet(paths: _*)
+        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id"))
+          bandKeys(Tables.loadParallel(s, dir, "documents"))
+        else prev.unionByName(bandKeys(delta))
     }
 
   /** [[dedupBatch]] against the snapshot-served [[corpusIndex]]. */

@@ -87,6 +87,11 @@ object ClusterStore {
     if (paths.isEmpty) return prev
     val deltaDocs = s.read.option("basePath", s"$dir/documents.parquet")
       .parquet(paths: _*)
+    // merge precondition (BandIndexStore's guard): a re-ingested
+    // existing doc_id breaks the old×old-pairs-cannot-change argument
+    // the contraction rests on — rebuild instead of mislabeling
+    if (DerivedStore.deltaKeysOverlap(prev, deltaDocs, "doc_id"))
+      return lshComponentsInline(s, dir)
     val deltaBands = Dedup.bandKeysOf(deltaDocs)
     val allBands = BandIndexStore.corpusIndex(s, dir)
     // d3's pair contract (canonical doc_a < doc_b, distinct), restricted
@@ -111,8 +116,14 @@ object ClusterStore {
                                  deltas: Map[String, Seq[String]]): DataFrame = {
     val paths = deltas.getOrElse("embeddings", Seq.empty)
     if (paths.isEmpty) return prev
-    val delta = graft.sim.Similarity.quantizedOf(
-      s.read.option("basePath", s"$dir/embeddings.parquet").parquet(paths: _*))
+    val deltaRaw = s.read.option("basePath", s"$dir/embeddings.parquet")
+      .parquet(paths: _*)
+    // same precondition as the lexical merge: a re-ingested vec_id
+    // invalidates the contraction — rebuild
+    if (DerivedStore.deltaKeysOverlap(
+          prev.select(col("doc_id").as("vec_id")), deltaRaw, "vec_id"))
+      return embComponentsInline(s, dir)
+    val delta = graft.sim.Similarity.quantizedOf(deltaRaw)
     contractedComponents(prev,
       graft.sim.Similarity.neardupPairsTouching(delta,
         graft.sim.Similarity.quantized(s, dir)))

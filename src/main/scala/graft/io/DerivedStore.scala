@@ -85,6 +85,24 @@ object DerivedStore {
     * readers can't and shouldn't tell). */
   @volatile private[graft] var lastBuild: Option[(String, String)] = None
 
+  /** Test hook: invoked after the source fingerprint is taken and
+    * before the build/merge reads the tables — specs land a concurrent
+    * append inside exactly that window to drive the re-list path. */
+  @volatile private[graft] var onFingerprinted: () => Unit = () => ()
+
+  /** How many stage attempts a publish makes while the sources keep
+    * moving under it before giving up and committing with the
+    * [[ChurnSentinel]] fingerprint. */
+  private val MaxStageAttempts = 3
+
+  /** Fingerprint committed when the sources drifted on every stage
+    * attempt: it can never match a real listing (real entries are
+    * `table/relpath:size:mtime` lines), so the next serve rebuilds, and
+    * [[classify]] reads it as [[SourceDrift.Rewritten]] — never
+    * AppendOnly — so a merge can never re-digest files a churned build
+    * may already have read. */
+  private val ChurnSentinel = "!churn"
+
   private def root: String =
     sys.props.get("graft.graphstore.dir")
       .orElse(sys.env.get("GRAFT_GRAPHSTORE_DIR"))
@@ -99,6 +117,20 @@ object DerivedStore {
 
   private def hadoopFs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Merge-precondition probe for append-only tiers whose contract is
+    * "delta files carry only NEW keys": true when any `key` in `delta`
+    * already exists in the served tier — the re-ingestion case that
+    * would silently duplicate tier rows if the merge ran anyway
+    * (AnnIndex.append's loud require, expressed as the cheap check a
+    * frame merge can fall back from). One pass over the tier's pruned
+    * key column against a broadcast of the delta's distinct keys. */
+  private[graft] def deltaKeysOverlap(prev: DataFrame, delta: DataFrame,
+                                      key: String): Boolean =
+    !prev.select(key)
+      .join(org.apache.spark.sql.functions.broadcast(delta.select(key).distinct()),
+        Seq(key), "left_semi")
+      .isEmpty
 
   /** One fingerprint line per source DATA file (recursive, so a new
     * day dir in a partitioned layout is just new lines): sorted
@@ -204,36 +236,91 @@ object DerivedStore {
                          merge: Option[Merge],
                          numFiles: Int, sortKey: String): DataFrame = {
     val store = storePath(dir, name)
-    val entries = fileEntries(s, dir, sources)
-    val fp = entries.mkString("\n")
-    def fresh: Option[Long] = AtomicPublish.currentVersion(s, store)
+    def fresh(fp: String): Option[Long] = AtomicPublish.currentVersion(s, store)
       .filter(v => versionFingerprint(s, store, v).contains(fp))
-    val version = fresh.getOrElse {
+    val fp0 = fileEntries(s, dir, sources).mkString("\n")
+    val version = fresh(fp0).getOrElse {
       lock.synchronized {
-        fresh.getOrElse { // recheck under the lock
-          // a merge may serve ANOTHER tier inside its body (the lsh
-          // components merge probes the band-index tier) — the inner
-          // serve re-enters the (reentrant) lock and may publish
-          // first; lastBuild is set AFTER the callback so it reports
-          // THIS store's mode, not the inner one's
-          val (rows, mode) = (for {
-            m <- merge
-            v <- AtomicPublish.currentVersion(s, store)
-            recorded <- versionFingerprint(s, store, v)
-            delta <- classify(recorded, entries, dir) match {
-              case SourceDrift.AppendOnly(nf) => Some(nf)
-              case _ => None
+        fresh(fp0).getOrElse { // recheck under the lock
+          dropPinnedPlans(s, store)
+          publishRechecked(s, dir, sources, store, fp0) { fp =>
+            // a merge may serve ANOTHER tier inside its body (the lsh
+            // components merge probes the band-index tier) — the inner
+            // serve re-enters the (reentrant) lock and may publish
+            // first; lastBuild is set AFTER the callback so it reports
+            // THIS store's mode, not the inner one's
+            val (rows, mode) = (for {
+              m <- merge
+              v <- AtomicPublish.currentVersion(s, store)
+              recorded <- versionFingerprint(s, store, v)
+              delta <- classify(recorded, fp.split("\n").toSeq, dir) match {
+                case SourceDrift.AppendOnly(nf) => Some(nf)
+                case _ => None
+              }
+            } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
+              .getOrElse((build(s, dir), "full"))
+            lastBuild = Some(name -> mode)
+            AtomicPublish.stageVersionWith(store) { p =>
+              SortedLayout.writeRangeSorted(rows, p, numFiles, col(sortKey))
             }
-          } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
-            .getOrElse((build(s, dir), "full"))
-          lastBuild = Some(name -> mode)
-          publishStaged(s, store, fp) { p =>
-            SortedLayout.writeRangeSorted(rows, p, numFiles, col(sortKey))
           }
         }
       }
     }
     s.read.parquet(s"$store/v=$version")
+  }
+
+  /** A stale store about to rebuild/merge must not read plans pinned
+    * to the PRE-drift file snapshot: Spark's cache manager matches a
+    * re-read of the same path against a cached entry built from
+    * yesterday's listing (HadoopFsRelation equality is path-grain, not
+    * file-grain), so a long-lived session that cached source-derived
+    * frames before an append would publish a tier missing the delta —
+    * with a fingerprint that claims it. Dropping caches is always
+    * correctness-neutral (recompute, never wrong answers); only done
+    * when a committed version exists and went stale, the one case
+    * where a pinned pre-drift plan can poison the publish. */
+  private def dropPinnedPlans(s: SparkSession, store: String): Unit =
+    if (AtomicPublish.currentVersion(s, store).nonEmpty) {
+      graft.core.Caching.releaseAll(): Unit
+      s.catalog.clearCache()
+    }
+
+  /** Stage-then-verify publication: `stage(fp)` builds a version from
+    * sources fingerprinted as `fp`, then the sources are re-listed —
+    * a write landing between the fingerprint and the build's read
+    * (the TOCTOU freshness race) shows up as a mismatch, the staged
+    * bytes are discarded, and the attempt repeats against the fresh
+    * listing. A source that never quiesces ([[MaxStageAttempts]]
+    * straight misses) commits the final attempt under
+    * [[ChurnSentinel]]: served data stays complete-and-committed, but
+    * the version can never be mistaken for fresh, and the sentinel
+    * classifies as Rewritten so no merge re-digests ambiguous files. */
+  private def publishRechecked(s: SparkSession, dir: String,
+                               sources: Seq[String], store: String,
+                               fp0: String)(stage: String => Path): Long = {
+    var fp = fp0
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      onFingerprinted()
+      val staging = stage(fp)
+      val fpAfter = fileEntries(s, dir, sources).mkString("\n")
+      if (fpAfter == fp) committed = commitStaged(s, store, staging, fp)
+      else if (attempt >= MaxStageAttempts)
+        committed = commitStaged(s, store, staging, ChurnSentinel)
+      else {
+        hadoopFs(s, staging).delete(staging, true): Unit
+        // the retry's fresh read must not pin the listing the torn
+        // attempt cached — unconditional here (unlike dropPinnedPlans'
+        // committed-version gate): drift mid-build is proven
+        graft.core.Caching.releaseAll(): Unit
+        s.catalog.clearCache()
+        fp = fpAfter
+      }
+    }
+    committed
   }
 
   /** Serve a DIRECTORY-shaped tier — multi-dataset artifacts whose
@@ -248,28 +335,29 @@ object DerivedStore {
                 sources: Seq[String])
                (write: (SparkSession, String, String) => Unit): String = {
     val store = storePath(dir, name)
-    val fp = fileEntries(s, dir, sources).mkString("\n")
-    def fresh: Option[Long] = AtomicPublish.currentVersion(s, store)
+    def fresh(fp: String): Option[Long] = AtomicPublish.currentVersion(s, store)
       .filter(v => versionFingerprint(s, store, v).contains(fp))
-    val version = fresh.getOrElse {
+    val fp0 = fileEntries(s, dir, sources).mkString("\n")
+    val version = fresh(fp0).getOrElse {
       lock.synchronized {
-        fresh.getOrElse {
-          lastBuild = Some(name -> "full")
-          publishStaged(s, store, fp)(p => write(s, dir, p))
+        fresh(fp0).getOrElse {
+          dropPinnedPlans(s, store)
+          publishRechecked(s, dir, sources, store, fp0) { _ =>
+            lastBuild = Some(name -> "full")
+            AtomicPublish.stageVersionWith(store)(p => write(s, dir, p))
+          }
         }
       }
     }
     s"$store/v=$version"
   }
 
-  /** The shared publication tail: stage via `write`, drop the
-    * fingerprint (and a `_SUCCESS` commit record if the writer didn't
-    * leave one at the root — parquet writes do, directory builders
-    * may not) INSIDE the staged dir, then the OCC commit rename and
-    * the keep-2 GC sweep. */
-  private def publishStaged(s: SparkSession, store: String, fp: String)
-                           (write: String => Unit): Long = {
-    val staging = AtomicPublish.stageVersionWith(store)(write)
+  /** The shared publication tail: drop the fingerprint (and a
+    * `_SUCCESS` commit record if the writer didn't leave one at the
+    * root — parquet writes do, directory builders may not) INSIDE the
+    * staged dir, then the OCC commit rename and the keep-2 GC sweep. */
+  private def commitStaged(s: SparkSession, store: String, staging: Path,
+                           fp: String): Long = {
     // the fingerprint rides inside the staged version so the
     // commit rename publishes data + provenance atomically
     val fs = hadoopFs(s, staging)

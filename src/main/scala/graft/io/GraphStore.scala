@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.RegisterSyntax
 import graft.core.Tables
 
 /** Materialized graph-edge tier — `text/TokenStore`'s build-once
@@ -117,15 +118,29 @@ object GraphStore {
     * delta side broadcasts and the full distinct-over-history never
     * re-runs. Orders-only growth (orders whose lineitems haven't
     * landed yet) adds no edges by construction; their edges arrive
-    * with a later lineitem delta. The degree columns are re-derived
-    * over the merged edge set — the honest O(|edges|) tail, still
-    * orders of magnitude below the O(history) join+distinct a full
-    * rebuild pays. */
+    * with a later lineitem delta.
+    *
+    * The FK invariant is ENFORCED, not assumed: if a delta ORDERS
+    * file carries an order that pre-delta lineitems already
+    * reference (lineitems landed before their order — the shape the
+    * merge would permanently miss edges on, and q87 only audits after
+    * the fact), the probe below detects it in one pruned pass over
+    * lineitem's orderkey column against a broadcast of the delta
+    * order keys, and the refresh takes the full rebuild instead.
+    *
+    * The degree columns are re-derived over the merged edge set with
+    * two map-combined aggregates joined back — the honest O(|edges|)
+    * tail without the two full-edge-set window SORTS the previous
+    * form paid (the second of which re-sorted every historical edge
+    * on supp each refresh). */
   private def purchaseEdgesMerge(s: SparkSession, dir: String,
                                  prev: DataFrame,
                                  deltas: Map[String, Seq[String]]): DataFrame = {
     val liPaths = deltas.getOrElse("lineitem", Seq.empty)
-    if (liPaths.isEmpty) prev // no new lineitems -> identical edge set
+    val oPaths = deltas.getOrElse("orders", Seq.empty)
+    if (oPaths.nonEmpty && deltaOrdersMatchOldLineitems(s, dir, oPaths, liPaths))
+      purchaseEdgesInline(s, dir)
+    else if (liPaths.isEmpty) prev // no new lineitems -> identical edge set
     else {
       val bare = prev.select("cust", "supp")
       val dLi = s.read.option("basePath", s"$dir/lineitem.parquet")
@@ -136,10 +151,43 @@ object GraphStore {
           (col("l_suppkey") + SuppOffset).cast("long").as("supp"))
         .distinct()
         .join(bare, Seq("cust", "supp"), "left_anti")
-      bare.union(freshPairs)
-        .repartition(col("cust"))
-        .withColumn("cust_deg", count(lit(1)).over(Window.partitionBy("cust")))
-        .withColumn("supp_deg", count(lit(1)).over(Window.partitionBy("supp")))
+      val edges = bare.union(freshPairs).registerCache()
+      val cd = edges.groupBy("cust").agg(count(lit(1)).as("cust_deg"))
+      val sd = edges.groupBy("supp").agg(count(lit(1)).as("supp_deg"))
+      edges.join(cd, "cust").join(sd, "supp")
+        .select("cust", "supp", "cust_deg", "supp_deg")
+    }
+  }
+
+  /** True when a delta ORDERS file's keys are referenced by HISTORY
+    * lineitem files (every lineitem file except this batch's own
+    * deltas) — the FK-invariant violation under which an append-only
+    * merge would miss edges a rebuild produces. */
+  private def deltaOrdersMatchOldLineitems(s: SparkSession, dir: String,
+                                           oPaths: Seq[String],
+                                           liPaths: Seq[String]): Boolean = {
+    val base = s"$dir/lineitem.parquet"
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deltaSet = liPaths.map(p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val hist = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val segs = f.toUri.getPath.stripPrefix(root.toUri.getPath).split('/')
+      if (!segs.exists(seg => seg.startsWith("_") || seg.startsWith(".")) &&
+          !deltaSet.contains(f.toUri.getPath))
+        hist += f.toString
+    }
+    val histPaths = hist.result()
+    histPaths.nonEmpty && {
+      val dOk = s.read.option("basePath", s"$dir/orders.parquet")
+        .parquet(oPaths: _*).select(col("o_orderkey").as("k")).distinct()
+      !s.read.option("basePath", base).parquet(histPaths: _*)
+        .select(col("l_orderkey").as("k"))
+        .join(broadcast(dOk), Seq("k"), "left_semi")
+        .isEmpty
     }
   }
 

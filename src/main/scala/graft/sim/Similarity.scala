@@ -1126,14 +1126,24 @@ object Similarity {
         col("t._2").as("vec_id"), col("t._1").as("adist2"))
     val qn = quantized(s, dir).select("vec_id", "qv", "n2")
     // cand is |q|·k rows BY CONSTRUCTION, but it flows out of a udaf
-    // whose output has no size estimate — without the hint AQE
+    // whose output has no size estimate — without a hint AQE
     // sometimes sort-merges these joins and shuffles the whole
     // quantized corpus (measured: the served probe read exp 1.49 from
-    // exactly that flip; every stage is linear with the hint pinned)
-    val withQ = broadcast(cand)
+    // exactly that flip; every stage is linear with the hint pinned).
+    // |q| grows with the corpus (every 50th vector), so a FORCED
+    // broadcast is linear-in-corpus driver/executor memory — a 100 TB
+    // hazard. The hint is therefore bounded: broadcast while |q|·k
+    // (known exactly from the index's metadata count) fits the
+    // driver comfortably, shuffle_hash beyond — still sort-free and
+    // linear, with the build side pinned on the bounded cand side.
+    val candRows = codes.count() / 50 * 10
+    val pin: DataFrame => DataFrame =
+      if (candRows <= 2L * 1000 * 1000) broadcast
+      else df => df.hint("shuffle_hash")
+    val withQ = pin(cand)
       .join(qn.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2")), "query_id")
-    broadcast(withQ).join(qn, "vec_id")
+    pin(withQ).join(qn, "vec_id")
       .withColumn("cos_sim",
         cosine(graft.plans.LongArrayDot.dot(col("q_qv"), col("qv")),
           col("q_n2"), col("n2")))

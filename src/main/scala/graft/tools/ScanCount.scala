@@ -59,9 +59,16 @@ object ScanCount {
         captured.compareAndSet(null, qe): Unit
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    // register on the FRAME's session, not the caller's: a query may
+    // build its plan on a child session (q85 scopes its recursion
+    // limit to s.newSession()), and a parent-session listener never
+    // sees a child session's executions — ScaleProbe.shuffleBytesOf's
+    // discipline
+    val frame = fn(spark, dir)
+    val sess = frame.sparkSession
+    sess.listenerManager.register(listener)
     try {
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      frame.write.format("noop").mode("overwrite").save()
       // listener fires asynchronously on the listener bus
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (captured.get() == null && System.nanoTime() < deadline) Thread.sleep(20)
@@ -78,7 +85,7 @@ object ScanCount {
         }
         .flatten.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
     } finally {
-      spark.listenerManager.unregister(listener)
+      sess.listenerManager.unregister(listener)
       graft.core.Caching.releaseAll()
       spark.catalog.clearCache()
     }

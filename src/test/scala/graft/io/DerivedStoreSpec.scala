@@ -93,6 +93,52 @@ class DerivedStoreSpec extends SparkSpec {
     }
   }
 
+  test("a write landing between fingerprint and build is re-listed, not recorded as digested") {
+    withIsolated { dir =>
+      // directory-layout source so the concurrent write is an append
+      val src = s"$dir/region.parquet"
+      Tables.load(spark, sfDir, "region").limit(3)
+        .coalesce(1).write.parquet(src)
+      def serveRegion(): DataFrame =
+        DerivedStore.served(spark, dir, "region_tier", Seq("region"),
+          (s, d) => Tables.load(s, d, "region").select("r_regionkey"),
+          numFiles = 1, sortKey = "r_regionkey")
+      assert(serveRegion().count() == 3)
+
+      // the racing writer: lands two more rows AFTER the fingerprint
+      // is taken but BEFORE the build reads — the classic TOCTOU
+      // window. Drive it by touching the source (staleness) and
+      // arming the hook for exactly one firing.
+      val extra = Tables.load(spark, sfDir, "region").limit(5)
+      var armed = true
+      DerivedStore.onFingerprinted = () => if (armed) {
+        armed = false
+        extra.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage-r")
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage-r")).forEach { f =>
+          val n = f.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith("."))
+            java.nio.file.Files.move(f,
+              java.nio.file.Paths.get(src, "landed-" + n)): Unit
+        }
+      }
+      try {
+        // make the store stale so a publish (and the armed hook) runs
+        val aPart = java.nio.file.Files.list(java.nio.file.Paths.get(src)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(p => !p.getFileName.toString.startsWith("_")).get
+        java.nio.file.Files.setLastModifiedTime(aPart,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(aPart).toMillis + 5000)): Unit
+        // the re-list must catch the landed write: whatever this serve
+        // returns, the NEXT serve must be complete (not a stale tier
+        // advertised as covering the landed file)
+        serveRegion().count(): Unit
+        assert(serveRegion().count() == 8,
+          "post-race serve must cover the write that landed mid-build")
+      } finally DerivedStore.onFingerprinted = () => ()
+    }
+  }
+
   test("source drift republishes with the new fingerprint; GC keeps exactly one superseded version") {
     withIsolated { dir =>
       serve(dir).count(): Unit

@@ -145,12 +145,10 @@ class IncrementalTierSpec extends SparkSpec {
       val stage = tmpDir("incr-docs-delta")
       docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/d")
       appendParts(s"$stage/d", s"$dir/documents.parquet")
-      // the d3 pipeline registers its bands frame in the cache manager;
-      // a cached plan pins the PRE-APPEND file snapshot, so drop caches
-      // when the source drifts (the releaseAll discipline every probe
-      // follows) or the inline ground truth reads yesterday's corpus
-      graft.core.Caching.releaseAll()
-      spark.catalog.clearCache()
+      // NO manual cache drop here: the d3 pipeline registered cached
+      // frames pinned to the PRE-APPEND file snapshot, and the serve
+      // itself must drop them on drift (DerivedStore.dropPinnedPlans)
+      // — this test ran stale-inline before that was automatic
 
       // serve the band tier first so the components merge probes an
       // already-fresh index (and its own mode is observable)
@@ -199,6 +197,78 @@ class IncrementalTierSpec extends SparkSpec {
       assert(got.keySet == Set("nation"))
       assert(got("nation").map(p => p.substring(p.lastIndexOf('/') + 1)).toSet == deltaNames,
         "delta file list must be exactly the appended files — history never re-enters the merge")
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  test("a re-ingested existing doc_id in a delta file falls back to the full band build") {
+    val dir = tmpDir("incr-reingest")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-reingest-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      DerivedStore.lastBuild = None
+      val b1 = graft.dedup.BandIndexStore.corpusIndex(spark, dir).count()
+      assert(lastMode.contains("full"))
+
+      // the delta re-ingests docs ALREADY in the corpus (plus new
+      // ones) as a new part file — file-grain drift says AppendOnly,
+      // but the merge's key guard must detect the overlap and route
+      // to the full build, so the tier stays EXACTLY what a rebuild
+      // over the (now-dirty) table produces — multiset-compared, so
+      // any extra or missing duplicate band row diverges
+      val stage = tmpDir("incr-reingest-delta")
+      docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      def multiset(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+        df.collect().map(_.toString).groupBy(identity).view.mapValues(_.size).toMap
+      val served = graft.dedup.BandIndexStore.corpusIndex(spark, dir)
+      val inline = graft.dedup.BandIndexStore.bandKeys(
+        Tables.load(spark, dir, "documents"))
+      assert(multiset(served) == multiset(inline),
+        "overlapping delta must serve exactly the rebuild's rows")
+      assert(served.count() > b1)
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  test("a delta order referenced by pre-delta lineitems (FK violation) falls back to the full edge build") {
+    val dir = tmpDir("incr-fk")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-fk-store")
+    try {
+      val orders = Tables.load(spark, sfDir, "orders").cache()
+      val li = Tables.load(spark, sfDir, "lineitem").cache()
+      // day 1 violates the same-batch FK invariant silently: the odd
+      // orders' lineitems land WITHOUT their orders
+      writeTable(orders.filter(col("o_orderkey") % 2 === 0), dir, "orders")
+      writeTable(li, dir, "lineitem")
+      DerivedStore.lastBuild = None
+      edges(dir): Unit
+      assert(lastMode.contains("full"))
+
+      // day 2: the missing orders arrive as an orders-only delta — an
+      // unguarded merge would return prev (lineitem deltas = none) and
+      // permanently miss every odd order's edges
+      val stage = tmpDir("incr-fk-delta")
+      orders.filter(col("o_orderkey") % 2 =!= 0).coalesce(1)
+        .write.parquet(s"$stage/o")
+      appendParts(s"$stage/o", s"$dir/orders.parquet")
+      DerivedStore.lastBuild = None
+      val after = edges(dir)
+      assert(lastMode.contains("merge"),
+        "the drift still routes through the merge callback")
+      assert(after == inlineEdges(dir),
+        "FK-violating orders delta must produce the rebuild's edges, not prev's")
+      orders.unpersist(); li.unpersist(): Unit
     } finally prevRoot match {
       case Some(v) => sys.props("graft.graphstore.dir") = v
       case None => sys.props.remove("graft.graphstore.dir"): Unit
@@ -257,8 +327,8 @@ class IncrementalTierSpec extends SparkSpec {
       val stage = tmpDir("incr-emb-delta")
       emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/e")
       appendParts(s"$stage/e", s"$dir/embeddings.parquet")
-      graft.core.Caching.releaseAll()
-      spark.catalog.clearCache()
+      // no manual cache drop: the stale-serve prevention is the
+      // store's own dropPinnedPlans on drift
 
       DerivedStore.lastBuild = None
       val c2 = clusters(dir)
