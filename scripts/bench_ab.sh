@@ -49,12 +49,28 @@ done
 
 echo
 echo "== A/B summary (min over $PASSES interleaved passes x best-of-3) =="
-printf "%-28s %9s %9s %7s\n" "query" "A(tree)" "B(ref)" "B/A"
+echo "== verdict: |B/A - 1| <= each side's own pass-to-pass dispersion -> 'drift' (needs AB_PASSES >= 2) =="
+printf "%-28s %9s %9s %7s %7s %s\n" "query" "A(tree)" "B(ref)" "B/A" "band" "verdict"
 awk '
   function best(line) { sub(/.*best= */, "", line); sub(/ .*/, "", line); return line + 0 }
-  FNR == NR && /best=/ { q = $1; b = best($0); if (!(q in a) || b < a[q]) a[q] = b; next }
-  /best=/ { q = $1; b = best($0); if (!(q in bb) || b < bb[q]) bb[q] = b }
+  FNR == NR && /best=/ {
+    q = $1; b = best($0)
+    if (!(q in a)  || b < a[q])  a[q] = b
+    if (!(q in ah) || b > ah[q]) ah[q] = b
+    next
+  }
+  /best=/ {
+    q = $1; b = best($0)
+    if (!(q in bb) || b < bb[q]) bb[q] = b
+    if (!(q in bh) || b > bh[q]) bh[q] = b
+  }
   END {
-    for (q in a) if (q in bb)
-      printf "%-28s %9.3f %9.3f %7.2f\n", q, a[q], bb[q], bb[q] / a[q]
+    for (q in a) if (q in bb) {
+      r = bb[q] / a[q]
+      dA = (ah[q] - a[q]) / a[q]; dB = (bh[q] - bb[q]) / bb[q]
+      band = (dA > dB ? dA : dB)
+      v = (r >= 1 - band && r <= 1 + band) ? "drift" \
+          : (r > 1 ? "B-slower (real)" : "A-slower (real)")
+      printf "%-28s %9.3f %9.3f %7.2f %6.0f%% %s\n", q, a[q], bb[q], r, band * 100, v
+    }
   }' "$SCRATCH/a.txt" "$SCRATCH/b.txt" | sort

@@ -106,9 +106,11 @@ object Corpus {
   private val MinShared = 2
 
   val c3Decontaminate: Q = (s, dir) => {
-    val docs = graft.dedup.Dedup.shingleRows(
-      Tables.loadParallel(s, dir, "documents").withColumn("bucket", splitBucket),
-      keep = Seq("doc_id", "bucket"))
+    // shingle-tier read (d20's shape): bucket is doc_id-derived,
+    // re-stamped on the pruned (doc_id, shingles) columns
+    val docs = graft.dedup.ShingleStore.served(s, dir)
+      .withColumn("bucket", splitBucket)
+      .select(col("doc_id"), col("bucket"), explode(col("shingles")).as("sh"))
     val rare = docs.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
     // persist: the shingle pipeline feeds the df-cap aggregate plus
@@ -575,9 +577,10 @@ object Corpus {
     * per-shingle presence before the per-doc count.
     */
   val c13ContaminationScore: Q = (s, dir) => {
-    val docs = graft.dedup.Dedup.shingleRows(
-      Tables.loadParallel(s, dir, "documents").withColumn("bucket", splitBucket),
-      keep = Seq("doc_id", "bucket")).registerCache()
+    val docs = graft.dedup.ShingleStore.served(s, dir)
+      .withColumn("bucket", splitBucket)
+      .select(col("doc_id"), col("bucket"), explode(col("shingles")).as("sh"))
+      .registerCache()
     val trainSh = docs.filter(col("bucket") < 900).select("sh").distinct()
     val evalSh = docs.filter(col("bucket") >= 950)
       .select(col("doc_id").as("eval_doc"), col("sh"))

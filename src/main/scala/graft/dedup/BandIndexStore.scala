@@ -59,7 +59,12 @@ object BandIndexStore {
     * the snapshot-derived tier). */
   def corpusIndex(s: SparkSession, dir: String): DataFrame =
     DerivedStore.servedIncremental(s, dir, "band_index", Seq("documents"),
-      (s2, d) => bandKeys(Tables.loadParallel(s2, d, "documents")),
+      // the tiers compose: the band build reads the shingle tier's
+      // stored per-shingle longs (hm) — its md5 pass is never re-paid
+      // here; a stale shingle tier refreshes first (re-entrant serve,
+      // the lsh-components pattern)
+      (s2, d) => Dedup.bandsOf(Dedup.signaturesOf(
+        ShingleStore.served(s2, d).select("doc_id", "hm"))),
       corpusIndexMerge, numFiles = 8, sortKey = "band_hash")
 
   /** Append-only refresh of the snapshot tier: band keys are a pure

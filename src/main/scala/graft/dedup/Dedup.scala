@@ -113,22 +113,36 @@ object Dedup {
 
   private def mhCol(i: Int): String = f"mh$i%02d"
 
+  /** One md5-derived long per shingle — the expensive half of the
+    * MinHash construction, stored in the shingle tier so queries mix
+    * longs instead of re-hashing strings. */
+  private[dedup] val HmExpr: String =
+    s"transform(shingles, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % $P)"
+
+  /** One md5-derived long per token — SimHash's input stream,
+    * tier-stored for the same reason. */
+  private[dedup] val HsExpr: String =
+    "transform(tokens, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+
   /** doc_id + 16 minhash columns from an already-shingled frame.
-    * Pure per-row map stage: no shuffle. */
+    * Pure per-row map stage: no shuffle. A frame that already carries
+    * `hm` (the shingle tier) skips the md5 pass entirely. */
   private[graft] def signaturesOf(shingled: DataFrame): DataFrame = {
     val mhs = (0 until NumHashes).map { i =>
       expr(s"array_min(transform(hm, m -> (m * ${hashA(i)} + ${hashB(i)}) % $P))")
         .as(mhCol(i))
     }
-    shingled
-      .withColumn("hm",
-        expr(s"transform(shingles, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % $P)"))
-      .select(col("doc_id") +: mhs: _*)
+    val withHm =
+      if (shingled.columns.contains("hm")) shingled
+      else shingled.withColumn("hm", expr(HmExpr))
+    withHm.select(col("doc_id") +: mhs: _*)
   }
 
-  /** doc_id + 16 minhash columns. Pure per-row map stage: no shuffle. */
+  /** doc_id + 16 minhash columns, SERVED from the shingle tier's
+    * stored `hm` longs: the per-query cost is 16 integer mixes per
+    * shingle — the md5s were paid once at tier build. */
   def signatures(s: SparkSession, dir: String): DataFrame =
-    signaturesOf(withShingles(Tables.loadParallel(s, dir, "documents")))
+    signaturesOf(ShingleStore.served(s, dir).select("doc_id", "hm"))
 
   val d2MinhashSignature: Q = (s, dir) => signatures(s, dir)
 
@@ -173,12 +187,16 @@ object Dedup {
   private[dedup] def bandKeysOf(docs: DataFrame): DataFrame =
     bandsOf(signaturesOf(withShingles(docs)))
 
-  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame =
     // persist: both sides of the self-join read the same tiny
     // (doc, band) frame instead of recomputing the shingle+hash
     // pipeline twice (cache-manager dedupes identical plans, so
     // repeated invocations share one entry)
-    val bands = bandsOf(sig).registerCache()
+    lshPairsFromBands(bandsOf(sig).registerCache())
+
+  /** d3's pair contract over an already-materialized band frame —
+    * what the standing `BandIndexStore.corpusIndex` tier serves. */
+  private[graft] def lshPairsFromBands(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -186,9 +204,13 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
-  val d3LshPairs: Q = (s, dir) => lshPairsOf(signatures(s, dir))
+  /** SERVED from the standing band index: the tiers compose —
+    * shingle tier feeds the band tier's build, d3 reads the bands and
+    * pays only the bounded bucket self-join (d15's probe-side shape,
+    * applied to the corpus×corpus case). */
+  val d3LshPairs: Q = (s, dir) =>
+    lshPairsFromBands(BandIndexStore.corpusIndex(s, dir))
 
   val d3LshPairsSql: String = {
     val bandSelects = (0 until NumBands).map { b =>
@@ -215,14 +237,16 @@ object Dedup {
     val bitSum = (0 until 32).map { b =>
       s"(case when 2*size(filter(hs, h -> shiftright(h, $b) % 2 = 1)) > size(hs) then ${1L << b} else 0 end)"
     }.mkString(" + ")
-    shingled
-      .withColumn("hs",
-        expr("transform(tokens, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"))
-      .select(col("doc_id"), expr(s"cast($bitSum as bigint)").as("simhash"))
+    val withHs =
+      if (shingled.columns.contains("hs")) shingled
+      else shingled.withColumn("hs", expr(HsExpr))
+    withHs.select(col("doc_id"), expr(s"cast($bitSum as bigint)").as("simhash"))
   }
 
   val d4Simhash: Q = (s, dir) =>
-    simhashOf(withShingles(Tables.loadParallel(s, dir, "documents")))
+    // tier-served: reads only the stored per-token longs (hs) — never
+    // the text, never an md5
+    simhashOf(ShingleStore.served(s, dir).select("doc_id", "hs"))
 
   val d4SimhashSql: String = {
     val bitSum = (0 until 32).map { b =>
@@ -247,9 +271,10 @@ object Dedup {
     */
   val d5NgramJaccard: Q = (s, dir) => {
     // persist: the shingled corpus feeds four plan branches (both
-    // self-join sides + both count joins); one materialization
-    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"), col("shingles")).registerCache()
+    // self-join sides + both count joins); one materialization —
+    // read from the shingle tier (pruned to 3 columns, no re-shingle)
+    val docs = ShingleStore.served(s, dir)
+      .select("doc_id", "lang", "shingles").registerCache()
     val sh = docs.select(col("doc_id"), col("lang"),
       explode(col("shingles")).as("sh"))
     val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
@@ -299,7 +324,7 @@ object Dedup {
   private val DfCap = 20
 
   val d7JaccardPrefiltered: Q = (s, dir) => {
-    val sh = shingleRows(Tables.loadParallel(s, dir, "documents"))
+    val sh = ShingleStore.shingleRows(s, dir)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select("sh")
@@ -556,8 +581,11 @@ object Dedup {
     * window's input stays members-only.
     */
   val d10Survivorship: Q = (s, dir) => {
+    // persisted: both the clustered and the singleton branch read the
+    // same 2-column spine — uncached, the plan scans documents twice
+    // (the honest ScanCount capture surfaced exactly that)
     val docs = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars")).registerCache()
     val comp = ClusterStore.lshComponents(s, dir).registerCache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
@@ -596,8 +624,8 @@ object Dedup {
     */
   val d11LshVerified: Q = (s, dir) => {
     val pairs = d3LshPairs(s, dir)
-    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("shingles")).registerCache()
+    val docs = ShingleStore.served(s, dir)
+      .select("doc_id", "shingles").registerCache()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
     val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
     val shared = pairs
@@ -762,7 +790,7 @@ object Dedup {
   }
 
   val d13PrefixJoin: Q = (s, dir) =>
-    prefixJoinOf(withShingles(Tables.loadParallel(s, dir, "documents")))
+    prefixJoinOf(ShingleStore.served(s, dir).select("doc_id", "shingles"))
 
   val d13PrefixJoinSql: String = s"""
     WITH t AS (SELECT doc_id, $oracleTokens AS tokens FROM documents),
@@ -809,12 +837,13 @@ object Dedup {
     * families themselves.
     */
   val d14FamilyAgreement: Q = (s, dir) => {
-    // ONE corpus scan + tokenize + shingle feeds all three families —
-    // the tokenize/shingle map stage is the dominant shared prefix,
-    // and each family's own persists then cache only their narrow
+    // ONE shingle-tier read feeds all three families — the
+    // tokenize/shingle/md5 map stage that used to be the dominant
+    // shared prefix is now the tier build, paid once per snapshot;
+    // each family's own persists then cache only their narrow
     // derivations of this frame
-    val shingled = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("tokens"), col("shingles"))
+    val shingled = ShingleStore.served(s, dir)
+      .select("doc_id", "shingles", "hm", "hs")
       .registerCache()
     val lsh = lshPairsOf(signaturesOf(shingled))
       .select(col("doc_a"), col("doc_b"), lit("lsh").as("family"))
@@ -860,8 +889,9 @@ object Dedup {
     * DuckDB oracle can reproduce the split exactly.
     */
   val d15IncrementalDedup: Q = (s, dir) => {
-    // persisted: the new-side and corpus-side filters both read it
-    val bands = bandsOf(signatures(s, dir)).registerCache()
+    // persisted: the new-side and corpus-side filters both read it —
+    // and the bands ARE the standing tier now, not a recompute
+    val bands = BandIndexStore.corpusIndex(s, dir).registerCache()
     val hits = bands.filter(col("doc_id") % 10 === 7).as("n")
       .join(bands.filter(col("doc_id") % 10 =!= 7).as("c"),
         col("n.band_idx") === col("c.band_idx") &&
@@ -921,7 +951,7 @@ object Dedup {
     * engines, d7's precedent.
     */
   val d16Containment: Q = (s, dir) => {
-    val sh = shingleRows(Tables.loadParallel(s, dir, "documents"))
+    val sh = ShingleStore.shingleRows(s, dir)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select("sh")
@@ -995,8 +1025,8 @@ object Dedup {
     */
   val d17SpanDedup: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.loadParallel(s, dir, "documents")
-      .withColumn("tokens", expr("split(lower(trim(text)), ' +')"))
+    val grams = ShingleStore.served(s, dir)
+      .select("doc_id", "tokens")
       .filter(size(col("tokens")) >= SpanK)
       .select(col("doc_id"),
         posexplode(expr(
@@ -1061,8 +1091,8 @@ object Dedup {
     val sigArr = sig.select(col("doc_id"),
       array((0 until NumHashes).map(i => col(mhCol(i))): _*).as("sig"))
       .registerCache()
-    val sh = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("shingles")).registerCache()
+    val sh = ShingleStore.served(s, dir)
+      .select("doc_id", "shingles").registerCache()
     lshPairsOf(sig)
       .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -1140,9 +1170,12 @@ object Dedup {
   private val BloomK = 3
 
   val d20BloomDecontaminate: Q = (s, dir) => {
-    val docs = Tables.loadParallel(s, dir, "documents")
+    // tier-served; the split bucket is a doc_id-derived map column,
+    // re-stamped on the pruned (doc_id, shingles) read
+    val grams = ShingleStore.served(s, dir)
       .withColumn("bucket", graft.corpus.Corpus.splitBucket)
-    val grams = shingleRows(docs, keep = Seq("doc_id", "bucket")).registerCache()
+      .select(col("doc_id"), col("bucket"), explode(col("shingles")).as("sh"))
+      .registerCache()
     val evalSh = grams.filter(col("bucket") >= 950).select("sh").distinct()
       .registerCache()
     val bloom = evalSh
@@ -1168,7 +1201,9 @@ object Dedup {
       .select("doc_id", "sh")
       .join(evalSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
-    docs.filter(col("bucket") < 900).select("doc_id")
+    ShingleStore.served(s, dir).select("doc_id")
+      .withColumn("bucket", graft.corpus.Corpus.splitBucket)
+      .filter(col("bucket") < 900).select("doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
@@ -1204,7 +1239,7 @@ object Dedup {
   val d21SourceOverlap: Q = (s, dir) => {
     val src = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("source"))
-    lshPairsOf(signatures(s, dir))
+    lshPairsFromBands(BandIndexStore.corpusIndex(s, dir))
       .join(src.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("source", "src_a"), "doc_a")
       .join(src.withColumnRenamed("doc_id", "doc_b")
@@ -1597,8 +1632,8 @@ object Dedup {
     }
     val tagged = Seq(2, 4, 8).map(pairsFor).reduce(_ unionByName _).registerCache()
     val uniq = tagged.select("doc_a", "doc_b").distinct()
-    val docs = withShingles(Tables.loadParallel(s, dir, "documents"))
-      .select(col("doc_id"), col("shingles")).registerCache()
+    val docs = ShingleStore.served(s, dir)
+      .select("doc_id", "shingles").registerCache()
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
     val counts = docs.select(col("doc_id"), size(col("shingles")).as("nsh"))
     val shared = uniq

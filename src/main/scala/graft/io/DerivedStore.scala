@@ -192,6 +192,31 @@ object DerivedStore {
   def storePath(dir: String, name: String): String =
     s"$root/${dir.replace('/', '_').stripPrefix("_")}/$name"
 
+  /** The SOURCE TABLES a committed version was derived from, parsed
+    * from its recorded fingerprint (each line is `table/relpath:…` or
+    * `table absent:…`). None when the dir carries no fingerprint or a
+    * churn sentinel — provenance unknown. This is the provenance hop
+    * `tools/Lineage` takes through a tier scan: a query reading
+    * `purchase/v=3` traces to lineitem+orders, not to the store path. */
+  def sourcesOfVersion(s: SparkSession, versionPath: String): Option[Seq[String]] = {
+    val p = new Path(versionPath, FingerprintFile)
+    val fs = hadoopFs(s, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      if (txt == ChurnSentinel) None
+      else Some(txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val slash = line.indexOf('/')
+        val space = line.indexOf(' ')
+        val cut = Seq(slash, space).filter(_ >= 0).minOption.getOrElse(line.length)
+        line.substring(0, cut)
+      }.toSeq.distinct)
+    }
+  }
+
   /** Fingerprint a committed version was built from, if recorded. */
   private def versionFingerprint(s: SparkSession, store: String,
                                  v: Long): Option[String] = {
@@ -333,7 +358,37 @@ object DerivedStore {
     * `AnnIndex.append`), not a frame merge. */
   def servedDir(s: SparkSession, dir: String, name: String,
                 sources: Seq[String])
-               (write: (SparkSession, String, String) => Unit): String = {
+               (write: (SparkSession, String, String) => Unit): String =
+    servedDirWith(s, dir, name, sources, write, None)
+
+  /** A directory tier's append-only refresh callback:
+    * `(session, sfDir, stagingPath, deltaFilesPerTable) => merged?`.
+    * When invoked, `stagingPath` already holds a byte-copy of the
+    * served version's artifacts; the callback folds the delta files
+    * into them in place (e.g. `AnnIndex.append` + partition
+    * compaction) and returns true, or returns false to reject the
+    * batch (a precondition trip — centroid-eligible ids, key overlap)
+    * and route the refresh to the full build. */
+  type DirMerge = (SparkSession, String, String, Map[String, Seq[String]]) => Boolean
+
+  /** [[servedDir]] plus the append-only fast path ([[servedIncremental]]'s
+    * contract for directory artifacts): on AppendOnly drift the next
+    * version starts as an IO-only byte-copy of the served one — no
+    * recompute of the artifact's build (for an ANN index: no centroid
+    * election, no corpus re-assignment, no re-encode of history) —
+    * and `merge` folds just the delta in. Any other drift, or a merge
+    * returning false, takes the full `write`. The copy is the price of
+    * immutable versions: bytes move, computation doesn't. */
+  def servedDirIncremental(s: SparkSession, dir: String, name: String,
+                           sources: Seq[String])
+                          (write: (SparkSession, String, String) => Unit)
+                          (merge: DirMerge): String =
+    servedDirWith(s, dir, name, sources, write, Some(merge))
+
+  private def servedDirWith(s: SparkSession, dir: String, name: String,
+                            sources: Seq[String],
+                            write: (SparkSession, String, String) => Unit,
+                            merge: Option[DirMerge]): String = {
     val store = storePath(dir, name)
     def fresh(fp: String): Option[Long] = AtomicPublish.currentVersion(s, store)
       .filter(v => versionFingerprint(s, store, v).contains(fp))
@@ -342,14 +397,49 @@ object DerivedStore {
       lock.synchronized {
         fresh(fp0).getOrElse {
           dropPinnedPlans(s, store)
-          publishRechecked(s, dir, sources, store, fp0) { _ =>
-            lastBuild = Some(name -> "full")
-            AtomicPublish.stageVersionWith(store)(p => write(s, dir, p))
+          publishRechecked(s, dir, sources, store, fp0) { fp =>
+            val staged = for {
+              m <- merge
+              v <- AtomicPublish.currentVersion(s, store)
+              recorded <- versionFingerprint(s, store, v)
+              delta <- classify(recorded, fp.split("\n").toSeq, dir) match {
+                case SourceDrift.AppendOnly(nf) => Some(nf)
+                case _ => None
+              }
+              p <- {
+                val staging = AtomicPublish.stageVersionWith(store)(pp =>
+                  copyVersion(s, s"$store/v=$v", pp))
+                if (m(s, dir, staging.toString, delta)) Some(staging)
+                else { // guard trip: discard the copy, take the full build
+                  hadoopFs(s, staging).delete(staging, true): Unit
+                  None
+                }
+              }
+            } yield p
+            lastBuild = Some(name -> (if (staged.isDefined) "merge" else "full"))
+            staged.getOrElse(
+              AtomicPublish.stageVersionWith(store)(p => write(s, dir, p)))
           }
         }
       }
     }
     s"$store/v=$version"
+  }
+
+  /** Byte-copy a committed version's artifacts into a staging dir —
+    * the commit records (`_SUCCESS`, `_fingerprint`) stay behind;
+    * [[commitStaged]] writes the new version's own. */
+  private def copyVersion(s: SparkSession, from: String, to: String): Unit = {
+    val src = new Path(from)
+    val fs = hadoopFs(s, src)
+    val dst = new Path(to)
+    fs.mkdirs(dst): Unit
+    fs.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (n != FingerprintFile && n != "_SUCCESS")
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(dst, n),
+          false, s.sparkContext.hadoopConfiguration): Unit
+    }
   }
 
   /** The shared publication tail: drop the fingerprint (and a

@@ -606,9 +606,14 @@ object Multimodal {
     * integer L2 (`n2a + n2b − 2·dot`) reproduces m7's Σ(e−t)²
     * bit-for-bit. Centroid election is shared by construction: both
     * use id % 125. */
-  def m7MediaQuantized(s: SparkSession, dir: String): DataFrame = {
+  def m7MediaQuantized(s: SparkSession, dir: String): DataFrame =
+    m7MediaQuantizedOf(Tables.loadParallel(s, dir, "documents"))
+
+  /** The per-doc media-vector map over an explicit `documents`-shaped
+    * frame — what the index merge runs on just the delta files. */
+  def m7MediaQuantizedOf(docs: DataFrame): DataFrame = {
     def nib(j: Int) = s"cast(conv(substr(hm, ${j * 4 + 1}, 4), 16, 10) as bigint)"
-    Tables.loadParallel(s, dir, "documents")
+    docs
       .select(col("doc_id").as("vec_id"),
         md5(col("text").cast("binary")).as("hm"))
       .select(col("vec_id"), col("vec_id").cast("string").as("label"),
@@ -672,10 +677,30 @@ object Multimodal {
     * ClusterStore, BandIndexStore.corpusIndex). A regenerated corpus
     * rebuilds the index instead of silently serving stale postings. */
   def m7Index(s: SparkSession, dir: String): String =
-    graft.io.DerivedStore.servedDir(s, dir, "media_ann", Seq("documents")) {
-      (s2, d, p) =>
-        graft.sim.AnnIndex.buildFrom(m7MediaQuantized(s2, d), p,
-          graft.sim.AnnMetric.L2)
+    graft.io.DerivedStore.servedDirIncremental(s, dir, "media_ann",
+      Seq("documents")) { (s2, d, p) =>
+      graft.sim.AnnIndex.buildFrom(m7MediaQuantized(s2, d), p,
+        graft.sim.AnnMetric.L2)
+    } { (s2, d, staging, deltas) =>
+      // the append-only fast path: media vectors are a pure per-doc
+      // map, centroid election is the id rule, so a delta with no
+      // centroid-eligible (or re-ingested) ids appends into the copied
+      // postings EXACTLY as a rebuild over the grown corpus would
+      // assign it (AnnIndexSpec's append==rebuild pin); the touched
+      // cells compact back to target-sized files in place. Any guard
+      // trip routes to the full rebuild.
+      deltas.getOrElse("documents", Seq.empty) match {
+        case Seq() => true // nothing new: the byte-copy IS the next version
+        case paths =>
+          val deltaVecs = m7MediaQuantizedOf(
+            s2.read.option("basePath", s"$d/documents.parquet").parquet(paths: _*))
+          graft.sim.AnnIndex.canAppend(s2, staging, deltaVecs) && {
+            graft.sim.AnnIndex.append(s2, staging, deltaVecs)
+            graft.io.Compaction.compactPartitions(
+              s2, s"$staging/postings", "cell"): Unit
+            true
+          }
+      }
     }
 
   /** Registry m7: SERVED from the snapshot-keyed index — the

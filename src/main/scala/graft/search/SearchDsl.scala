@@ -193,10 +193,8 @@ object SearchDsl {
     // already attached — no dl join — and the final per-doc score sum
     // rides the same hash(doc_id) layout, so the whole query is one
     // corpus exchange plus two broadcast-sized aggregates.
-    val per = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as("term"))
+    val per = graft.text.TokenStore.served(s, dir)
+      .select("doc_id", "term")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dl"),
         qterms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
@@ -262,10 +260,8 @@ object SearchDsl {
     * terms are exactly the df-capped stop-terms d7/m2 already drop.
     */
   val q40InvertedIndex: (SparkSession, String) => DataFrame = (s, dir) =>
-    Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as("term"))
+    graft.text.TokenStore.served(s, dir)
+      .select("doc_id", "term")
       .groupBy("term")
       // ONE set aggregate: df is the size of the posting set, so a
       // separate countDistinct (which would plan an Expand + second
@@ -303,10 +299,12 @@ object SearchDsl {
     * having the index.
     */
   val q69IndexServed: (SparkSession, String) => DataFrame = (s, dir) => {
-    val postings = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as("term"))
+    // term-filtered read of the term-range-sorted token tier: the two
+    // posting fetches prune to the files whose min/max straddle the
+    // query terms — the "two term-key lookups" the Scaladoc promises,
+    // now literally the executed plan
+    val postings = graft.text.TokenStore.served(s, dir)
+      .select("doc_id", "term")
       .filter(col("term").isin("data", "spark"))
       .groupBy("term")
       .agg(collect_set(col("doc_id")).as("ids"))
@@ -342,10 +340,10 @@ object SearchDsl {
     * the same term-partitioned store as q40's postings.
     */
   val q70PhraseQuery: (SparkSession, String) => DataFrame = (s, dir) => {
-    val pos = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as(Seq("p", "term")))
+    // the tier IS the positional index (pos rides every token row);
+    // both term fetches range-prune on the sorted layout
+    val pos = graft.text.TokenStore.served(s, dir)
+      .select(col("doc_id"), col("pos").as("p"), col("term"))
     val a = pos.filter(col("term") === "data")
       .select(col("doc_id").as("da"), col("p").as("pa"))
     val b = pos.filter(col("term") === "spark")

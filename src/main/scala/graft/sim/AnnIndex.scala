@@ -145,6 +145,21 @@ object AnnIndex {
     * them back to target-sized files without a shuffle, one bounded
     * partition-sized job at a time.
     */
+  /** The append == rebuild precondition, checkable without throwing:
+    * the batch elects no centroids (id rule) and collides with no
+    * stored vec_id (which would duplicate posting rows against a
+    * rebuild over a clean union). Both checks are batch-sized — one
+    * scan of the batch, one pruned-column probe of the postings with
+    * the batch's distinct ids broadcast. Merge paths branch on this;
+    * the direct [[append]] keeps its loud require. */
+  def canAppend(s: SparkSession, indexDir: String,
+                newVectors: DataFrame): Boolean =
+    newVectors.filter(col("vec_id") % CellMod === 0).isEmpty &&
+      s.read.parquet(s"$indexDir/postings").select("vec_id")
+        .join(broadcast(newVectors.select("vec_id").distinct()),
+          Seq("vec_id"), "left_semi")
+        .isEmpty
+
   def append(s: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     // append == rebuild only while the batch carries no
     // centroid-eligible ids (a rebuild over the union would elect a

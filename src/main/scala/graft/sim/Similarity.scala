@@ -602,7 +602,11 @@ object Similarity {
     * surface) and d19 (SemDeDup's cluster assignment).
     */
   private def kmFinalAssign(s: SparkSession, dir: String): DataFrame = {
-    val vs = kmVectors(s, dir)
+    // persisted: the quantized vectors feed c0 plus all three unrolled
+    // E-steps — uncached, each round's centroid lineage re-scans the
+    // embeddings table (the honest ScanCount capture read 3 scans for
+    // d19; one cached build is the g5 per-round discipline)
+    val vs = kmVectors(s, dir).registerCache()
     val c0 = vs.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cid"), col("ov").as("cv"))
     val c1 = kmUpdate(kmAssign(vs, kmPack(c0)))
@@ -1070,7 +1074,18 @@ object Similarity {
   /** The snapshot-keyed PQ index for this corpus, under
     * `DerivedStore.servedDir`'s fingerprint/OCC protocol: a
     * regenerated embeddings table rebuilds codebooks + codes instead
-    * of silently serving stale ones. */
+    * of silently serving stale ones.
+    *
+    * Deliberately FULL-rebuild-only (no `servedDirIncremental` merge,
+    * unlike `media_ann`): the codebooks are k-means-trained over the
+    * ENTIRE corpus's subvectors ([[pqIndexBuild]]'s update round), so
+    * a rebuild over appended embeddings retrains them — an
+    * append-with-frozen-codebooks version would encode the delta
+    * against yesterday's geometry and silently diverge from the
+    * recompute (and from the oracle, which retrains per snapshot).
+    * There is no cheap precondition that restores append==rebuild
+    * here; the honest incremental story for PQ is periodic re-train,
+    * which IS the full build. */
   def s12Index(s: SparkSession, dir: String): String =
     graft.io.DerivedStore.servedDir(s, dir, "pq_index", Seq("embeddings"))(pqIndexBuild)
 

@@ -75,9 +75,10 @@ object Bpe {
 
   /** Word-frequency table with the padded char-string start state. */
   private def v0Of(s: SparkSession, dir: String): DataFrame =
-    Tables.loadParallel(s, dir, "documents")
-      .select(explode(expr(
-        "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("word"))
+    // tier-served word counts (the k1 argument — BPE training starts
+    // from the same token stream every tf consumer reads)
+    graft.text.TokenStore.served(s, dir)
+      .select(col("term").as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("sym",
         concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
@@ -116,9 +117,8 @@ object Bpe {
     val (_, vFinal) = learnMerges(v0Of(s, dir))
     val seg = vFinal.select(col("word"),
       size(expr("split(trim(sym), ' ')")).cast("long").as("n_sub"))
-    Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"), explode(expr(
-        "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("word"))
+    graft.text.TokenStore.served(s, dir)
+      .select(col("doc_id"), col("term").as("word"))
       .join(seg, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_tokens"))

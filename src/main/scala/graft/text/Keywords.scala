@@ -128,18 +128,24 @@ object Keywords {
   def tokenize(df: DataFrame): DataFrame =
     df.withColumn("tokens", expr(tokenizeExpr))
 
-  private val stop = Seq("the", "a", "of", "to", "and", "in", "is")
-    .map(w => s"'$w'").mkString(", ")
+  private val stopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+  private val stop = stopWords.map(w => s"'$w'").mkString(", ")
 
   /** k1 — top-5 keywords per document: tf desc, rarity (corpus df) asc,
     * token asc. Stopwords dropped (the reference's commented POS
     * filter, `Keyword.py:99-101`, as a stop-list).
+    *
+    * SERVED from the token tier ([[TokenStore.served]]): the
+    * tokenize+explode prefix runs once per corpus snapshot at tier
+    * build, and the query reads only the tier's pruned
+    * (doc_id, term) columns — never the full `text` column. The
+    * DuckDB oracle still recomputes from raw `documents`, so the
+    * hash gate re-proves tier == tokenize every Verify run.
     */
   val k1TopKeywords: Q = (s, dir) => {
-    val toks = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
-          .as("term"))
+    val toks = TokenStore.served(s, dir)
+      .filter(!col("term").isin(stopWords: _*))
+      .select("doc_id", "term")
     // persisted: df is derived FROM tf and joined back to it — without
     // this the tokenize+explode+count chain runs twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -254,9 +260,10 @@ object Keywords {
   val K6DfCap = 20
 
   val k6TfCosineCapped: Q = (s, dir) => {
-    val docs = Tables.loadParallel(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), col("source"),
-      explode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')")).as("term"))
+    // tier-served (doc, source, term) stream — the production path
+    // reads the tier the way it would at 100 TB
+    val toks = TokenStore.served(s, dir)
+      .select("doc_id", "source", "term")
     val tf = toks.groupBy("source", "doc_id", "term").agg(count(lit(1)).as("tf"))
     // persisted: norms and both self-join sides read the capped frame
     val capped = tf.withColumn("ndocs",
@@ -367,10 +374,10 @@ object Keywords {
     * broadcast into the scoring join (same shape as q39's stats row).
     */
   val k4Tfidf: Q = (s, dir) => {
-    val toks = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr("filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
-          .as("term"))
+    // tier-served tf/df prefix — k1's argument
+    val toks = TokenStore.served(s, dir)
+      .filter(!col("term").isin(stopWords: _*))
+      .select("doc_id", "term")
     // persisted: df AND the corpus-size scalar both derive from tf —
     // unpersisted, the tokenize chain runs three times
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -497,10 +504,11 @@ object Keywords {
   private val MinTermCount = 50
 
   val k7Chi2Keywords: Q = (s, dir) => {
-    val toks = Tables.loadParallel(s, dir, "documents")
-      .select(col("source"), explode(expr(
-        "filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + "))"))
-        .as("t"))
+    // tier-served (source, term) stream; cached because four
+    // aggregates derive from it
+    val toks = TokenStore.served(s, dir)
+      .filter(!col("term").isin(stopWords: _*))
+      .select(col("source"), col("term").as("t"))
       .registerCache()
     val st = toks.groupBy("source", "t").agg(count(lit(1)).as("a"))
     val tt = toks.groupBy("t").agg(count(lit(1)).as("tcnt"))

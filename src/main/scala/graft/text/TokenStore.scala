@@ -4,31 +4,77 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.io.SortedLayout
+import graft.io.{DerivedStore, SortedLayout}
 
 /** Materialized token tier — the T1-derived-table pattern
   * (`Airflow_week.py:270`, `AWS_GLUE_ETL.py:79-132`: raw loads feed
   * once-computed domain tables that every downstream job reads)
-  * applied to the text stack: every k/t/d query re-tokenizes
-  * `documents` because oracle queries must stay self-contained, but a
-  * production pipeline tokenizes ONCE and serves all of them from
-  * this store.
+  * applied to the text stack: tokenize ONCE per corpus snapshot and
+  * serve every tf/df consumer (k1/k3/k4/k6/k7, q39 BM25, q40/q69
+  * postings) from the stored stream instead of re-running the
+  * tokenize+explode prefix per query.
+  *
+  * Served through [[DerivedStore.servedIncremental]] — the same
+  * freshness/publication/GC contract as every other tier
+  * (fingerprint-keyed against `documents`, versioned OCC commit,
+  * keep-2 vacuum), with the append-only fast path: tokenization is a
+  * pure per-doc map, so a daily part-file arrival refreshes the tier
+  * at O(Δ) (tokenize only the delta, union beside history) and the
+  * re-ingestion guard routes key overlap to the full rebuild.
   *
   * Layout: range-sorted on `term` ([[SortedLayout.writeRangeSorted]])
   * so per-file min/max stats prune term-filtered reads (the BM25 tf
-  * lookup, postings fetches) down to single files — at 100 TB the
-  * token tier is bigger than the corpus, so its layout matters more.
+  * lookup, q69's posting fetches) down to single files — at 100 TB
+  * the token tier is bigger than the corpus, so its layout matters
+  * more. Doc-grain consumers (k1's tf) pay the same single
+  * hash(doc_id) exchange they paid inline, minus the tokenize work
+  * and minus the full `text` column read (column pruning reads only
+  * `doc_id`+`term` for a tf query).
   */
 object TokenStore {
 
   /** Same normalization as `Keywords`/`SearchDsl` (lower, trim,
-    * whitespace-collapse, split). */
-  val tokens: (SparkSession, String) => DataFrame = (s, dir) =>
-    Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"),
-        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as(Seq("pos", "term")))
+    * whitespace-collapse, split) over a `documents`-shaped frame —
+    * the per-doc map the tier materializes and the merge re-runs on
+    * deltas. Columns: doc_id, source, lang, pos, term. */
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
+        .as(Seq("pos", "term")))
 
+  /** Inline (self-contained) token stream — the semantic ground truth
+    * the served tier is row-equal to (`TokenStoreSpec`), and what the
+    * DuckDB oracles compute independently from the raw table. */
+  val tokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    tokensOf(Tables.loadParallel(s, dir, "documents"))
+
+  /** The corpus-snapshot token tier: build once per snapshot, serve
+    * every downstream token consumer. */
+  def served(s: SparkSession, dir: String): DataFrame =
+    DerivedStore.servedIncremental(s, dir, "tokens", Seq("documents"),
+      tokens, tokensMerge, numFiles = 8, sortKey = "term")
+
+  /** Append-only refresh: tokens are a pure per-doc map, so the next
+    * version is exactly prev ∪ tokensOf(delta) — O(Δ) tokenize, no
+    * corpus re-read. A re-ingested existing doc_id (which would
+    * duplicate its token rows against what a rebuild of a clean
+    * append produces) is detected by the delta-sized key probe and
+    * routed to the full rebuild — BandIndexStore's guard. */
+  private def tokensMerge(s: SparkSession, dir: String, prev: DataFrame,
+                          deltas: Map[String, Seq[String]]): DataFrame =
+    deltas.getOrElse("documents", Seq.empty) match {
+      case Seq() => prev
+      case paths =>
+        val delta = s.read.option("basePath", s"$dir/documents.parquet")
+          .parquet(paths: _*)
+        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id"))
+          tokens(s, dir)
+        else prev.unionByName(tokensOf(delta))
+    }
+
+  /** Explicit-dir materialization (the pre-tier lifecycle, kept for
+    * pipelines that own their storage layout — `TextPipelineE2ESpec`'s
+    * publish flow); snapshot-keyed serving should use [[served]]. */
   def materialize(spark: SparkSession, dir: String, path: String,
                   numFiles: Int = 8): Unit =
     SortedLayout.writeRangeSorted(tokens(spark, dir), path, numFiles, col("term"))
@@ -36,8 +82,10 @@ object TokenStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** k1's top-keywords computed from the store instead of re-tokenizing
-    * — identical output, tokenize cost paid once at materialize time.
+  /** k1's top-keywords computed from an explicit store instead of
+    * re-tokenizing — identical output, tokenize cost paid once at
+    * materialize time. (The registry k1 serves from [[served]]; this
+    * is the explicit-dir twin `TextPipelineE2ESpec` drives.)
     */
   def topKeywordsFromStore(spark: SparkSession, path: String): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "in", "is")

@@ -49,14 +49,37 @@ object Lineage {
       plan.children.foreach(walk)
       plan match {
         case r: LogicalRelation =>
-          val table = r.catalogTable.map(_.identifier.table).getOrElse {
-            r.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.headOption.map(_.getName).getOrElse("<scan>")
-              case _ => "<scan>"
-            }
+          val rootPath = r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.headOption
+            case _ => None
           }
-          r.output.foreach(a => acc(a.exprId) = Set((table, a.name)))
+          // a DerivedStore tier scan (…/<tier>/v=N) resolves to the
+          // SOURCE TABLES its version's fingerprint records — the
+          // provenance a governance walk needs ("which raw tables can
+          // have influenced this column?"), not the store path. Tier
+          // columns coarsen to every source table (column-grain
+          // lineage across a tier build would need build-time
+          // recording) — the conservative over-approximation, same
+          // direction as the object-boundary rule below.
+          // the version dir itself (frame tiers read …/v=N) or one
+          // level up (directory tiers read …/v=N/postings etc.)
+          val versionDir = rootPath.flatMap { p =>
+            if (p.getName.matches("v=?\\d+")) Some(p)
+            else Option(p.getParent).filter(_.getName.matches("v=?\\d+"))
+          }
+          val tierSources = versionDir
+            .flatMap(p => graft.io.DerivedStore
+              .sourcesOfVersion(df.sparkSession, p.toString))
+          tierSources match {
+            case Some(srcs) =>
+              val leaves = srcs.map(t => (t, "*")).toSet
+              r.output.foreach(a => acc(a.exprId) = leaves)
+            case None =>
+              val table = r.catalogTable.map(_.identifier.table).getOrElse(
+                rootPath.map(_.getName).getOrElse("<scan>"))
+              r.output.foreach(a => acc(a.exprId) = Set((table, a.name)))
+          }
         case l: LeafNode =>
           l.output.foreach(a => acc(a.exprId) = Set(("<local>", a.name)))
         case p: Project   => p.projectList.foreach(record)

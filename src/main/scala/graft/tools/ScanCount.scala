@@ -55,8 +55,15 @@ object ScanCount {
     fn(spark, dir): Unit
     val captured = new AtomicReference[QueryExecution]()
     val listener = new QueryExecutionListener {
+      // keep the LAST delivered event: the bus is FIFO and our noop
+      // write is the last action started, so once delivery quiesces
+      // the final event IS the audited query — a build-internal
+      // execution still queued from the warm construction can no
+      // longer masquerade as the query's plan (it did: the round-9
+      // audit of a stale-tier query captured the build's sampling
+      // pass and under-counted the real scans)
       override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-        captured.compareAndSet(null, qe): Unit
+        captured.set(qe)
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     // register on the FRAME's session, not the caller's: a query may
@@ -69,11 +76,20 @@ object ScanCount {
     sess.listenerManager.register(listener)
     try {
       frame.write.format("noop").mode("overwrite").save()
-      // listener fires asynchronously on the listener bus
+      // listener fires asynchronously on the listener bus: wait for
+      // at least one event, then for delivery to go quiet
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (captured.get() == null && System.nanoTime() < deadline) Thread.sleep(20)
-      val qe = captured.get()
-      require(qe != null, "listener never fired")
+      var last = captured.get()
+      require(last != null, "listener never fired")
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 300L * 1000 * 1000 &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        val now = captured.get()
+        if (!(now eq last)) { last = now; stableSince = System.nanoTime() }
+      }
+      val qe = last
       allNodes(qe.executedPlan)
         .collect { case f: FileSourceScanExec =>
           f.relation.location.rootPaths.map { p =>

@@ -74,4 +74,33 @@ class GraphScanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  /** TokenStore consumers: the tokenize prefix must come from the
+    * `tokens` tier — a `documents.parquet` scan reappearing in any of
+    * these plans means the query regressed to re-tokenizing the
+    * corpus. Cached-frame reuse keeps most counts at 1; k7 reads the
+    * tier once into its cached (source, term) stream. */
+  private val tokenBounds: Map[String, Map[String, Int]] = Map(
+    "k1_top_keywords"    -> Map("tokens" -> 1),
+    "k3_kywr_contract"   -> Map("tokens" -> 1),
+    "k4_tfidf"           -> Map("tokens" -> 1),
+    "k6_tf_cosine_capped" -> Map("tokens" -> 1),
+    "k7_chi2_keywords"   -> Map("tokens" -> 1),
+    "q39_bm25"           -> Map("tokens" -> 1),
+    "q40_inverted_index" -> Map("tokens" -> 1),
+    "q69_index_served"   -> Map("tokens" -> 2),
+    "q70_phrase_query"   -> Map("tokens" -> 2),
+  )
+
+  test("token-tier consumers scan the tokens tier, never the raw corpus") {
+    val qs = graft.queries.Registry.queries
+    for ((name, bound) <- tokenBounds.toSeq.sortBy(_._1)) {
+      val counts = ScanCount.counts(spark, sfDir, qs(name))
+      for ((input, n) <- counts) {
+        withClue(s"$name scans $input $n times (bound ${bound.get(input)}): ") {
+          assert(bound.contains(input) && n <= bound(input))
+        }
+      }
+    }
+  }
 }

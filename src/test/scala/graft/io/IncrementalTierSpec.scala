@@ -203,6 +203,62 @@ class IncrementalTierSpec extends SparkSpec {
     }
   }
 
+  test("token tier refreshes incrementally under append-only corpus growth") {
+    val dir = tmpDir("incr-tok")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-tok-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      def multiset(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+        df.collect().map(_.toString).groupBy(identity).view.mapValues(_.size).toMap
+      DerivedStore.lastBuild = None
+      val t1 = graft.text.TokenStore.served(spark, dir).count()
+      assert(lastMode.contains("full") && t1 > 0)
+
+      val stage = tmpDir("incr-tok-delta")
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val served = graft.text.TokenStore.served(spark, dir)
+      assert(lastMode.contains("merge"), "append-only drift must delta-tokenize")
+      assert(multiset(served) ==
+        multiset(graft.text.TokenStore.tokens(spark, dir)),
+        "merged token tier must equal a full re-tokenize of the grown corpus")
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  test("shingle tier refreshes incrementally under append-only corpus growth") {
+    val dir = tmpDir("incr-sh")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-sh-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      DerivedStore.lastBuild = None
+      val n1 = graft.dedup.ShingleStore.served(spark, dir).count()
+      assert(lastMode.contains("full") && n1 > 0)
+
+      val stage = tmpDir("incr-sh-delta")
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val served = graft.dedup.ShingleStore.served(spark, dir)
+      assert(lastMode.contains("merge"), "append-only drift must delta-shingle")
+      val inline = graft.dedup.ShingleStore.artifacts(spark, dir)
+      assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty,
+        "merged shingle tier must equal a full re-shingle of the grown corpus")
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
   test("a re-ingested existing doc_id in a delta file falls back to the full band build") {
     val dir = tmpDir("incr-reingest")
     val prevRoot = sys.props.get("graft.graphstore.dir")
@@ -275,13 +331,15 @@ class IncrementalTierSpec extends SparkSpec {
     }
   }
 
-  test("directory tiers (the media ANN index) are snapshot-keyed: drift rebuilds, fresh serves") {
+  test("media ANN dir tier: eligible append-only drift MERGES (append==rebuild), guard trip rebuilds") {
     val dir = tmpDir("incr-ann")
     val prevRoot = sys.props.get("graft.graphstore.dir")
     sys.props("graft.graphstore.dir") = tmpDir("incr-ann-store")
     try {
-      val docs = Tables.load(spark, sfDir, "documents")
-      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      // day 1 carries every centroid-eligible id (vec_id % 125 == 0 ⊂
+      // doc_id % 5 == 0), so day 2's delta is append-eligible
+      writeTable(docs.filter(col("doc_id") % 5 === 0), dir, "documents")
       DerivedStore.lastBuild = None
       val p1 = graft.multimodal.Multimodal.m7Index(spark, dir)
       assert(p1.endsWith("v=1") && lastMode.contains("full"))
@@ -290,15 +348,64 @@ class IncrementalTierSpec extends SparkSpec {
       assert(graft.multimodal.Multimodal.m7Index(spark, dir) == p1 && lastMode.isEmpty,
         "fresh serve must not rebuild the index")
 
+      // day 2: non-eligible docs land -> the copied-version + append
+      // merge, row-identical to a rebuild over the grown corpus
       val stage = tmpDir("incr-ann-delta")
-      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/d")
+      docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.parquet(s"$stage/d")
       appendParts(s"$stage/d", s"$dir/documents.parquet")
       DerivedStore.lastBuild = None
       val p2 = graft.multimodal.Multimodal.m7Index(spark, dir)
+      assert(p2.endsWith("v=2") && lastMode.contains("merge"),
+        "eligible append-only drift must take the dir merge")
+      val rebuilt = tmpDir("incr-ann-rebuild") + "/idx"
+      graft.sim.AnnIndex.buildFrom(
+        graft.multimodal.Multimodal.m7MediaQuantized(spark, dir), rebuilt,
+        graft.sim.AnnMetric.L2)
+      def postings(p: String): Set[(Long, Long)] =
+        spark.read.parquet(s"$p/postings").collect()
+          .map(r => (r.getAs[Number]("vec_id").longValue,
+            r.getAs[Number]("cell").longValue)).toSet
+      assert(postings(p2) == postings(rebuilt),
+        "merged index must assign exactly what a rebuild over the grown corpus does")
+      assert(spark.read.parquet(s"$p2/postings").count() > n1)
+
+      // day 3: a delta carrying a centroid-eligible id (doc_id=0 shape
+      // is taken; synthesize one at 125k) must trip the guard -> full
+      val extra = docs.filter(col("doc_id") % 5 =!= 0).limit(1)
+        .withColumn("doc_id", lit(125000L))
+      extra.coalesce(1).write.parquet(s"$stage/d3")
+      appendParts(s"$stage/d3", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val p3 = graft.multimodal.Multimodal.m7Index(spark, dir)
+      assert(p3.endsWith("v=3") && lastMode.contains("full"),
+        "a centroid-eligible delta id must route to the full rebuild")
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  test("pq_index stays full-rebuild on append (codebooks retrain over the grown corpus)") {
+    val dir = tmpDir("incr-pq")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-pq-store")
+    try {
+      val emb = Tables.load(spark, sfDir, "embeddings").cache()
+      writeTable(emb.filter(col("vec_id") % 2 === 0), dir, "embeddings")
+      DerivedStore.lastBuild = None
+      val p1 = graft.sim.Similarity.s12Index(spark, dir)
+      assert(p1.endsWith("v=1") && lastMode.contains("full"))
+      val stage = tmpDir("incr-pq-delta")
+      emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(s"$stage/e")
+      appendParts(s"$stage/e", s"$dir/embeddings.parquet")
+      DerivedStore.lastBuild = None
+      val p2 = graft.sim.Similarity.s12Index(spark, dir)
+      // a frozen-codebook append would diverge from the per-snapshot
+      // retrain the oracle does — the tier must re-train, not merge
       assert(p2.endsWith("v=2") && lastMode.contains("full"),
-        "directory tiers rebuild on ANY drift (their builders own incremental lifecycle)")
-      assert(spark.read.parquet(s"$p2/postings").count() > n1,
-        "rebuilt index covers the grown corpus")
+        "pq_index must retrain codebooks on any drift")
+      emb.unpersist(): Unit
     } finally prevRoot match {
       case Some(v) => sys.props("graft.graphstore.dir") = v
       case None => sys.props.remove("graft.graphstore.dir"): Unit

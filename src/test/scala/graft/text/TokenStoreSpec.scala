@@ -6,6 +6,25 @@ import graft.SparkSpec
 
 class TokenStoreSpec extends SparkSpec {
 
+  test("tier-served token stream is row-equal to the inline tokenize") {
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("tokstore-tier")
+    try {
+      val served = TokenStore.served(spark, sfDir)
+      val inline = TokenStore.tokens(spark, sfDir)
+      assert(served.columns.toSeq ==
+        Seq("doc_id", "source", "lang", "pos", "term"))
+      assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty)
+      // second serve resolves the committed version, no rebuild
+      graft.io.DerivedStore.lastBuild = None
+      TokenStore.served(spark, sfDir).count(): Unit
+      assert(graft.io.DerivedStore.lastBuild.isEmpty)
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
   test("store-served top keywords equal the recompute-from-documents path") {
     val path = tmpDir("tokstore") + "/tokens"
     TokenStore.materialize(spark, sfDir, path)

@@ -27,10 +27,16 @@ class IterativeScanAuditSpec extends SparkSpec {
   private val bounds: Map[String, Map[String, Int]] = Map(
     "s11_kmeans"            -> Map("embeddings.parquet" -> 1),
     "d19_semdedup"          -> Map("embeddings.parquet" -> 1),
-    "v1_bpe_merges"         -> Map("documents.parquet" -> 1),
-    "v2_bpe_tokenize"       -> Map("documents.parquet" -> 1),
+    // r10: BPE's word counts and v2's doc-grain stream both read the
+    // token tier (v2: one scan inside the cached vocab build + the
+    // per-doc rollup's own)
+    "v1_bpe_merges"         -> Map("tokens" -> 1),
+    "v2_bpe_tokenize"       -> Map("tokens" -> 2),
     "k9_textrank"           -> Map("documents.parquet" -> 1),
-    "d15_incremental_dedup" -> Map("documents.parquet" -> 1),
+    // r10: d15's bands read the standing band-index tier (one cached
+    // scan), plus the documents spine for its output contract
+    "d15_incremental_dedup" -> Map("band_index" -> 1,
+                                   "documents.parquet" -> 1),
   )
 
   test("iterative queries scan their lineage once, not once per round") {

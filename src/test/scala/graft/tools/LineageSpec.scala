@@ -44,6 +44,26 @@ class LineageSpec extends SparkSpec {
       ("events.parquet", "event_id")))
   }
 
+  test("tier-served queries trace to the tier's SOURCE tables, not the store path") {
+    def tables(name: String): Set[String] = {
+      val df = graft.queries.Registry.queries(name)(spark, sfDir)
+      val t = Lineage.columnLineage(df).valuesIterator.flatten.map(_._1).toSet
+      graft.core.Caching.releaseAll()
+      t
+    }
+    // g1 serves from the purchase tier (lineitem⋈orders)
+    val g1 = tables("g1_pagerank")
+    assert(g1.contains("lineitem") && g1.contains("orders"), s"g1 traced to $g1")
+    assert(!g1.exists(_.matches("v=?\\d+")) && !g1.contains("purchase"),
+      s"g1 must not leak store paths: $g1")
+    // d8 serves from lsh_components (documents)
+    val d8 = tables("d8_dup_clusters")
+    assert(d8.contains("documents"), s"d8 traced to $d8")
+    // s12 serves from the pq_index dir tier (embeddings)
+    val s12 = tables("s12_ivf_pq")
+    assert(s12.contains("embeddings"), s"s12 traced to $s12")
+  }
+
   test("every registry query's output resolves, and value columns have inputs") {
     // plan-only: never touches data, so the whole registry is cheap
     val noInput = graft.queries.Registry.queries.keys.toSeq.sorted.flatMap { n =>
