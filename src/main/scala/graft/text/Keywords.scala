@@ -429,9 +429,12 @@ object Keywords {
   private val MinPairDocs = 5
 
   val k5PmiCollocations: Q = (s, dir) => {
-    val docTerms = Tables.loadParallel(s, dir, "documents")
+    // doc-grain token ARRAYS from the shingle tier (k5's pair explode
+    // needs arrays, not the exploded token stream — rebuilding arrays
+    // from TokenStore would add a corpus shuffle)
+    val docTerms = graft.dedup.ShingleStore.served(s, dir)
       .select(col("doc_id"),
-        expr("array_distinct(filter(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '), t -> t not in (" + stop + ")))")
+        expr("array_distinct(filter(tokens, t -> t not in (" + stop + ")))")
           .as("ts"))
       .registerCache()
     val present = docTerms.select(col("doc_id"), explode(col("ts")).as("t"))
@@ -590,10 +593,9 @@ object Keywords {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     val byRun = Window.partitionBy("doc_id", "run").orderBy("i")
-    val pw = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as(Seq("i", "w")))
+    // tier-served positional stream (pos rides every token row)
+    val pw = TokenStore.served(s, dir)
+      .select(col("doc_id"), col("pos").as("i"), col("term").as("w"))
       .repartition(col("doc_id"))
       .withColumn("is_stop", expr(s"w in ($stop)"))
       .withColumn("run", sum(when(col("is_stop"), 1).otherwise(0)).over(byDoc))
@@ -682,10 +684,9 @@ object Keywords {
   val k9TextRank: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
-    val toks = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(expr("split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"))
-          .as(Seq("i", "w")))
+    // tier-served positional stream — adjacency via the stored pos
+    val toks = TokenStore.served(s, dir)
+      .select(col("doc_id"), col("pos").as("i"), col("term").as("w"))
       .repartition(col("doc_id"))
       .withColumn("nxt", lead(col("w"), 1).over(byDoc))
     val bi = toks

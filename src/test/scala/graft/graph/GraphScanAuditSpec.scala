@@ -84,8 +84,11 @@ class GraphScanAuditSpec extends SparkSpec {
     "k1_top_keywords"    -> Map("tokens" -> 1),
     "k3_kywr_contract"   -> Map("tokens" -> 1),
     "k4_tfidf"           -> Map("tokens" -> 1),
+    "k5_pmi_collocations" -> Map("shingles" -> 1),
     "k6_tf_cosine_capped" -> Map("tokens" -> 1),
     "k7_chi2_keywords"   -> Map("tokens" -> 1),
+    "k8_rake_phrases"    -> Map("tokens" -> 1),
+    "k9_textrank"        -> Map("tokens" -> 1),
     "q39_bm25"           -> Map("tokens" -> 1),
     "q40_inverted_index" -> Map("tokens" -> 1),
     "q69_index_served"   -> Map("tokens" -> 2),

@@ -32,7 +32,7 @@ class IterativeScanAuditSpec extends SparkSpec {
     // per-doc rollup's own)
     "v1_bpe_merges"         -> Map("tokens" -> 1),
     "v2_bpe_tokenize"       -> Map("tokens" -> 2),
-    "k9_textrank"           -> Map("documents.parquet" -> 1),
+    "k9_textrank"           -> Map("tokens" -> 1),
     // r10: d15's bands read the standing band-index tier (one cached
     // scan), plus the documents spine for its output contract
     "d15_incremental_dedup" -> Map("band_index" -> 1,
