@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.io.DerivedStore
+
+/** The nightly tier-refresh DAG: all-green first night, idempotent
+  * re-run (nothing re-publishes), and a drift night that refreshes
+  * exactly the touched lineage — with a run-log row per tier per
+  * night. */
+class TierRefreshSpec extends SparkSpec {
+
+  // a Tuesday: weekly gates must not skip anything (all jobs Daily)
+  private val night1 = LocalDate.of(2026, 8, 11)
+
+  private def writeTable(df: DataFrame, dir: String, table: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+
+  private def appendParts(from: String, into: String): Unit = {
+    Files.list(Paths.get(from)).forEach { f: JPath =>
+      val n = f.getFileName.toString
+      if (!n.startsWith("_") && !n.startsWith("."))
+        Files.move(f, Paths.get(into).resolve(n)): Unit
+    }
+  }
+
+  test("refresh DAG: green night, idempotent re-run, drift refreshes only touched lineage") {
+    val dir = tmpDir("tierdag-src")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("tierdag-store")
+    val runLog = tmpDir("tierdag-log") + "/runlog"
+    try {
+      // private source snapshot (documents split so day 2 can append;
+      // % 5 == 0 keeps every centroid-eligible id in day 1 — the
+      // media_ann merge eligibility shape)
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      writeTable(docs.filter(col("doc_id") % 5 === 0), dir, "documents")
+      for (t <- Seq("embeddings", "lineitem", "orders"))
+        writeTable(Tables.load(spark, sfDir, t), dir, t)
+
+      val n1 = TierRefresh.refresh(spark, dir, night1, runLog)
+      assert(n1.size == 9)
+      assert(n1.forall(_.status == Pipeline.Succeeded),
+        s"night 1 must be all green: $n1")
+      assert(n1.forall(_.rows > 0), "every tier carries rows")
+
+      // night 2, no source movement: every serve is a fingerprint hit
+      DerivedStore.lastBuild = None
+      val n2 = TierRefresh.refresh(spark, dir, night1.plusDays(1), runLog)
+      assert(n2.forall(_.status == Pipeline.Succeeded))
+      assert(DerivedStore.lastBuild.isEmpty,
+        "an unchanged night must re-publish nothing")
+
+      // night 3: a new documents part file lands — the doc-derived
+      // tiers refresh (merge or rebuild), the others stay fresh
+      val stage = tmpDir("tierdag-delta")
+      docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      val builds = collection.mutable.Map[String, String]()
+      val n3 = TierRefresh.jobs(dir).map { j =>
+        DerivedStore.lastBuild = None
+        val r = Pipeline.run(spark, Seq(j.copy(deps = Nil)(j.body)),
+          night1.plusDays(2), runLog).head
+        DerivedStore.lastBuild.foreach { case (n, m) => builds(n) = m }
+        r
+      }
+      assert(n3.forall(_.status == Pipeline.Succeeded))
+      assert(builds.contains("tokens") && builds.contains("shingles") &&
+        builds.contains("media_ann"),
+        s"doc-derived tiers must refresh on doc drift: $builds")
+      assert(builds("tokens") == "merge" && builds("shingles") == "merge" &&
+        builds("media_ann") == "merge",
+        s"append-only doc drift takes the merge paths: $builds")
+      assert(!builds.contains("purchase") && !builds.contains("cosupply") &&
+        !builds.contains("emb_components") && !builds.contains("pq_index"),
+        s"tiers not derived from documents must not rebuild: $builds")
+
+      // run-log: one row per tier per night (9 jobs x 3 nights + the
+      // 9 single-job night-3 runs counted above = rows land per run)
+      val log = spark.read.parquet(runLog)
+      assert(log.count() == 9L * 3)
+      assert(log.filter(col("success_yn") =!= "Y").count() == 0)
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+}
