@@ -125,7 +125,10 @@ class DerivedStoreSpec extends SparkSpec {
         // make the store stale so a publish (and the armed hook) runs
         val aPart = java.nio.file.Files.list(java.nio.file.Paths.get(src)).toArray
           .map(_.asInstanceOf[java.nio.file.Path])
-          .find(p => !p.getFileName.toString.startsWith("_")).get
+          .find { p =>
+            val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".") // a .crc touch is invisible to the fingerprint
+          }.get
         java.nio.file.Files.setLastModifiedTime(aPart,
           java.nio.file.attribute.FileTime.fromMillis(
             java.nio.file.Files.getLastModifiedTime(aPart).toMillis + 5000)): Unit
@@ -135,6 +138,63 @@ class DerivedStoreSpec extends SparkSpec {
         serveRegion().count(): Unit
         assert(serveRegion().count() == 8,
           "post-race serve must cover the write that landed mid-build")
+      } finally DerivedStore.onFingerprinted = () => ()
+    }
+  }
+
+  test("a source that never quiesces commits under the churn sentinel: served but never fresh, never merge-classified") {
+    withIsolated { dir =>
+      val src = s"$dir/region.parquet"
+      Tables.load(spark, sfDir, "region").limit(2)
+        .coalesce(1).write.parquet(src)
+      // registered WITH a merge so the sentinel's Rewritten
+      // classification is observable: a sentinel that classified as
+      // append-only would take this merge and report "merge"
+      def serveRegion(): DataFrame =
+        DerivedStore.servedIncremental(spark, dir, "churn_tier", Seq("region"),
+          (s, d) => Tables.load(s, d, "region").select("r_regionkey"),
+          (s, d, prev, deltas) => prev.unionByName(
+            s.read.option("basePath", s"$d/region.parquet")
+              .parquet(deltas("region"): _*).select("r_regionkey")),
+          numFiles = 1, sortKey = "r_regionkey")
+      serveRegion().count(): Unit
+      val store = DerivedStore.storePath(dir, "churn_tier")
+
+      // a pathological writer that lands a new file on EVERY attempt:
+      // the re-list check can never match, so after MaxStageAttempts
+      // the publish must commit under the sentinel instead of looping
+      var landed = 0
+      def land(): Unit = {
+        landed += 1
+        Tables.load(spark, sfDir, "region").limit(1)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage-c")
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage-c")).forEach { f =>
+          val n = f.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith("."))
+            java.nio.file.Files.move(f,
+              java.nio.file.Paths.get(src, s"churn-$landed-" + n)): Unit
+        }
+      }
+      land() // make the store stale so the next serve publishes
+      DerivedStore.onFingerprinted = () => land()
+      try {
+        serveRegion().count(): Unit // every attempt races a landing
+        assert(landed == 4, s"prime + one landing per stage attempt, got $landed")
+        val v = AtomicPublish.currentVersion(spark, store).get
+        // the committed version serves complete data but can never be
+        // mistaken for fresh: with the writer silenced, the next serve
+        // must REBUILD (sentinel != any real listing) and must take
+        // the FULL path (sentinel classifies as Rewritten)
+        DerivedStore.onFingerprinted = () => ()
+        DerivedStore.lastBuild = None
+        assert(serveRegion().count() == 6) // 2 + prime + 3 churn rows
+        assert(AtomicPublish.currentVersion(spark, store).contains(v + 1),
+          "post-churn serve must republish")
+        assert(DerivedStore.lastBuild.exists(_._2 == "full"),
+          "a sentinel fingerprint must never classify as append-only")
+        DerivedStore.lastBuild = None
+        assert(serveRegion().count() == 6 && DerivedStore.lastBuild.isEmpty,
+          "the rebuilt version is fresh")
       } finally DerivedStore.onFingerprinted = () => ()
     }
   }
