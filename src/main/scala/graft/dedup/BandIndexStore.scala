@@ -105,6 +105,12 @@ object BandIndexStore {
   def dedupBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
     dedupAgainst(load(s, indexDir), batch)
 
+  /** [[dedupBatch]] against an explicit index FRAME — what the
+    * streaming ingest uses to exclude its own replayed partition
+    * (`streaming/StreamTierIngest`). */
+  def dedupBatch(s: SparkSession, index: DataFrame, batch: DataFrame): DataFrame =
+    dedupAgainst(index, batch)
+
   private def dedupAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
     // persisted: the band frame feeds the probe join and is tiny next
     // to the shingle pipeline that produces it

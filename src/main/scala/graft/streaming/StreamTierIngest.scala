@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Caching.RegisterSyntax
+import graft.dedup.BandIndexStore
+import graft.io.IdempotentWriter
+
+/** Streaming corpus ingest with standing-index maintenance — d15's
+  * incremental-dedup lifecycle as a Structured Streaming job: each
+  * arriving micro-batch of documents is deduped against the
+  * PERSISTENT LSH band index (content-keyed, so a re-crawl under a
+  * new doc_id is still a dup), the survivors land in the corpus sink,
+  * and their band keys extend the index — so tomorrow's batch dedups
+  * against today's arrivals with no batch re-serve in between.
+  *
+  * Exactly-once without a transactional sink: BOTH writes are
+  * batch-id-keyed dynamic partition refreshes
+  * ([[IdempotentWriter.partitionRefresh]] — the fileIngest pattern),
+  * and the probe EXCLUDES the current batch's own index partition, so
+  * Structured Streaming's crash-replay contract (same batchId, same
+  * data) recomputes identical survivors and overwrites its own
+  * partitions instead of matching the batch against its own
+  * half-written bands (which would silently drop every replayed doc).
+  *
+  * Contract notes: dedup is against the index as of the batch's start
+  * (d15's exact semantics); WITHIN-batch duplicates both survive —
+  * the intra-batch pass is d1/d3's job at the next compaction, not
+  * the ingest gate's. At 100 TB the per-batch cost is
+  * O(|batch| + matched buckets): the batch side is day-sized, the
+  * index probe prunes on the band-hash join, and nothing re-reads
+  * history.
+  */
+object StreamTierIngest {
+
+  /** Seed the stream-owned index from a corpus snapshot (partition
+    * `ingest_batch=-1`; every later batch owns `ingest_batch=<id>`). */
+  def bootstrapIndex(corpus: DataFrame, indexDir: String): Unit =
+    IdempotentWriter.partitionRefresh(
+      BandIndexStore.bandKeys(corpus).withColumn("ingest_batch", lit(-1L)),
+      indexDir, "ingest_batch"): Unit
+
+  /** The standing index as a frame (the `ingest_batch` column rides
+    * along; consumers key on (band_idx, band_hash, doc_id)). */
+  def index(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(indexDir)
+
+  def start(s: SparkSession, srcDir: String, schema: StructType,
+            indexDir: String, survivorsDir: String, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    s.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) graft.core.Caching.withReleased {
+          // probe the index WITHOUT this batch's own partition: on a
+          // crash-replay the half-written bands from the failed
+          // attempt must not make the batch match itself
+          val probe = index(s, indexDir).filter(col("ingest_batch") =!= id)
+          val report = BandIndexStore.dedupBatch(s, probe, batch)
+          val kept = batch
+            .join(report.filter(!col("is_dup")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .withColumn("ingest_batch", lit(id))
+            .registerCache() // feeds the sink AND the index append
+          IdempotentWriter.partitionRefresh(kept, survivorsDir, "ingest_batch"): Unit
+          IdempotentWriter.partitionRefresh(
+            BandIndexStore.bandKeys(kept.drop("ingest_batch"))
+              .withColumn("ingest_batch", lit(id)),
+            indexDir, "ingest_batch"): Unit
+        }
+      }
+      .start()
+}
