@@ -286,13 +286,38 @@ object DerivedStore {
               .getOrElse((build(s, dir), "full"))
             lastBuild = Some(name -> mode)
             AtomicPublish.stageVersionWith(store) { p =>
-              SortedLayout.writeRangeSorted(rows, p, numFiles, col(sortKey))
+              // numFiles is a floor, not the count: at warehouse scale
+              // a fixed 8 would write multi-TB single-task files, so
+              // the layout scales with the SOURCE bytes the
+              // fingerprint already itemizes (tier size tracks source
+              // size within a constant factor for every registered
+              // tier; test-scale sources keep the configured floor)
+              SortedLayout.writeRangeSorted(rows, p,
+                scaledNumFiles(numFiles, fp), col(sortKey))
             }
           }
         }
       }
     }
     s.read.parquet(s"$store/v=$version")
+  }
+
+  /** ~256 MB of source bytes per tier output file — the shuffle-
+    * partition-sized unit that keeps single-file write tasks bounded
+    * and keyed reads parallel at any corpus size. */
+  private val SourceBytesPerFile = 256L * 1024 * 1024
+
+  /** Scale a tier's file count with its sources: `base` is the floor
+    * (small/test corpora keep it), and every [[SourceBytesPerFile]] of
+    * fingerprinted source data adds a file. Parsed from the
+    * fingerprint's own `path:size:mtime` lines — no extra listing. */
+  private def scaledNumFiles(base: Int, fp: String): Int = {
+    val bytes = fp.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val parts = line.split(':')
+      if (parts.length >= 3) parts(parts.length - 2).toLongOption.getOrElse(0L)
+      else 0L
+    }.sum
+    math.max(base, math.min(bytes / SourceBytesPerFile, 200000L).toInt)
   }
 
   /** A stale store about to rebuild/merge must not read plans pinned
