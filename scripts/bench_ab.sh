@@ -66,6 +66,10 @@ awk '
   }
   END {
     for (q in a) if (q in bb) {
+      if (a[q] <= 0 || bb[q] <= 0) {   # sub-ms best: no ratio to take
+        printf "%-28s %9.3f %9.3f %7s %7s %s\n", q, a[q], bb[q], "-", "-", "too-fast-to-compare"
+        continue
+      }
       r = bb[q] / a[q]
       dA = (ah[q] - a[q]) / a[q]; dB = (bh[q] - bb[q]) / bb[q]
       band = (dA > dB ? dA : dB)

@@ -57,6 +57,27 @@ object Caching {
   def withReleased[A](body: => A): A =
     try body finally releaseAll()
 
+  /** Release only the registered frames matching `stale` — the scoped
+    * alternative to [[releaseAll]] for a caller that knows WHICH
+    * caches went bad (a drifted source table) and must not clobber
+    * valid caches its own caller registered moments earlier. Frames
+    * the predicate keeps stay registered for the next drain. */
+  def releaseIf(stale: Dataset[_] => Boolean, blocking: Boolean = false): Int = {
+    val keep = new ConcurrentLinkedQueue[Dataset[_]]()
+    var n = 0
+    var ds = registered.poll()
+    while (ds != null) {
+      val isStale =
+        try stale(ds)
+        catch { case _: Throwable => true } // unevaluable plan: drop it
+      if (isStale) { ds.unpersist(blocking); n += 1 }
+      else keep.add(ds)
+      ds = registered.poll()
+    }
+    registered.addAll(keep): Unit
+    n
+  }
+
   /** Chainable form: `df.registerCache()` ≡ `Caching.register(df)` —
     * drop-in for the bare `.persist()` it replaces. */
   implicit class RegisterSyntax[T](private val ds: Dataset[T]) extends AnyVal {

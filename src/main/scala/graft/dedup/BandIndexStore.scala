@@ -86,7 +86,11 @@ object BandIndexStore {
         val delta = s.read.option("basePath", s"$dir/documents.parquet")
           .parquet(paths: _*)
         if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id"))
-          bandKeys(Tables.loadParallel(s, dir, "documents"))
+          // fall back through the SAME tier-composed path as the full
+          // build (the shingle tier's own guard rebuilds it from the
+          // dirty table first) — never a from-text re-shingle here
+          Dedup.bandsOf(Dedup.signaturesOf(
+            ShingleStore.served(s, dir).select("doc_id", "hm")))
         else prev.unionByName(bandKeys(delta))
     }
 
@@ -105,16 +109,20 @@ object BandIndexStore {
   def dedupBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
     dedupAgainst(load(s, indexDir), batch)
 
-  /** [[dedupBatch]] against an explicit index FRAME — what the
-    * streaming ingest uses to exclude its own replayed partition
-    * (`streaming/StreamTierIngest`). */
-  def dedupBatch(s: SparkSession, index: DataFrame, batch: DataFrame): DataFrame =
-    dedupAgainst(index, batch)
+  /** [[dedupBatch]] against an explicit index FRAME with the batch's
+    * band keys PRECOMPUTED — what the streaming ingest uses: it
+    * excludes its own replayed partition from the index, and the same
+    * band frame feeds both this probe and the survivors' index append
+    * (one shingle+md5 pass per batch, not two). */
+  def dedupBatchWithBands(index: DataFrame, batch: DataFrame,
+                          batchBands: DataFrame): DataFrame =
+    dedupAgainst(index, batch, Some(batchBands))
 
-  private def dedupAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
+  private def dedupAgainst(index: DataFrame, batch: DataFrame,
+                           batchBands: Option[DataFrame] = None): DataFrame = {
     // persisted: the band frame feeds the probe join and is tiny next
     // to the shingle pipeline that produces it
-    val nb = bandKeys(batch).registerCache()
+    val nb = batchBands.getOrElse(bandKeys(batch).registerCache())
     val hits = nb.as("n")
       .join(index.as("c"),
         col("n.band_idx") === col("c.band_idx") &&

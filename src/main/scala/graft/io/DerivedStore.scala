@@ -267,7 +267,7 @@ object DerivedStore {
     val version = fresh(fp0).getOrElse {
       lock.synchronized {
         fresh(fp0).getOrElse { // recheck under the lock
-          dropPinnedPlans(s, store)
+          dropPinnedPlans(s, dir, sources, store)
           publishRechecked(s, dir, sources, store, fp0) { fp =>
             // a merge may serve ANOTHER tier inside its body (the lsh
             // components merge probes the band-index tier) — the inner
@@ -326,15 +326,52 @@ object DerivedStore {
     * yesterday's listing (HadoopFsRelation equality is path-grain, not
     * file-grain), so a long-lived session that cached source-derived
     * frames before an append would publish a tier missing the delta —
-    * with a fingerprint that claims it. Dropping caches is always
-    * correctness-neutral (recompute, never wrong answers); only done
-    * when a committed version exists and went stale, the one case
-    * where a pinned pre-drift plan can poison the publish. */
-  private def dropPinnedPlans(s: SparkSession, store: String): Unit =
-    if (AtomicPublish.currentVersion(s, store).nonEmpty) {
-      graft.core.Caching.releaseAll(): Unit
-      s.catalog.clearCache()
-    }
+    * with a fingerprint that claims it. The release is SCOPED
+    * (r10 review): only registered caches that scan one of THIS
+    * tier's source tables with a listing that no longer matches disk
+    * are dropped — a cache the in-flight query registered over the
+    * post-drift listing (or over unrelated tables) survives, so the
+    * stale-serve night doesn't re-introduce the double-scans the
+    * registered-cache discipline exists to prevent. Only done when a
+    * committed version exists and went stale, the one case where a
+    * pinned pre-drift plan can poison the publish. */
+  private def dropPinnedPlans(s: SparkSession, dir: String,
+                              sources: Seq[String], store: String): Unit =
+    if (AtomicPublish.currentVersion(s, store).nonEmpty)
+      releaseStaleSourceCaches(s, dir, sources)
+
+  /** Release registered caches whose pinned file listing for any of
+    * `sources` disagrees with the current on-disk listing. */
+  private def releaseStaleSourceCaches(s: SparkSession, dir: String,
+                                       sources: Seq[String]): Unit = {
+    val roots = sources.flatMap { t =>
+      val p = new Path(dir, s"$t.parquet")
+      val fs = hadoopFs(s, p)
+      if (!fs.exists(p)) None
+      else {
+        val q = fs.makeQualified(p)
+        val files = Set.newBuilder[String]
+        if (!fs.getFileStatus(q).isDirectory) files += q.toString
+        else {
+          val it = fs.listFiles(q, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            val rel = f.toUri.getPath.stripPrefix(q.toUri.getPath).stripPrefix("/")
+            if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+              files += f.toString
+          }
+        }
+        Some(q.toString -> files.result())
+      }
+    }.toMap
+    graft.core.Caching.releaseIf { ds =>
+      val files = ds.inputFiles
+      roots.exists { case (root, cur) =>
+        val underRoot = files.filter(f => f == root || f.startsWith(root + "/")).toSet
+        underRoot.nonEmpty && underRoot != cur
+      }
+    }: Unit
+  }
 
   /** Stage-then-verify publication: `stage(fp)` builds a version from
     * sources fingerprinted as `fp`, then the sources are re-listed —
@@ -363,10 +400,10 @@ object DerivedStore {
       else {
         hadoopFs(s, staging).delete(staging, true): Unit
         // the retry's fresh read must not pin the listing the torn
-        // attempt cached — unconditional here (unlike dropPinnedPlans'
-        // committed-version gate): drift mid-build is proven
-        graft.core.Caching.releaseAll(): Unit
-        s.catalog.clearCache()
+        // attempt cached — same scoped release, unconditional here
+        // (unlike dropPinnedPlans' committed-version gate): drift
+        // mid-build is proven
+        releaseStaleSourceCaches(s, dir, sources)
         fp = fpAfter
       }
     }
@@ -421,7 +458,7 @@ object DerivedStore {
     val version = fresh(fp0).getOrElse {
       lock.synchronized {
         fresh(fp0).getOrElse {
-          dropPinnedPlans(s, store)
+          dropPinnedPlans(s, dir, sources, store)
           publishRechecked(s, dir, sources, store, fp0) { fp =>
             val staged = for {
               m <- merge

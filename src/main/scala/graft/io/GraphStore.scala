@@ -162,32 +162,53 @@ object GraphStore {
   /** True when a delta ORDERS file's keys are referenced by HISTORY
     * lineitem files (every lineitem file except this batch's own
     * deltas) — the FK-invariant violation under which an append-only
-    * merge would miss edges a rebuild produces. */
+    * merge would miss edges a rebuild produces.
+    *
+    * Cost discipline (r10 review): the FK-conforming nightly shape —
+    * every delta order arrives WITH its lineitems — short-circuits on
+    * delta-sized work alone (delta orders anti-joined against delta
+    * lineitems leaves nothing uncovered), so the history-keys scan
+    * runs only for batches carrying early-arriving orders, and then
+    * only one pruned orderkey column with the uncovered keys
+    * broadcast. */
   private def deltaOrdersMatchOldLineitems(s: SparkSession, dir: String,
                                            oPaths: Seq[String],
                                            liPaths: Seq[String]): Boolean = {
-    val base = s"$dir/lineitem.parquet"
-    val root = new org.apache.hadoop.fs.Path(base)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val deltaSet = liPaths.map(p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
-    val hist = Seq.newBuilder[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val segs = f.toUri.getPath.stripPrefix(root.toUri.getPath).split('/')
-      if (!segs.exists(seg => seg.startsWith("_") || seg.startsWith(".")) &&
-          !deltaSet.contains(f.toUri.getPath))
-        hist += f.toString
-    }
-    val histPaths = hist.result()
-    histPaths.nonEmpty && {
-      val dOk = s.read.option("basePath", s"$dir/orders.parquet")
-        .parquet(oPaths: _*).select(col("o_orderkey").as("k")).distinct()
-      !s.read.option("basePath", base).parquet(histPaths: _*)
-        .select(col("l_orderkey").as("k"))
-        .join(broadcast(dOk), Seq("k"), "left_semi")
-        .isEmpty
+    val dOk = s.read.option("basePath", s"$dir/orders.parquet")
+      .parquet(oPaths: _*).select(col("o_orderkey").as("k")).distinct()
+    val uncovered = (if (liPaths.isEmpty) dOk
+      else dOk.join(
+        s.read.option("basePath", s"$dir/lineitem.parquet")
+          .parquet(liPaths: _*).select(col("l_orderkey").as("k")).distinct(),
+        Seq("k"), "left_anti"))
+      .registerCache() // probed by isEmpty AND (rarely) the history semi
+    !uncovered.isEmpty && {
+      val base = s"$dir/lineitem.parquet"
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // compare QUALIFIED paths: classify hands delta paths back as
+      // "$dir/…" strings, which under a relative dir never equal the
+      // listing's absolute URIs — a mismatch here would silently
+      // reclassify the batch's own files as history
+      def qual(p: String): String =
+        fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+      val qroot = fs.makeQualified(root)
+      val deltaSet = liPaths.map(qual).toSet
+      val hist = Seq.newBuilder[String]
+      val it = fs.listFiles(qroot, true)
+      while (it.hasNext) {
+        val f = fs.makeQualified(it.next().getPath)
+        val segs = f.toUri.getPath.stripPrefix(qroot.toUri.getPath).split('/')
+        if (!segs.exists(seg => seg.startsWith("_") || seg.startsWith(".")) &&
+            !deltaSet.contains(f.toString))
+          hist += f.toString
+      }
+      val histPaths = hist.result()
+      histPaths.nonEmpty &&
+        !s.read.option("basePath", base).parquet(histPaths: _*)
+          .select(col("l_orderkey").as("k"))
+          .join(broadcast(uncovered), Seq("k"), "left_semi")
+          .isEmpty
     }
   }
 

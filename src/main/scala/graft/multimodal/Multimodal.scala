@@ -692,8 +692,10 @@ object Multimodal {
       deltas.getOrElse("documents", Seq.empty) match {
         case Seq() => true // nothing new: the byte-copy IS the next version
         case paths =>
-          val deltaVecs = m7MediaQuantizedOf(
-            s2.read.option("basePath", s"$d/documents.parquet").parquet(paths: _*))
+          // persisted: the guard's two probes and the append would
+          // otherwise each re-run the md5/nibble map over the delta
+          val deltaVecs = graft.core.Caching.register(m7MediaQuantizedOf(
+            s2.read.option("basePath", s"$d/documents.parquet").parquet(paths: _*)))
           graft.sim.AnnIndex.canAppend(s2, staging, deltaVecs) && {
             graft.sim.AnnIndex.append(s2, staging, deltaVecs)
             graft.io.Compaction.compactPartitions(

@@ -29,10 +29,20 @@ import graft.io.IdempotentWriter
   * Contract notes: dedup is against the index as of the batch's start
   * (d15's exact semantics); WITHIN-batch duplicates both survive —
   * the intra-batch pass is d1/d3's job at the next compaction, not
-  * the ingest gate's. At 100 TB the per-batch cost is
-  * O(|batch| + matched buckets): the batch side is day-sized, the
-  * index probe prunes on the band-hash join, and nothing re-reads
-  * history.
+  * the ingest gate's.
+  *
+  * Per-batch cost, honestly: the batch-side compute (shingle + md5 +
+  * minhash, the dominant work) is O(|batch|) and paid once per batch;
+  * the probe JOIN reads the index's three pruned key columns — that
+  * scan is O(|index|) I/O because the partitioning key here is
+  * ingest_batch (for replay idempotency), not band_hash, so file-level
+  * key pruning can't apply. What never re-runs is the HISTORY'S
+  * compute: no text is re-read, no md5 re-paid. When the key-column
+  * scan itself becomes the bottleneck, fold the accumulated batch
+  * partitions into the snapshot-keyed `BandIndexStore.corpusIndex`
+  * (band_hash-sorted, file-pruned probes) on the nightly
+  * `pipeline/TierRefresh` cadence and restart the stream's index from
+  * the compacted base.
   */
 object StreamTierIngest {
 
@@ -57,11 +67,16 @@ object StreamTierIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) graft.core.Caching.withReleased {
+          // ONE shingle+md5+minhash pass per batch: the cached band
+          // frame feeds the dedup probe AND the survivors' index
+          // append (r10 review — recomputing it per write doubled the
+          // gate's dominant map cost)
+          val bands = BandIndexStore.bandKeys(batch).registerCache()
           // probe the index WITHOUT this batch's own partition: on a
           // crash-replay the half-written bands from the failed
           // attempt must not make the batch match itself
           val probe = index(s, indexDir).filter(col("ingest_batch") =!= id)
-          val report = BandIndexStore.dedupBatch(s, probe, batch)
+          val report = BandIndexStore.dedupBatchWithBands(probe, batch, bands)
           val kept = batch
             .join(report.filter(!col("is_dup")).select("doc_id"),
               Seq("doc_id"), "left_semi")
@@ -69,7 +84,7 @@ object StreamTierIngest {
             .registerCache() // feeds the sink AND the index append
           IdempotentWriter.partitionRefresh(kept, survivorsDir, "ingest_batch"): Unit
           IdempotentWriter.partitionRefresh(
-            BandIndexStore.bandKeys(kept.drop("ingest_batch"))
+            bands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
               .withColumn("ingest_batch", lit(id)),
             indexDir, "ingest_batch"): Unit
         }
