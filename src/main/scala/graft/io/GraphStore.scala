@@ -164,25 +164,28 @@ object GraphStore {
     * deltas) — the FK-invariant violation under which an append-only
     * merge would miss edges a rebuild produces.
     *
-    * Cost discipline (r10 review): the FK-conforming nightly shape —
-    * every delta order arrives WITH its lineitems — short-circuits on
-    * delta-sized work alone (delta orders anti-joined against delta
-    * lineitems leaves nothing uncovered), so the history-keys scan
-    * runs only for batches carrying early-arriving orders, and then
-    * only one pruned orderkey column with the uncovered keys
-    * broadcast. */
+    * The probe runs against ALL delta order keys (r11 advice fix): a
+    * delta order covered by a delta LINEITEM does not prove history
+    * exclusivity — if order O's lineitems landed in an earlier batch
+    * (producing no edges, O being absent then) and O now arrives
+    * together with one more of its own lineitems, a coverage-based
+    * short-circuit would skip the probe and the early lineitems'
+    * (cust, supp) edges would be permanently missing. Cost stays
+    * bounded: the history scan is one pruned orderkey column with the
+    * delta keys broadcast, range-filtered to the delta keys' min/max —
+    * under production's monotonically growing order keys that pushed
+    * predicate prunes nearly every history row group, so the sound
+    * probe is delta-neighborhood I/O, not a full history read. */
   private def deltaOrdersMatchOldLineitems(s: SparkSession, dir: String,
                                            oPaths: Seq[String],
                                            liPaths: Seq[String]): Boolean = {
     val dOk = s.read.option("basePath", s"$dir/orders.parquet")
       .parquet(oPaths: _*).select(col("o_orderkey").as("k")).distinct()
-    val uncovered = (if (liPaths.isEmpty) dOk
-      else dOk.join(
-        s.read.option("basePath", s"$dir/lineitem.parquet")
-          .parquet(liPaths: _*).select(col("l_orderkey").as("k")).distinct(),
-        Seq("k"), "left_anti"))
-      .registerCache() // probed by isEmpty AND (rarely) the history semi
-    !uncovered.isEmpty && {
+      .registerCache() // feeds the bounds agg AND the history semi
+    // delta-sized: one pass over the delta orders' key column; null
+    // bounds mean the delta files carry no rows -> nothing to violate
+    val bounds = dOk.agg(min("k").as("lo"), max("k").as("hi")).head()
+    !bounds.isNullAt(0) && {
       val base = s"$dir/lineitem.parquet"
       val root = new org.apache.hadoop.fs.Path(base)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -207,7 +210,8 @@ object GraphStore {
       histPaths.nonEmpty &&
         !s.read.option("basePath", base).parquet(histPaths: _*)
           .select(col("l_orderkey").as("k"))
-          .join(broadcast(uncovered), Seq("k"), "left_semi")
+          .filter(col("k") >= bounds.get(0) && col("k") <= bounds.get(1))
+          .join(broadcast(dOk), Seq("k"), "left_semi")
           .isEmpty
     }
   }

@@ -331,6 +331,61 @@ class IncrementalTierSpec extends SparkSpec {
     }
   }
 
+  test("a delta order arriving WITH one of its lineitems still probes history (coverage is not exclusivity)") {
+    val dir = tmpDir("incr-fkcov")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("incr-fkcov-store")
+    try {
+      val orders = Tables.load(spark, sfDir, "orders").cache()
+      val li = Tables.load(spark, sfDir, "lineitem").cache()
+      // synthetic order 20000000: TWO of its lineitems (suppliers 1, 2)
+      // land on day 1 WITHOUT the order — the silent early-lineitem FK
+      // violation. Day 1 builds no edges for it (the order is absent).
+      val okT = li.schema("l_orderkey").dataType
+      val spT = li.schema("l_suppkey").dataType
+      val base = li.limit(1).cache()
+      def synthLi(supp: Long) = base
+        .withColumn("l_orderkey", lit(20000000L).cast(okT))
+        .withColumn("l_suppkey", lit(supp).cast(spT))
+      writeTable(orders, dir, "orders")
+      writeTable(li.unionByName(synthLi(1)).unionByName(synthLi(2)), dir, "lineitem")
+      DerivedStore.lastBuild = None
+      val before = edges(dir)
+      assert(lastMode.contains("full"))
+      assert(!before.exists(_._1 == 999999L), "orphan lineitems build no edges")
+
+      // day 2: the order arrives TOGETHER WITH one more of its own
+      // lineitems (supplier 3). The delta lineitem COVERS the delta
+      // order key, so a coverage-based guard would skip the history
+      // probe, merge, and permanently miss the supplier-1/2 edges the
+      // day-1 lineitems imply — the r10-advice unsoundness. The sound
+      // guard probes history with ALL delta order keys and must route
+      // this batch to the full rebuild.
+      val stage = tmpDir("incr-fkcov-delta")
+      orders.limit(1)
+        .withColumn("o_orderkey", lit(20000000L).cast(orders.schema("o_orderkey").dataType))
+        .withColumn("o_custkey", lit(999999L).cast(orders.schema("o_custkey").dataType))
+        .coalesce(1).write.parquet(s"$stage/o")
+      synthLi(3).coalesce(1).write.parquet(s"$stage/li")
+      appendParts(s"$stage/o", s"$dir/orders.parquet")
+      appendParts(s"$stage/li", s"$dir/lineitem.parquet")
+      DerivedStore.lastBuild = None
+      val after = edges(dir)
+      assert(lastMode.contains("merge"),
+        "the drift still routes through the merge callback")
+      assert(after == inlineEdges(dir),
+        "covered-but-history-referenced delta order must produce the rebuild's edges")
+      val off = graft.graph.Graph.SuppOffset
+      assert(Seq(1L, 2L, 3L).forall(sp =>
+        after.exists(e => e._1 == 999999L && e._2 == sp + off)),
+        "the early lineitems' edges must all be present")
+      orders.unpersist(); li.unpersist(); base.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
   test("media ANN dir tier: eligible append-only drift MERGES (append==rebuild), guard trip rebuilds") {
     val dir = tmpDir("incr-ann")
     val prevRoot = sys.props.get("graft.graphstore.dir")
