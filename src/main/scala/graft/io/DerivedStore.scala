@@ -85,6 +85,12 @@ object DerivedStore {
     * readers can't and shouldn't tell). */
   @volatile private[graft] var lastBuild: Option[(String, String)] = None
 
+  /** Last serve this JVM resolved: (store name, "noop" | "merge" |
+    * "full") — unlike [[lastBuild]], a fingerprint-fresh hit records
+    * too ("noop"), so a nightly operator's run-log row can say WHICH
+    * path served the tier (r10 verdict #4). Introspection only. */
+  @volatile private[graft] var lastServe: Option[(String, String)] = None
+
   /** Test hook: invoked after the source fingerprint is taken and
     * before the build/merge reads the tables — specs land a concurrent
     * append inside exactly that window to drive the re-list path. */
@@ -100,7 +106,12 @@ object DerivedStore {
     * `table/relpath:size:mtime` lines), so the next serve rebuilds, and
     * [[classify]] reads it as [[SourceDrift.Rewritten]] — never
     * AppendOnly — so a merge can never re-digest files a churned build
-    * may already have read. */
+    * may already have read. The source-table NAMES ride along on the
+    * following lines (r10 verdict #2: they are statically known at
+    * every call site), so [[sourcesOfVersion]] — and therefore
+    * `tools/Lineage` — keeps tier provenance through a churned publish;
+    * freshness semantics are untouched (the sentinel text still never
+    * equals a real listing). */
   private val ChurnSentinel = "!churn"
 
   private def root: String =
@@ -167,6 +178,10 @@ object DerivedStore {
   /** Classify how the sources moved since `prev` (a committed
     * version's recorded fingerprint) against `cur` (their state now). */
   private def classify(prev: String, cur: Seq[String], dir: String): SourceDrift = {
+    // a churn-committed fingerprint (sentinel + table names) is never
+    // merge-eligible, whatever its lines: the churned build may have
+    // read files no listing describes
+    if (prev.startsWith(ChurnSentinel)) return SourceDrift.Rewritten
     val prevSet = prev.split("\n").iterator.filter(_.nonEmpty).toSet
     val curSet = cur.toSet
     if (prevSet == curSet) SourceDrift.Unchanged
@@ -194,10 +209,13 @@ object DerivedStore {
 
   /** The SOURCE TABLES a committed version was derived from, parsed
     * from its recorded fingerprint (each line is `table/relpath:…` or
-    * `table absent:…`). None when the dir carries no fingerprint or a
-    * churn sentinel — provenance unknown. This is the provenance hop
-    * `tools/Lineage` takes through a tier scan: a query reading
-    * `purchase/v=3` traces to lineitem+orders, not to the store path. */
+    * `table absent:…`). A churn-committed version carries its table
+    * names on the lines after the sentinel, so provenance survives
+    * exactly the publish where sources churned; None only when the
+    * dir carries no fingerprint or a bare legacy sentinel. This is the
+    * provenance hop `tools/Lineage` takes through a tier scan: a query
+    * reading `purchase/v=3` traces to lineitem+orders, not to the
+    * store path. */
   def sourcesOfVersion(s: SparkSession, versionPath: String): Option[Seq[String]] = {
     val p = new Path(versionPath, FingerprintFile)
     val fs = hadoopFs(s, p)
@@ -207,7 +225,9 @@ object DerivedStore {
       val txt =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      if (txt == ChurnSentinel) None
+      if (txt.startsWith(ChurnSentinel))
+        Some(txt.split("\n").iterator.drop(1).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty) // bare legacy sentinel: provenance unknown
       else Some(txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
         val slash = line.indexOf('/')
         val space = line.indexOf(' ')
@@ -264,6 +284,7 @@ object DerivedStore {
     def fresh(fp: String): Option[Long] = AtomicPublish.currentVersion(s, store)
       .filter(v => versionFingerprint(s, store, v).contains(fp))
     val fp0 = fileEntries(s, dir, sources).mkString("\n")
+    var served = "noop"
     val version = fresh(fp0).getOrElse {
       lock.synchronized {
         fresh(fp0).getOrElse { // recheck under the lock
@@ -285,6 +306,7 @@ object DerivedStore {
             } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
               .getOrElse((build(s, dir), "full"))
             lastBuild = Some(name -> mode)
+            served = mode
             AtomicPublish.stageVersionWith(store) { p =>
               // numFiles is a floor, not the count: at warehouse scale
               // a fixed 8 would write multi-TB single-task files, so
@@ -299,6 +321,7 @@ object DerivedStore {
         }
       }
     }
+    lastServe = Some(name -> served) // after any inner re-entrant serve
     s.read.parquet(s"$store/v=$version")
   }
 
@@ -396,7 +419,11 @@ object DerivedStore {
       val fpAfter = fileEntries(s, dir, sources).mkString("\n")
       if (fpAfter == fp) committed = commitStaged(s, store, staging, fp)
       else if (attempt >= MaxStageAttempts)
-        committed = commitStaged(s, store, staging, ChurnSentinel)
+        // the sentinel line is followed by the (statically known)
+        // source TABLE names so provenance survives the churn; the
+        // combined text still never equals a real listing
+        committed = commitStaged(s, store, staging,
+          (ChurnSentinel +: sources.distinct.sorted).mkString("\n"))
       else {
         hadoopFs(s, staging).delete(staging, true): Unit
         // the retry's fresh read must not pin the listing the torn
@@ -455,6 +482,7 @@ object DerivedStore {
     def fresh(fp: String): Option[Long] = AtomicPublish.currentVersion(s, store)
       .filter(v => versionFingerprint(s, store, v).contains(fp))
     val fp0 = fileEntries(s, dir, sources).mkString("\n")
+    var served = "noop"
     val version = fresh(fp0).getOrElse {
       lock.synchronized {
         fresh(fp0).getOrElse {
@@ -478,13 +506,16 @@ object DerivedStore {
                 }
               }
             } yield p
-            lastBuild = Some(name -> (if (staged.isDefined) "merge" else "full"))
+            val mode = if (staged.isDefined) "merge" else "full"
+            lastBuild = Some(name -> mode)
+            served = mode
             staged.getOrElse(
               AtomicPublish.stageVersionWith(store)(p => write(s, dir, p)))
           }
         }
       }
     }
+    lastServe = Some(name -> served)
     s"$store/v=$version"
   }
 

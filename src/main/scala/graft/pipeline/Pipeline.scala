@@ -42,7 +42,15 @@ object Pipeline {
   case object Skipped extends Status
 
   final case class Result(job: String, status: Status, rows: Long,
-                          attempts: Int, error: Option[String])
+                          attempts: Int, error: Option[String],
+                          note: String = "")
+
+  /** Per-job annotation channel: a body may set this (e.g. TierRefresh
+    * records "mode=merge v=12") and [[run]] carries it into the job's
+    * run-log row — successful rows' otherwise-empty `error_msg` slot,
+    * the same slot Skipped rows already use for "weekly gate". Cleared
+    * before every attempt; run() is single-threaded per DAG. */
+  @volatile private[pipeline] var jobNote: Option[String] = None
 
   /** Kahn topological order; fails fast on unknown deps or cycles. */
   private[pipeline] def topoOrder(jobs: Seq[Job]): Seq[Job] = {
@@ -90,6 +98,7 @@ object Pipeline {
           var outcome: Option[Result] = None
           while (outcome.isEmpty && attempt <= job.retries) {
             attempt += 1
+            jobNote = None
             try {
               // A job body that routes through registering query paths
               // (graft.core.Caching.register) must not leak cached
@@ -97,7 +106,8 @@ object Pipeline {
               // attempt, success or failure, same guarantee Bench and
               // Verify give per query.
               val rows = graft.core.Caching.withReleased(job.body(spark, dt))
-              outcome = Some(Result(job.name, Succeeded, rows, attempt, None))
+              outcome = Some(Result(job.name, Succeeded, rows, attempt, None,
+                jobNote.getOrElse("")))
             } catch {
               case NonFatal(e) if attempt > job.retries =>
                 outcome = Some(Result(job.name, Failed, 0, attempt,
@@ -119,7 +129,7 @@ object Pipeline {
           case Failed    => "N"
           case Skipped   => "S"
         },
-        error_msg = result.error.getOrElse(""),
+        error_msg = result.error.getOrElse(result.note),
         job_run_id = runId,
         platform_dt = Timestamp.from(Instant.now().plusSeconds(9 * 3600))))
       result

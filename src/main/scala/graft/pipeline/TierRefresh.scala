@@ -29,27 +29,51 @@ object TierRefresh {
 
   import Pipeline.Job
 
+  import graft.io.{AtomicPublish, DerivedStore}
+
+  /** Wrap a tier serve so its run-log row carries HOW the tier was
+    * served (r10 verdict #4): `mode=noop|merge|full v=<n>` lands in
+    * the row's note slot via [[Pipeline.jobNote]] — a nightly operator
+    * reads "merge, v=12" from the log instead of grepping build logs.
+    * `DerivedStore.lastServe` is the source of truth; it is cleared
+    * first so a body that never reaches its serve can't report a
+    * stale inner tier's mode. */
+  private def tierJob(jobName: String, tier: String, sfDir: String,
+                      deps: Seq[String] = Nil)
+                     (serve: SparkSession => Long): Job =
+    Job(jobName, s"graphstore.$tier", deps = deps)((s, _) => {
+      DerivedStore.lastServe = None
+      val rows = serve(s)
+      val mode = DerivedStore.lastServe
+        .collect { case (`tier`, m) => m }.getOrElse("noop")
+      val v = AtomicPublish
+        .currentVersion(s, DerivedStore.storePath(sfDir, tier))
+        .map(v => s" v=$v").getOrElse("")
+      Pipeline.jobNote = Some(s"mode=$mode$v")
+      rows
+    })
+
   /** One job per standing tier, dependency-ordered. */
   def jobs(sfDir: String): Seq[Job] = Seq(
-    Job("tokens_tier", "graphstore.tokens")((s, _) =>
+    tierJob("tokens_tier", "tokens", sfDir)(s =>
       graft.text.TokenStore.served(s, sfDir).count()),
-    Job("shingle_tier", "graphstore.shingles")((s, _) =>
+    tierJob("shingle_tier", "shingles", sfDir)(s =>
       graft.dedup.ShingleStore.served(s, sfDir).count()),
-    Job("band_index_tier", "graphstore.band_index",
-      deps = Seq("shingle_tier"))((s, _) =>
+    tierJob("band_index_tier", "band_index", sfDir,
+      deps = Seq("shingle_tier"))(s =>
       graft.dedup.BandIndexStore.corpusIndex(s, sfDir).count()),
-    Job("lsh_components_tier", "graphstore.lsh_components",
-      deps = Seq("band_index_tier"))((s, _) =>
+    tierJob("lsh_components_tier", "lsh_components", sfDir,
+      deps = Seq("band_index_tier"))(s =>
       graft.dedup.ClusterStore.lshComponents(s, sfDir).count()),
-    Job("emb_components_tier", "graphstore.emb_components")((s, _) =>
+    tierJob("emb_components_tier", "emb_components", sfDir)(s =>
       graft.dedup.ClusterStore.embComponents(s, sfDir).count()),
-    Job("pq_index_tier", "graphstore.pq_index")((s, _) =>
+    tierJob("pq_index_tier", "pq_index", sfDir)(s =>
       s.read.parquet(s"${graft.sim.Similarity.s12Index(s, sfDir)}/codes").count()),
-    Job("media_ann_tier", "graphstore.media_ann")((s, _) =>
+    tierJob("media_ann_tier", "media_ann", sfDir)(s =>
       s.read.parquet(s"${graft.multimodal.Multimodal.m7Index(s, sfDir)}/postings").count()),
-    Job("purchase_tier", "graphstore.purchase")((s, _) =>
+    tierJob("purchase_tier", "purchase", sfDir)(s =>
       graft.io.GraphStore.purchaseEdges(s, sfDir).count()),
-    Job("cosupply_tier", "graphstore.cosupply")((s, _) =>
+    tierJob("cosupply_tier", "cosupply", sfDir)(s =>
       graft.io.GraphStore.cosupplyUnd(s, sfDir).count()),
   )
 

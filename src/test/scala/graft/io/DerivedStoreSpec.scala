@@ -181,6 +181,17 @@ class DerivedStoreSpec extends SparkSpec {
         serveRegion().count(): Unit // every attempt races a landing
         assert(landed == 4, s"prime + one landing per stage attempt, got $landed")
         val v = AtomicPublish.currentVersion(spark, store).get
+        // provenance survives the churned publish (r10 verdict #3):
+        // the sentinel carries the statically-known source tables, so
+        // sourcesOfVersion — and a Lineage walk over the served tier —
+        // still answers "which raw tables influenced this?"
+        assert(DerivedStore.sourcesOfVersion(spark, s"$store/v=$v")
+          .contains(Seq("region")),
+          "churn-committed version must keep its source-table provenance")
+        val churnLin = graft.tools.Lineage.columnLineage(
+          spark.read.parquet(s"$store/v=$v"))
+        assert(churnLin("r_regionkey") == Set(("region", "*")),
+          s"lineage through a churned tier must reach the source table: $churnLin")
         // the committed version serves complete data but can never be
         // mistaken for fresh: with the writer silenced, the next serve
         // must REBUILD (sentinel != any real listing) and must take

@@ -86,6 +86,27 @@ class TierRefreshSpec extends SparkSpec {
       val log = spark.read.parquet(runLog)
       assert(log.count() == 9L * 3)
       assert(log.filter(col("success_yn") =!= "Y").count() == 0)
+
+      // every row carries HOW the tier was served (mode + version) in
+      // its note slot — the nightly operator's "merge, v=2" at a
+      // glance (r10 verdict #4)
+      def notes(dt: String): Map[String, String] = log
+        .filter(col("bat_dt") === dt).collect()
+        .map(r => r.getAs[String]("job_nm") -> r.getAs[String]("error_msg")).toMap
+      val night1Notes = notes("20260811")
+      assert(night1Notes.size == 9 && night1Notes.values.forall(_ == "mode=full v=1"),
+        s"first night builds everything: $night1Notes")
+      val night2Notes = notes("20260812")
+      assert(night2Notes.values.forall(_ == "mode=noop v=1"),
+        s"an unchanged night serves fingerprint hits: $night2Notes")
+      val night3Notes = notes("20260813")
+      val mergedJobs = Set("tokens_tier", "shingle_tier", "band_index_tier",
+        "lsh_components_tier", "media_ann_tier")
+      assert(mergedJobs.forall(j => night3Notes(j) == "mode=merge v=2"),
+        s"doc-derived tiers must log their merge: $night3Notes")
+      assert((night3Notes.keySet -- mergedJobs)
+        .forall(j => night3Notes(j) == "mode=noop v=1"),
+        s"untouched tiers log the no-op: $night3Notes")
       docs.unpersist(): Unit
     } finally prevRoot match {
       case Some(v) => sys.props("graft.graphstore.dir") = v
