@@ -37,6 +37,14 @@ object Similarity {
   private val NumPlanes = 8
   private val Scale = 1000000L
 
+  /** Ceiling for a FORCED broadcast of a bounded-by-construction frame
+    * (the s12 serve's |q|·k candidate set): 256 MB of estimated payload
+    * is comfortable for the multi-GB driver heaps the target profile
+    * runs, far above autoBroadcastJoinThreshold's row-estimate
+    * conservatism, and far below the OOM line a row-count bound could
+    * cross when each row carries a full quantized vector. */
+  private val MaxPinnedBroadcastBytes = 256L << 20
+
   /** Deterministic ±1 hyperplane matrix derived from md5("p:d") —
     * reproducible constants, embedded literally in both dialects.
     */
@@ -1069,6 +1077,31 @@ object Similarity {
       .join(cells, "vec_id")
       .repartition(8, col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    // record the corpus row count beside the artifacts: the serve path
+    // sizes its broadcast-vs-shuffle decision from it without paying an
+    // eager count() job per invocation (r10 advice). One count at build
+    // is amortized into the index's own lifecycle.
+    val n = s.read.parquet(s"$path/codes").count()
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_nrows")
+    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Corpus row count recorded at [[pqIndexBuild]]; a legacy version
+    * without the sidecar falls back to one count() (its next rebuild —
+    * any source drift — upgrades it). */
+  private def indexRowCount(s: SparkSession, idx: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(idx, "_nrows")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) s.read.parquet(s"$idx/codes").count()
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
   }
 
   /** The snapshot-keyed PQ index for this corpus, under
@@ -1147,13 +1180,18 @@ object Similarity {
     // exactly that flip; every stage is linear with the hint pinned).
     // |q| grows with the corpus (every 50th vector), so a FORCED
     // broadcast is linear-in-corpus driver/executor memory — a 100 TB
-    // hazard. The hint is therefore bounded: broadcast while |q|·k
-    // (known exactly from the index's metadata count) fits the
-    // driver comfortably, shuffle_hash beyond — still sort-free and
-    // linear, with the build side pinned on the bounded cand side.
-    val candRows = codes.count() / 50 * 10
+    // hazard. The hint is therefore bounded in BYTES, not rows (r10
+    // advice: the broadcast frame that matters is withQ, which carries
+    // the full quantized query vector per row — a row bound admits a
+    // multi-GB payload): broadcast while |q|·k × the per-row width
+    // (Dim int64 lanes + struct overhead) fits a driver comfortably,
+    // shuffle_hash beyond — still sort-free and linear, with the build
+    // side pinned on the bounded cand side. The row count comes from
+    // the index's recorded _nrows sidecar, no per-call count() job.
+    val candRows = indexRowCount(s, idx) / 50 * 10
+    val withQRowBytes = 8L * Dim + 48
     val pin: DataFrame => DataFrame =
-      if (candRows <= 2L * 1000 * 1000) broadcast
+      if (candRows * withQRowBytes <= MaxPinnedBroadcastBytes) broadcast
       else df => df.hint("shuffle_hash")
     val withQ = pin(cand)
       .join(qn.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
