@@ -65,7 +65,8 @@ object BandIndexStore {
       // the lsh-components pattern)
       (s2, d) => Dedup.bandsOf(Dedup.signaturesOf(
         ShingleStore.served(s2, d).select("doc_id", "hm"))),
-      corpusIndexMerge, numFiles = 8, sortKey = "band_hash")
+      corpusIndexMerge, numFiles = 8, sortKey = "band_hash",
+      summaryKey = Some("doc_id"))
 
   /** Append-only refresh of the snapshot tier: band keys are a pure
     * per-doc map, so the next version is exactly prev ∪ bands(delta) —

@@ -53,7 +53,8 @@ object ClusterStore {
     * from only the delta-touching pairs ([[lshComponentsMerge]]). */
   def lshComponents(s: SparkSession, dir: String): DataFrame =
     DerivedStore.servedIncremental(s, dir, "lsh_components", Seq("documents"),
-      lshComponentsInline, lshComponentsMerge, numFiles = 4, sortKey = "doc_id")
+      lshComponentsInline, lshComponentsMerge, numFiles = 4, sortKey = "doc_id",
+      summaryKey = Some("doc_id"))
 
   /** Store-served semantic cluster labels, incrementally refreshed
     * under append-only embedding growth ([[embComponentsMerge]]) —
@@ -62,7 +63,8 @@ object ClusterStore {
     * holds here. */
   def embComponents(s: SparkSession, dir: String): DataFrame =
     DerivedStore.servedIncremental(s, dir, "emb_components", Seq("embeddings"),
-      embComponentsInline, embComponentsMerge, numFiles = 4, sortKey = "doc_id")
+      embComponentsInline, embComponentsMerge, numFiles = 4, sortKey = "doc_id",
+      summaryKey = Some("doc_id"))
 
   /** Incremental connected components under append-only corpus growth.
     *

@@ -62,7 +62,8 @@ object ShingleStore {
   /** The corpus-snapshot shingle tier. */
   def served(s: SparkSession, dir: String): DataFrame =
     DerivedStore.servedIncremental(s, dir, "shingles", Seq("documents"),
-      artifacts, merge, numFiles = 8, sortKey = "doc_id")
+      artifacts, merge, numFiles = 8, sortKey = "doc_id",
+      summaryKey = Some("doc_id"))
 
   /** O(Δ) append-only refresh with the re-ingestion guard —
     * TokenStore's merge, verbatim contract. */

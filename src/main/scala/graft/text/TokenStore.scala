@@ -52,7 +52,8 @@ object TokenStore {
     * every downstream token consumer. */
   def served(s: SparkSession, dir: String): DataFrame =
     DerivedStore.servedIncremental(s, dir, "tokens", Seq("documents"),
-      tokens, tokensMerge, numFiles = 8, sortKey = "term")
+      tokens, tokensMerge, numFiles = 8, sortKey = "term",
+      summaryKey = Some("doc_id"))
 
   /** Append-only refresh: tokens are a pure per-doc map, so the next
     * version is exactly prev ∪ tokensOf(delta) — O(Δ) tokenize, no

@@ -228,4 +228,38 @@ class DerivedStoreSpec extends SparkSpec {
       assert(fs.exists(new Path(s"$store/v=2")))
     }
   }
+
+  test("overlap probe: disjoint-range delta answered by the _keysummary sidecar, never the tier's data") {
+    import org.apache.spark.sql.functions.col
+    withIsolated { dir =>
+      DerivedStore.servedIncremental(spark, dir, "nation_sum", Seq("nation"),
+        build, (_, _, prev, _) => prev, numFiles = 2, sortKey = "n_nationkey",
+        summaryKey = Some("n_nationkey")).count(): Unit
+      val store = DerivedStore.storePath(dir, "nation_sum")
+      val fs = fsOf(store)
+      assert(fs.exists(new Path(s"$store/v=1/_keysummary")),
+        "declared summaryKey must publish the sidecar beside the fingerprint")
+      val prev = spark.read.parquet(s"$store/v=1")
+
+      // range straddles [0,24] but shares no key: the sidecar can't
+      // answer, the exact semi-join must (and must say NO)
+      val straddling = spark.range(2).select(
+        (col("id") * 65 - 5).as("n_nationkey")) // {-5, 60}
+      assert(!DerivedStore.deltaKeysOverlap(prev, straddling, "n_nationkey"))
+      // a genuinely re-ingested key routes to the rebuild path
+      val reingested = spark.range(1).select((col("id") + 24).as("n_nationkey"))
+      assert(DerivedStore.deltaKeysOverlap(prev, reingested, "n_nationkey"))
+
+      // THE O(Δ) contract: on a disjoint key range the probe reads the
+      // sidecar + the delta and nothing else. Proof by demolition —
+      // with the tier's data files gone, any history scan would throw.
+      fs.listStatus(new Path(s"$store/v=1")).foreach { st =>
+        if (st.getPath.getName.startsWith("part-"))
+          fs.delete(st.getPath, false): Unit
+      }
+      val disjoint = spark.range(3).select((col("id") + 1000).as("n_nationkey"))
+      assert(!DerivedStore.deltaKeysOverlap(prev, disjoint, "n_nationkey"),
+        "disjoint-range delta must be answered summary-only")
+    }
+  }
 }
