@@ -77,6 +77,23 @@ object TierRefresh {
       graft.io.GraphStore.cosupplyUnd(s, sfDir).count()),
   )
 
+  /** Nightly compaction of a streaming ingest gate's accumulated
+    * batch partitions into its bucket-partitioned base
+    * ([[graft.streaming.StreamTierIngest.fold]]) — registered beside
+    * the tier serves so the stream's probe cost is bounded by the
+    * compaction interval, not ingest history. Run it between stream
+    * triggers (the AvailableNow-daily shape); its run-log row carries
+    * how many partitions folded, or `noop` on an already-folded night. */
+  def streamFoldJob(name: String, indexDir: String, checkpoint: String,
+                    deps: Seq[String] = Nil): Job =
+    Job(name, s"stream.$name", deps = deps)((s, _) =>
+      graft.streaming.StreamTierIngest.fold(s, indexDir, checkpoint) match {
+        case Some((parts, rows)) =>
+          Pipeline.jobNote = Some(s"folded=$parts"); rows
+        case None =>
+          Pipeline.jobNote = Some("noop"); 0L
+      })
+
   /** Run the refresh for one batch date; results + run-log rows. */
   def refresh(spark: SparkSession, sfDir: String,
               batDt: java.time.LocalDate,

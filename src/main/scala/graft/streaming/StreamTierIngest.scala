@@ -1,11 +1,11 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.core.Caching.RegisterSyntax
 import graft.dedup.BandIndexStore
 import graft.io.IdempotentWriter
 
@@ -31,20 +31,47 @@ import graft.io.IdempotentWriter
   * the intra-batch pass is d1/d3's job at the next compaction, not
   * the ingest gate's.
   *
-  * Per-batch cost, honestly: the batch-side compute (shingle + md5 +
-  * minhash, the dominant work) is O(|batch|) and paid once per batch;
-  * the probe JOIN reads the index's three pruned key columns — that
-  * scan is O(|index|) I/O because the partitioning key here is
-  * ingest_batch (for replay idempotency), not band_hash, so file-level
-  * key pruning can't apply. What never re-runs is the HISTORY'S
-  * compute: no text is re-read, no md5 re-paid. When the key-column
-  * scan itself becomes the bottleneck, fold the accumulated batch
-  * partitions into the snapshot-keyed `BandIndexStore.corpusIndex`
-  * (band_hash-sorted, file-pruned probes) on the nightly
-  * `pipeline/TierRefresh` cadence and restart the stream's index from
-  * the compacted base.
+  * Per-batch cost: the batch-side compute (shingle + md5 + minhash,
+  * the dominant work) is O(|batch|) and paid once per batch. The probe
+  * base has two layers: freshly-ingested `ingest_batch=<id>`
+  * partitions (partitioned for replay idempotency — no key pruning
+  * possible, but bounded: only batches since the last fold), and the
+  * COMPACTED base maintained by [[fold]] — `band_bucket`-partitioned
+  * (bucket = hash of band_hash), hash-sorted within, so each batch's
+  * probe statically prunes the compacted scan to the ≤ [[Buckets]]
+  * partitions its own band hashes can reach. [[fold]] runs on the
+  * nightly `pipeline/TierRefresh` cadence ([[graft.pipeline.TierRefresh
+  * .streamFoldJob]]): it moves every REPLAY-IMMUNE batch partition
+  * (id ≤ the checkpoint's last committed batch — Structured Streaming
+  * never re-runs those) into the compacted base and deletes the moved
+  * partitions, so per-batch probe I/O stays O(|matched buckets| +
+  * |since-last-fold|) instead of growing with ingest history. What
+  * never re-runs is the HISTORY'S compute: no text is re-read, no md5
+  * re-paid.
+  *
+  * Fold replay-safety: a batch in the crash window (sink writes landed,
+  * checkpoint commit didn't) is by construction NOT folded — its
+  * partition stays live, the replay overwrites it, and the probe's
+  * self-partition exclusion keeps working. Folded rows carry
+  * `ingest_batch = -1` (the bootstrap's id), which no real batch id
+  * can collide with. A fold crash between commit and partition delete
+  * leaves duplicate rows across the two layers — harmless to the probe
+  * (matches count DISTINCT corpus docs) and removed by the next fold's
+  * distinct.
   */
 object StreamTierIngest {
+
+  /** Partition-bucket fanout of the compacted base. More buckets =
+    * finer probe pruning and more parallel fold writes; at test scale
+    * 64 keeps directories readable, at warehouse scale the per-bucket
+    * FILE count scales with index bytes (the fold sizes its writer
+    * from the on-disk footprint), not the bucket count. */
+  private[streaming] val Buckets = 64
+
+  private[streaming] def bucketOf(bandHash: org.apache.spark.sql.Column) =
+    pmod(abs(hash(bandHash)), lit(Buckets))
+
+  private def compactedStore(indexDir: String): String = s"$indexDir/.compacted"
 
   /** Seed the stream-owned index from a corpus snapshot (partition
     * `ingest_batch=-1`; every later batch owns `ingest_batch=<id>`). */
@@ -54,40 +81,244 @@ object StreamTierIngest {
       indexDir, "ingest_batch"): Unit
 
   /** The standing index as a frame (the `ingest_batch` column rides
-    * along; consumers key on (band_idx, band_hash, doc_id)). */
+    * along; consumers key on (band_idx, band_hash, doc_id)): live
+    * batch partitions ∪ the compacted base (as `ingest_batch = -1`). */
   def index(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(indexDir)
+    probeBase(s, indexDir, None)
 
+  /** [[index]] with the compacted-base scan statically pruned to
+    * `buckets` (a probing batch's own band buckets) — partition-dir
+    * pruning, no driver-side key collection beyond ≤ [[Buckets]]
+    * values. Safe for any probe joining on band_hash: a compacted row
+    * outside the batch's buckets can never match its hashes. */
+  private[streaming] def probeBase(s: SparkSession, indexDir: String,
+                                   buckets: Option[Seq[Int]]): DataFrame = {
+    val cols = Seq("doc_id", "band_idx", "band_hash", "ingest_batch")
+    val live =
+      if (livePartitions(s, indexDir).nonEmpty)
+        Some(s.read.parquet(indexDir).selectExpr(cols: _*))
+      else None
+    val store = compactedStore(indexDir)
+    val compacted = graft.io.AtomicPublish.currentVersion(s, store).map { v =>
+      val c = s.read.parquet(s"$store/v=$v")
+      buckets.fold(c)(bs => c.filter(col("band_bucket").isin(bs: _*)))
+        .withColumn("ingest_batch", lit(-1L))
+        .selectExpr(cols: _*)
+    }
+    (live, compacted) match {
+      case (Some(l), Some(c)) => l.unionByName(c)
+      case (Some(l), None)    => l
+      case (None, Some(c))    => c
+      // neither layer exists: surface the same error a plain read gives
+      case (None, None)       => s.read.parquet(indexDir)
+    }
+  }
+
+  /** The `ingest_batch=<id>` partition dirs currently live (unfolded)
+    * in the index dir, bootstrap (-1) included. */
+  private def livePartitions(s: SparkSession, indexDir: String): Seq[(Long, Path)] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.stripPrefix("ingest_batch=").toLongOption
+        .filter(_ => st.getPath.getName.startsWith("ingest_batch="))
+        .map(_ -> st.getPath))
+      .toSeq
+  }
+
+  /** The last batch id the checkpoint has COMMITTED — ids ≤ this are
+    * replay-immune (Structured Streaming resumes at lastCommitted+1);
+    * -1 when nothing committed yet. */
+  private def lastCommittedBatch(s: SparkSession, checkpoint: String): Long = {
+    val p = new Path(checkpoint, "commits")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && n.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Fold every replay-immune live batch partition (id ≤ the
+    * checkpoint's last committed batch; the bootstrap always) into the
+    * band_bucket-partitioned compacted base, then delete the folded
+    * partitions — the nightly compaction that keeps the per-batch
+    * probe scan bounded by the compaction interval instead of ingest
+    * history (the reference's daily rebuild of the tiers its online
+    * path serves from, `Airflow_week.py:332-377`). Versioned-OCC like
+    * every tier: readers (including a concurrently running stream's
+    * next micro-batch) see the old base or the new one, never a
+    * partial mix. Run it between stream triggers (the nightly shape);
+    * if a micro-batch races the post-commit partition delete, its
+    * probe either double-reads a folded row (harmless — matches count
+    * DISTINCT corpus docs) or fails on a vanished file and is retried
+    * by the stream's own replay, which recomputes identical survivors. The rewrite is an IO-bound O(|index|) job — the same
+    * cost class as a directory tier's byte-copy — paid nightly so the
+    * per-batch O(|unfolded|) probes stay small.
+    *
+    * Returns (folded partition count, compacted base rows), or None
+    * when nothing is foldable (re-running a folded night is a no-op).
+    */
+  def fold(s: SparkSession, indexDir: String,
+           checkpoint: String): Option[(Int, Long)] = {
+    val committed = lastCommittedBatch(s, checkpoint)
+    val foldable = livePartitions(s, indexDir).filter(_._1 <= committed)
+    if (foldable.isEmpty) return None
+    val store = compactedStore(indexDir)
+    val live = s.read.option("basePath", indexDir)
+      .parquet(foldable.map(_._2.toString): _*)
+      .select("doc_id", "band_idx", "band_hash")
+    val prev = graft.io.AtomicPublish.currentVersion(s, store)
+      .map(v => s.read.parquet(s"$store/v=$v")
+        .select("doc_id", "band_idx", "band_hash"))
+    // distinct: a crash between a previous fold's commit and its
+    // partition delete re-presents identical rows — idempotent re-fold
+    val all = prev.fold(live)(_.unionByName(live)).distinct()
+      .withColumn("band_bucket", bucketOf(col("band_hash")))
+    val fs = new Path(store).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = graft.io.AtomicPublish.stageVersionWith(store) { p =>
+      // range tasks span contiguous (bucket, hash) slices: ~1 file per
+      // task per bucket touched, hash-sorted inside for row-group
+      // pruning; task count scales with on-disk index bytes
+      all.repartitionByRange(foldNumFiles(s, indexDir),
+          col("band_bucket"), col("band_hash"))
+        .sortWithinPartitions("band_bucket", "band_hash")
+        .write.partitionBy("band_bucket").mode("overwrite").parquet(p.toString)
+    }
+    if (!fs.exists(new Path(staging, "_SUCCESS")))
+      fs.create(new Path(staging, "_SUCCESS"), true).close()
+    val v = graft.io.AtomicPublish.commitStagedOcc(s, store, staging)
+    graft.io.Vacuum.sweep(s, store, keepVersions = 2): Unit
+    foldable.foreach { case (_, p) => fs.delete(p, true): Unit }
+    Some((foldable.size, s.read.parquet(s"$store/v=$v").count()))
+  }
+
+  /** ~256 MB of index bytes per fold write task, floor 8 — the same
+    * source-proportional sizing DerivedStore applies to tier files. */
+  private def foldNumFiles(s: SparkSession, indexDir: String): Int = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) bytes += it.next().getLen
+    math.max(8, math.min(bytes / (256L * 1024 * 1024), 200000L).toInt)
+  }
+
+  /** `intraBatchExact`: also drop WITHIN-batch exact duplicates (d1's
+    * content hash, batch-local, no extra state) keeping the lowest
+    * doc_id — deterministic, so a crash-replay recomputes the same
+    * survivors. Off by default: the gate's core contract dedups
+    * against the index as of batch start (d15), and near-dup families
+    * WITHIN a batch remain d1/d3's job at compaction either way. */
   def start(s: SparkSession, srcDir: String, schema: StructType,
             indexDir: String, survivorsDir: String, checkpoint: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            intraBatchExact: Boolean = false): StreamingQuery = {
+    // restart-safety guard: batch ids are CHECKPOINT-scoped, and both
+    // sinks are batch-id-keyed dynamic partition overwrites. Starting
+    // against retained survivors/index partitions with a fresh (or
+    // truncated) checkpoint restarts ids at 0 and silently OVERWRITES
+    // earlier batches' partitions — data loss, while their docs
+    // re-enter dedup against themselves. Refuse loudly: the operator
+    // keeps the checkpoint with its dirs, or clears all three together.
+    val next = nextBatchId(s, checkpoint)
+    Seq("index" -> indexDir, "survivors" -> survivorsDir).foreach {
+      case (label, d) =>
+        val stale = livePartitionIds(s, d).filter(_ >= next)
+        require(stale.isEmpty,
+          s"$label dir $d holds ingest_batch partitions ${stale.sorted.mkString(",")} " +
+            s">= the checkpoint's next batch id $next: a fresh/rewound checkpoint " +
+            "over retained sink dirs would overwrite committed batches. Keep the " +
+            "checkpoint that wrote them, or clear checkpoint+index+survivors together.")
+    }
     s.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) graft.core.Caching.withReleased {
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = if (intraBatchExact) dedupWithinBatch(batch0) else batch0
           // ONE shingle+md5+minhash pass per batch: the cached band
           // frame feeds the dedup probe AND the survivors' index
           // append (r10 review — recomputing it per write doubled the
-          // gate's dominant map cost)
-          val bands = BandIndexStore.bandKeys(batch).registerCache()
-          // probe the index WITHOUT this batch's own partition: on a
-          // crash-replay the half-written bands from the failed
-          // attempt must not make the batch match itself
-          val probe = index(s, indexDir).filter(col("ingest_batch") =!= id)
-          val report = BandIndexStore.dedupBatchWithBands(probe, batch, bands)
-          val kept = batch
-            .join(report.filter(!col("is_dup")).select("doc_id"),
-              Seq("doc_id"), "left_semi")
-            .withColumn("ingest_batch", lit(id))
-            .registerCache() // feeds the sink AND the index append
-          IdempotentWriter.partitionRefresh(kept, survivorsDir, "ingest_batch"): Unit
-          IdempotentWriter.partitionRefresh(
-            bands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-              .withColumn("ingest_batch", lit(id)),
-            indexDir, "ingest_batch"): Unit
+          // gate's dominant map cost). Caches are scoped to THIS batch
+          // and released in finally — a global registry drain here
+          // would unpersist a concurrent query's registered caches
+          // mid-flight (r10 advice).
+          val bands = BandIndexStore.bandKeys(batch).persist()
+          var kept: DataFrame = null
+          try {
+            // the batch's own band buckets prune the compacted base to
+            // the partitions its hashes can reach (≤ Buckets values —
+            // a bounded driver collect at any batch size)
+            val buckets = bands.select(bucketOf(col("band_hash")).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            // probe the index WITHOUT this batch's own partition: on a
+            // crash-replay the half-written bands from the failed
+            // attempt must not make the batch match itself (folded
+            // rows carry -1, never a live batch id)
+            val probe = probeBase(s, indexDir, Some(buckets))
+              .filter(col("ingest_batch") =!= id)
+            val report = BandIndexStore.dedupBatchWithBands(probe, batch, bands)
+            kept = batch
+              .join(report.filter(!col("is_dup")).select("doc_id"),
+                Seq("doc_id"), "left_semi")
+              .withColumn("ingest_batch", lit(id))
+              .persist() // feeds the sink AND the index append
+            IdempotentWriter.partitionRefresh(kept, survivorsDir, "ingest_batch"): Unit
+            IdempotentWriter.partitionRefresh(
+              bands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .withColumn("ingest_batch", lit(id)),
+              indexDir, "ingest_batch"): Unit
+          } finally {
+            bands.unpersist()
+            if (kept != null) kept.unpersist(): Unit
+          }
         }
       }
       .start()
+  }
+
+  /** d1's exact content key (`dedup/Dedup.scala`'s normalization),
+    * batch-local: one survivor per normalized text, lowest doc_id
+    * wins — deterministic under replay. */
+  private[streaming] def dedupWithinBatch(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(regexp_replace(lower(trim(col("text"))), " +", " ")))
+      .orderBy(col("doc_id"))
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The id Structured Streaming will assign the next planned batch on
+    * this checkpoint: max offsets-log entry + 1 (a written offset means
+    * that id is taken — committed or pending-replay), 0 when fresh. */
+  private def nextBatchId(s: SparkSession, checkpoint: String): Long = {
+    val p = new Path(checkpoint, "offsets")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && n.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max) + 1
+  }
+
+  /** Stream-owned `ingest_batch=<id>` partition ids (>= 0) present in
+    * a sink dir — the bootstrap (-1) is checkpoint-independent. */
+  private def livePartitionIds(s: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .flatMap(_.stripPrefix("ingest_batch=").toLongOption)
+      .filter(_ >= 0)
+      .toSeq
+  }
 }

@@ -113,4 +113,31 @@ class TierRefreshSpec extends SparkSpec {
       case None => sys.props.remove("graft.graphstore.dir"): Unit
     }
   }
+
+  test("streamFoldJob: folds the ingest gate's batch partitions on the DAG, run-log notes folded/noop") {
+    import graft.streaming.StreamTierIngest
+    val base = tmpDir("tierdag-stream")
+    val in = s"$base/in"; val out = s"$base/out"
+    val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+    val runLog = s"$base/runlog"
+    val docs = Tables.load(spark, sfDir, "documents")
+    StreamTierIngest.bootstrapIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+    docs.filter(col("doc_id") % 3 === 1).limit(50)
+      .coalesce(1).write.mode("append").parquet(in)
+    val q = StreamTierIngest.start(spark, in, docs.schema, idx, out, ckpt)
+    q.awaitTermination(); q.stop()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+
+    val job = TierRefresh.streamFoldJob("stream_band_fold", idx, ckpt)
+    val r1 = Pipeline.run(spark, Seq(job), night1, runLog).head
+    assert(r1.status == Pipeline.Succeeded && r1.rows > 0 &&
+      r1.note == "folded=2", s"first night folds bootstrap + batch 0: $r1")
+    val r2 = Pipeline.run(spark, Seq(job), night1.plusDays(1), runLog).head
+    assert(r2.status == Pipeline.Succeeded && r2.note == "noop",
+      s"an already-folded night is a no-op: $r2")
+    val log = spark.read.parquet(runLog)
+    assert(log.filter(col("job_nm") === "stream_band_fold").count() == 2)
+  }
 }

@@ -101,6 +101,144 @@ class StreamTierIngestSpec extends SparkSpec {
     // restart with the intact checkpoint: nothing reprocessed
     drain(in, schema, idx, out, ckpt)
     assert(spark.read.parquet(out).count() == total)
+
+    // a FRESH checkpoint over the retained sink dirs would restart
+    // batch ids at 0 and dynamic-overwrite committed partitions (data
+    // loss) — start() must refuse before planning a single batch
+    val e = intercept[IllegalArgumentException] {
+      StreamTierIngest.start(spark, in, schema, idx, out, s"$base/ckpt-fresh")
+    }
+    assert(e.getMessage.contains("ingest_batch partitions"))
     corpus.unpersist(); fresh1.unpersist(): Unit
+  }
+
+  /** The nightly fold: compacts replay-immune batch partitions into
+    * the band_bucket-partitioned base so the probe is file-pruned and
+    * bounded by the compaction interval — survivors must be identical
+    * to a never-folded run, and a crash-replay spanning the fold must
+    * stay exactly-once. */
+  test("fold: survivors match the never-folded run; probe prunes; replay across the fold is exactly-once") {
+    val base = tmpDir("stream-fold")
+    val schema = docs.schema
+    // A folds between batches; B never folds — the control
+    def dirs(side: String) =
+      (s"$base/$side/in", s"$base/$side/idx", s"$base/$side/out", s"$base/$side/ckpt")
+    val (inA, idxA, outA, ckptA) = dirs("a")
+    val (inB, idxB, outB, ckptB) = dirs("b")
+
+    val corpus = docs.filter(col("doc_id") % 3 === 0).cache()
+    StreamTierIngest.bootstrapIndex(corpus, idxA)
+    StreamTierIngest.bootstrapIndex(corpus, idxB)
+
+    // batch 0: fresh docs + re-crawled corpus content
+    val b0 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(copiesOf(corpus.limit(10), 1000000L))
+    b0.coalesce(1).write.mode("append").parquet(inA)
+    b0.coalesce(1).write.mode("append").parquet(inB)
+    drain(inA, schema, idxA, outA, ckptA)
+    drain(inB, schema, idxB, outB, ckptB)
+
+    val rowsPreFold = StreamTierIngest.index(spark, idxA).count()
+    val folded = StreamTierIngest.fold(spark, idxA, ckptA)
+    assert(folded.exists(_._1 == 2), s"bootstrap + batch 0 must fold, got $folded")
+    assert(StreamTierIngest.index(spark, idxA).count() == rowsPreFold,
+      "fold moves rows, never loses them")
+    assert(StreamTierIngest.fold(spark, idxA, ckptA).isEmpty,
+      "re-running a folded night is a no-op")
+
+    // the compacted base prunes: a narrow bucket probe touches fewer
+    // files than the whole base (the pre-fold ingest_batch layout
+    // could never prune on band keys)
+    val comp = StreamTierIngest.probeBase(spark, idxA, None)
+    val probed = StreamTierIngest.probeBase(spark, idxA, Some(Seq(0, 1)))
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    assert(filesOf(probed) < filesOf(comp),
+      s"bucket probe must file-prune: ${filesOf(probed)} vs ${filesOf(comp)}")
+
+    // batch 1: re-crawls of batch-0 survivors (the standing-index
+    // gate) + genuinely new docs — ingested on BOTH sides
+    val survivorIds = spark.read.parquet(outA).select("doc_id").limit(15)
+    val b1 = copiesOf(docs.join(survivorIds, "doc_id"), 2000000L)
+      .unionByName(docs.filter(col("doc_id") % 3 === 2).limit(20))
+    b1.coalesce(1).write.mode("append").parquet(inA)
+    b1.coalesce(1).write.mode("append").parquet(inB)
+    drain(inA, schema, idxA, outA, ckptA)
+    drain(inB, schema, idxB, outB, ckptB)
+
+    val survA = spark.read.parquet(outA).select("doc_id")
+    val survB = spark.read.parquet(outB).select("doc_id")
+    assert(survA.exceptAll(survB).isEmpty && survB.exceptAll(survA).isEmpty,
+      "fold-then-ingest must equal never-folded ingest")
+
+    // crash window SPANNING a fold: batch 1's sink writes landed, its
+    // checkpoint commit didn't, and the nightly fold ran before the
+    // restart. The fold must leave the uncommitted batch live (its id
+    // > last committed), so the replay overwrites its own partition
+    // and still probes bootstrap+batch-0 bands from the compacted base.
+    val total = survA.count()
+    val lastCommit = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$ckptA/commits")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(!_.getFileName.toString.startsWith("."))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(lastCommit)
+    java.nio.file.Files.deleteIfExists(lastCommit.resolveSibling(
+      "." + lastCommit.getFileName.toString + ".crc")): Unit
+    assert(StreamTierIngest.fold(spark, idxA, ckptA).isEmpty,
+      "nothing foldable: batch 1 is in the crash window, earlier ids already folded")
+    drain(inA, schema, idxA, outA, ckptA) // replays batch 1
+    assert(spark.read.parquet(outA).count() == total,
+      "replay across the fold must not duplicate or drop survivors")
+    assert(spark.read.parquet(outA).filter(col("doc_id") >= 2000000L).count() == 0,
+      "the replayed batch still gates on the folded bands")
+    corpus.unpersist(): Unit
+  }
+
+  test("intraBatchExact: a duplicate-heavy batch lands one survivor per content, replay-safe") {
+    val base = tmpDir("stream-intra")
+    val in = s"$base/in"; val out = s"$base/out"
+    val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+    val schema = docs.schema
+    StreamTierIngest.bootstrapIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+
+    // a crawler burst: the same fresh doc under 5 different ids
+    val fresh = docs.filter(col("doc_id") % 3 === 1).limit(1).cache()
+    val freshId = fresh.head().getAs[Long]("doc_id")
+    val burst = (1 to 5).map(i => copiesOf(fresh, 3000000L + i * 10))
+      .reduce(_ unionByName _)
+      .unionByName(docs.filter(col("doc_id") % 3 === 2).limit(5))
+    burst.coalesce(1).write.mode("append").parquet(in)
+
+    def drainIntra(): Unit = {
+      val q = StreamTierIngest.start(spark, in, schema, idx, out, ckpt,
+        intraBatchExact = true)
+      q.awaitTermination(); q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    drainIntra()
+    val out1 = spark.read.parquet(out)
+    assert(out1.filter(col("doc_id") >= 3000000L).count() == 1,
+      "exactly one of the burst's 5 content-identical copies survives")
+    assert(out1.filter(col("doc_id") >= 3000000L)
+      .select("doc_id").head().getLong(0) == freshId + 3000010L,
+      "the lowest doc_id wins — deterministic under replay")
+    val total = out1.count()
+    fresh.unpersist(): Unit
+
+    // crash-replay: same batch id, same data -> same survivors
+    val lastCommit = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$ckpt/commits")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(!_.getFileName.toString.startsWith("."))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(lastCommit)
+    java.nio.file.Files.deleteIfExists(lastCommit.resolveSibling(
+      "." + lastCommit.getFileName.toString + ".crc")): Unit
+    drainIntra()
+    assert(spark.read.parquet(out).count() == total &&
+      spark.read.parquet(out).filter(col("doc_id") >= 3000000L).count() == 1)
   }
 }
