@@ -144,45 +144,119 @@ object DerivedStore {
     * fingerprint at publish when the tier declares a `summaryKey`):
     * when the delta's key range is disjoint from the tier's — the
     * warehouse's monotonic-id reality — the answer is NO at
-    * O(Δ + one 1-row sidecar read). A range overlap proves nothing
-    * (ranges can straddle without shared keys), so it falls through to
-    * the exact semi-join; a tier without a sidecar (legacy version, no
-    * declared key) always takes the exact path. The sidecar is located
+    * O(Δ + one 1-row sidecar read). When ranges STRADDLE (interleaved
+    * key spaces), a second layer answers: versions with ≤
+    * [[BloomMaxKeys]] distinct keys also carry a `_keybloom` (1% fpp),
+    * and a delta none of whose keys might-contain is definitely
+    * disjoint — still O(Δ). Only a bloom maybe (or a big/legacy/
+    * keyless version) pays the exact semi-join; both layers can only
+    * FALL THROUGH, never flip the answer. The sidecars are located
     * from `prev`'s OWN input files, so a concurrent publish of a newer
     * version can never pair v+1's summary with v's rows. */
   private[graft] def deltaKeysOverlap(prev: DataFrame, delta: DataFrame,
                                       key: String): Boolean = {
-    val maybeDisjoint = keySummaryOf(prev).map { summary =>
-      import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-      val dAgg = delta.agg(fmin(col(key)).as("dmin"), fmax(col(key)).as("dmax"))
-      // typed comparison stays in Spark: two 1-row frames, one job
-      summary.crossJoin(dAgg)
-        .filter(col("dmin") <= col("kmax") && col("dmax") >= col("kmin"))
-        .isEmpty
+    val s = prev.sparkSession
+    val vdir = versionDirOf(prev)
+    val rangeDisjoint = vdir.map { v =>
+      val sp = new Path(v, KeySummaryDir)
+      hadoopFs(s, sp).exists(sp) && {
+        import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+        val dAgg = delta.agg(fmin(col(key)).as("dmin"), fmax(col(key)).as("dmax"))
+        // typed comparison stays in Spark: two 1-row frames, one job
+        s.read.parquet(sp.toString).crossJoin(dAgg)
+          .filter(col("dmin") <= col("kmax") && col("dmax") >= col("kmin"))
+          .isEmpty
+      }
     }
-    if (maybeDisjoint.contains(true)) false
-    else !prev.select(key)
+    if (rangeDisjoint.contains(true)) return false
+    val bloomDisjoint = vdir.exists { v =>
+      bloomAt(s, v).exists { bf =>
+        mightContainCol(bf, delta, key)
+          .exists(pred => delta.filter(pred).isEmpty)
+      }
+    }
+    if (bloomDisjoint) return false
+    !prev.select(key)
       .join(org.apache.spark.sql.functions.broadcast(delta.select(key).distinct()),
         Seq(key), "left_semi")
       .isEmpty
   }
 
   private val KeySummaryDir = "_keysummary"
+  private val KeyBloomFile = "_keybloom"
 
-  /** The `_keysummary` sidecar of the version `prev` was read from,
-    * resolved from prev's input files (None: projection over a
-    * non-tier frame, or a version published before the sidecar — both
-    * take the exact probe). */
-  private def keySummaryOf(prev: DataFrame): Option[DataFrame] = {
-    val s = prev.sparkSession
+  /** Bloom ceiling: 10M distinct keys @ 1% fpp ≈ 12 MB — a bounded
+    * per-probe driver read. Versions with more keys keep only min/max
+    * (the monotonic-append fast path); their straddling appends pay
+    * the exact probe, honestly. */
+  private val BloomMaxKeys = 10L * 1000 * 1000
+
+  /** The `v=N` dir `prev` was read from, resolved from its input files
+    * (None for a non-tier frame — exact-probe territory). */
+  private def versionDirOf(prev: DataFrame): Option[Path] =
     prev.inputFiles.headOption.flatMap { f =>
       var p = new Path(f).getParent
       while (p != null && !p.getName.matches("v=\\d+")) p = p.getParent
-      Option(p).flatMap { v =>
-        val sp = new Path(v, KeySummaryDir)
-        if (hadoopFs(s, sp).exists(sp)) Some(s.read.parquet(sp.toString))
-        else None
+      Option(p)
+    }
+
+  /** Publish-time sidecars over the staged bytes: `_keysummary`
+    * (1-row min/max + approx distinct count) and, when the count fits
+    * [[BloomMaxKeys]] and the key type is bloomable, `_keybloom`.
+    * Two pruned-column passes over data the publish just wrote. */
+  private def writeKeySummary(s: SparkSession, stagingDir: String,
+                              key: String): Unit = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, min => fmin, max => fmax}
+    val staged = s.read.parquet(stagingDir)
+    val sp = new Path(stagingDir, KeySummaryDir)
+    staged.agg(fmin(col(key)).as("kmin"), fmax(col(key)).as("kmax"),
+        approx_count_distinct(col(key)).as("kcnt"))
+      .coalesce(1).write.parquet(sp.toString)
+    val cnt = s.read.parquet(sp.toString).head().getAs[Long]("kcnt")
+    if (cnt <= BloomMaxKeys) {
+      import org.apache.spark.sql.types._
+      val keyed = staged.schema(key).dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Some(staged.select(col(key).cast("long").as(key)))
+        case StringType => Some(staged.select(col(key)))
+        case _ => None
       }
+      keyed.foreach { kf =>
+        val bf = kf.stat.bloomFilter(key, math.max(cnt, 1L), 0.01)
+        val bp = new Path(stagingDir, KeyBloomFile)
+        val out = hadoopFs(s, bp).create(bp, true)
+        try bf.writeTo(out) finally out.close()
+      }
+    }
+  }
+
+  private def bloomAt(s: SparkSession,
+                      versionDir: Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val bp = new Path(versionDir, KeyBloomFile)
+    val fs = hadoopFs(s, bp)
+    if (!fs.exists(bp)) None
+    else {
+      val in = fs.open(bp)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** A might-contain predicate over `delta(key)`, matching the typed
+    * put the build used; None for key types the bloom doesn't cover. */
+  private def mightContainCol(bf: org.apache.spark.util.sketch.BloomFilter,
+                              delta: DataFrame,
+                              key: String): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.udf
+    import org.apache.spark.sql.types._
+    delta.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val f = udf((x: java.lang.Long) => x != null && bf.mightContainLong(x))
+        Some(f(col(key).cast("long")))
+      case StringType =>
+        val f = udf((x: String) => x != null && bf.mightContainString(x))
+        Some(f(col(key)))
+      case _ => None
     }
   }
 
@@ -367,16 +441,11 @@ object DerivedStore {
               // tier; test-scale sources keep the configured floor)
               SortedLayout.writeRangeSorted(rows, p,
                 scaledNumFiles(numFiles, fp), col(sortKey))
-              // key-range sidecar for the O(Δ) overlap probe: one
-              // pruned-column pass over the just-written bytes, paid
-              // inside the publish it describes
-              summaryKey.foreach { k =>
-                import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-                s.read.parquet(p.toString)
-                  .agg(fmin(col(k)).as("kmin"), fmax(col(k)).as("kmax"))
-                  .coalesce(1)
-                  .write.parquet(new Path(p, KeySummaryDir).toString)
-              }
+              // key sidecars for the O(Δ) overlap probe, paid inside
+              // the publish they describe: min/max always (one
+              // pruned-column pass), plus a bloom while the version's
+              // distinct keys fit the bounded-size budget
+              summaryKey.foreach(k => writeKeySummary(s, p, k))
             }
           }
         }

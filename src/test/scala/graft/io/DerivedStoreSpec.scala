@@ -241,25 +241,30 @@ class DerivedStoreSpec extends SparkSpec {
         "declared summaryKey must publish the sidecar beside the fingerprint")
       val prev = spark.read.parquet(s"$store/v=1")
 
-      // range straddles [0,24] but shares no key: the sidecar can't
-      // answer, the exact semi-join must (and must say NO)
-      val straddling = spark.range(2).select(
-        (col("id") * 65 - 5).as("n_nationkey")) // {-5, 60}
-      assert(!DerivedStore.deltaKeysOverlap(prev, straddling, "n_nationkey"))
-      // a genuinely re-ingested key routes to the rebuild path
+      assert(fs.exists(new Path(s"$store/v=1/_keybloom")),
+        "a version under the key budget also publishes the bloom layer")
+      // a genuinely re-ingested key routes to the rebuild path (bloom
+      // might-contain -> the exact semi-join confirms)
       val reingested = spark.range(1).select((col("id") + 24).as("n_nationkey"))
       assert(DerivedStore.deltaKeysOverlap(prev, reingested, "n_nationkey"))
 
-      // THE O(Δ) contract: on a disjoint key range the probe reads the
-      // sidecar + the delta and nothing else. Proof by demolition —
-      // with the tier's data files gone, any history scan would throw.
+      // THE O(Δ) contract: a delta sharing no key reads sidecars + the
+      // delta and nothing else. Proof by demolition — with the tier's
+      // data files gone, any history scan would throw.
       fs.listStatus(new Path(s"$store/v=1")).foreach { st =>
         if (st.getPath.getName.startsWith("part-"))
           fs.delete(st.getPath, false): Unit
       }
+      // disjoint range: min/max answers
       val disjoint = spark.range(3).select((col("id") + 1000).as("n_nationkey"))
       assert(!DerivedStore.deltaKeysOverlap(prev, disjoint, "n_nationkey"),
         "disjoint-range delta must be answered summary-only")
+      // range straddles [0,24] but shares no key: min/max can't
+      // answer, the BLOOM must (still no data scan)
+      val straddling = spark.range(2).select(
+        (col("id") * 65 - 5).as("n_nationkey")) // {-5, 60}
+      assert(!DerivedStore.deltaKeysOverlap(prev, straddling, "n_nationkey"),
+        "straddling-but-disjoint delta must be answered bloom-only")
     }
   }
 }
