@@ -121,9 +121,11 @@ object ClusterStore {
     val deltaRaw = s.read.option("basePath", s"$dir/embeddings.parquet")
       .parquet(paths: _*)
     // same precondition as the lexical merge: a re-ingested vec_id
-    // invalidates the contraction — rebuild
+    // invalidates the contraction — rebuild. The delta side carries the
+    // rename so the probe key matches the tier's summarized column
+    // (doc_id) and the sidecar fast paths stay eligible (r11 review)
     if (DerivedStore.deltaKeysOverlap(
-          prev.select(col("doc_id").as("vec_id")), deltaRaw, "vec_id"))
+          prev, deltaRaw.select(col("vec_id").as("doc_id")), "doc_id"))
       return embComponentsInline(s, dir)
     val delta = graft.sim.Similarity.quantizedOf(deltaRaw)
     contractedComponents(prev,

@@ -80,16 +80,29 @@ object DerivedStore {
     * deltaFilesPerTable) => next version's rows`. */
   type Merge = (SparkSession, String, DataFrame, Map[String, Seq[String]]) => DataFrame
 
-  /** Last build this JVM ran: (store name, "full" | "merge") — test
-    * introspection only (specs assert WHICH path produced a version;
-    * readers can't and shouldn't tell). */
-  @volatile private[graft] var lastBuild: Option[(String, String)] = None
+  /** Last build THIS THREAD ran: (store name, "full" | "merge") —
+    * introspection for specs and the run-log note channel. Thread-local
+    * (r11 review): serves are synchronous on the calling thread, and a
+    * JVM-global slot would let any concurrent thread's serve (a query
+    * against a stale tier while a DAG job rebuilds another) overwrite
+    * the mode a tierJob is about to log — confidently wrong run-log
+    * rows, the exact failure the channel exists to prevent. */
+  private val lastBuildTl =
+    ThreadLocal.withInitial[Option[(String, String)]](() => None)
+  private[graft] def lastBuild: Option[(String, String)] = lastBuildTl.get()
+  private[graft] def lastBuild_=(v: Option[(String, String)]): Unit =
+    lastBuildTl.set(v)
 
-  /** Last serve this JVM resolved: (store name, "noop" | "merge" |
+  /** Last serve THIS THREAD resolved: (store name, "noop" | "merge" |
     * "full") — unlike [[lastBuild]], a fingerprint-fresh hit records
     * too ("noop"), so a nightly operator's run-log row can say WHICH
-    * path served the tier (r10 verdict #4). Introspection only. */
-  @volatile private[graft] var lastServe: Option[(String, String)] = None
+    * path served the tier (r10 verdict #4). Thread-local, same
+    * rationale as [[lastBuild]]. */
+  private val lastServeTl =
+    ThreadLocal.withInitial[Option[(String, String)]](() => None)
+  private[graft] def lastServe: Option[(String, String)] = lastServeTl.get()
+  private[graft] def lastServe_=(v: Option[(String, String)]): Unit =
+    lastServeTl.set(v)
 
   /** Test hook: invoked after the source fingerprint is taken and
     * before the build/merge reads the tables — specs land a concurrent
@@ -157,19 +170,26 @@ object DerivedStore {
                                       key: String): Boolean = {
     val s = prev.sparkSession
     val vdir = versionDirOf(prev)
-    val rangeDisjoint = vdir.map { v =>
+    // both sidecar layers describe the PUBLISH-TIME summaryKey column;
+    // a probe over any other key must not trust them (kname check —
+    // a legacy summary without the field also falls through)
+    val summary = vdir.flatMap { v =>
       val sp = new Path(v, KeySummaryDir)
-      hadoopFs(s, sp).exists(sp) && {
-        import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-        val dAgg = delta.agg(fmin(col(key)).as("dmin"), fmax(col(key)).as("dmax"))
-        // typed comparison stays in Spark: two 1-row frames, one job
-        s.read.parquet(sp.toString).crossJoin(dAgg)
-          .filter(col("dmin") <= col("kmax") && col("dmax") >= col("kmin"))
-          .isEmpty
-      }
+      if (!hadoopFs(s, sp).exists(sp)) None
+      else Some(s.read.parquet(sp.toString))
+        .filter(sf => sf.columns.contains("kname") &&
+          !sf.filter(col("kname") === key).isEmpty)
     }
-    if (rangeDisjoint.contains(true)) return false
-    val bloomDisjoint = vdir.exists { v =>
+    val rangeDisjoint = summary.exists { sf =>
+      import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+      val dAgg = delta.agg(fmin(col(key)).as("dmin"), fmax(col(key)).as("dmax"))
+      // typed comparison stays in Spark: two 1-row frames, one job
+      sf.crossJoin(dAgg)
+        .filter(col("dmin") <= col("kmax") && col("dmax") >= col("kmin"))
+        .isEmpty
+    }
+    if (rangeDisjoint) return false
+    val bloomDisjoint = summary.nonEmpty && vdir.exists { v =>
       bloomAt(s, v).exists { bf =>
         mightContainCol(bf, delta, key)
           .exists(pred => delta.filter(pred).isEmpty)
@@ -211,6 +231,10 @@ object DerivedStore {
     val sp = new Path(stagingDir, KeySummaryDir)
     staged.agg(fmin(col(key)).as("kmin"), fmax(col(key)).as("kmax"),
         approx_count_distinct(col(key)).as("kcnt"))
+      // the summarized column's NAME rides along: a probe over any
+      // other column must fall through to the exact check, not trust
+      // another column's range (r11 review)
+      .withColumn("kname", org.apache.spark.sql.functions.lit(key))
       .coalesce(1).write.parquet(sp.toString)
     val cnt = s.read.parquet(sp.toString).head().getAs[Long]("kcnt")
     if (cnt <= BloomMaxKeys) {
@@ -457,8 +481,12 @@ object DerivedStore {
 
   /** ~256 MB of source bytes per tier output file — the shuffle-
     * partition-sized unit that keeps single-file write tasks bounded
-    * and keyed reads parallel at any corpus size. */
-  private val SourceBytesPerFile = 256L * 1024 * 1024
+    * and keyed reads parallel at any corpus size. Shared with the
+    * stream-index fold's writer sizing. */
+  private[graft] val SourceBytesPerFile = 256L * 1024 * 1024
+
+  /** Sanity ceiling on any bytes-scaled file count. */
+  private[graft] val MaxTierFiles = 200000L
 
   /** Scale a tier's file count with its sources: `base` is the floor
     * (small/test corpora keep it), and every [[SourceBytesPerFile]] of
@@ -470,7 +498,7 @@ object DerivedStore {
       if (parts.length >= 3) parts(parts.length - 2).toLongOption.getOrElse(0L)
       else 0L
     }.sum
-    math.max(base, math.min(bytes / SourceBytesPerFile, 200000L).toInt)
+    math.max(base, math.min(bytes / SourceBytesPerFile, MaxTierFiles).toInt)
   }
 
   /** A stale store about to rebuild/merge must not read plans pinned

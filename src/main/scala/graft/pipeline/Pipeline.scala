@@ -49,8 +49,13 @@ object Pipeline {
     * records "mode=merge v=12") and [[run]] carries it into the job's
     * run-log row — successful rows' otherwise-empty `error_msg` slot,
     * the same slot Skipped rows already use for "weekly gate". Cleared
-    * before every attempt; run() is single-threaded per DAG. */
-  @volatile private[pipeline] var jobNote: Option[String] = None
+    * before every attempt. Thread-local (r11 review): run() is
+    * single-threaded per DAG, but two DAGs in one JVM (a job server)
+    * would cross-clobber a shared slot — one run's clear erasing the
+    * note another run's job just set. */
+  private val jobNoteTl = ThreadLocal.withInitial[Option[String]](() => None)
+  private[pipeline] def jobNote: Option[String] = jobNoteTl.get()
+  private[pipeline] def jobNote_=(v: Option[String]): Unit = jobNoteTl.set(v)
 
   /** Kahn topological order; fails fast on unknown deps or cycles. */
   private[pipeline] def topoOrder(jobs: Seq[Job]): Seq[Job] = {

@@ -121,26 +121,68 @@ object StreamTierIngest {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).iterator
-      .filter(_.isDirectory)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
       .flatMap(st => st.getPath.getName.stripPrefix("ingest_batch=").toLongOption
-        .filter(_ => st.getPath.getName.startsWith("ingest_batch="))
         .map(_ -> st.getPath))
       .toSeq
+  }
+
+  private val CheckpointMarker = "_checkpoint"
+
+  /** Bind a batch-id-keyed dir to the checkpoint that owns its ids:
+    * the marker is written on first contact and validated on every
+    * later start()/fold(). Batch ids are CHECKPOINT-scoped — a fold or
+    * restart driven by a foreign/copied checkpoint would fold a batch
+    * the true checkpoint still considers pending (whose replay then
+    * self-matches against the compacted base and empties its survivors
+    * partition) or overwrite committed partitions. Deleting the marker
+    * is the operator's explicit "I know the ids align" override. */
+  private def bindCheckpoint(s: SparkSession, dir: String,
+                             checkpoint: String, surface: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cp = new Path(checkpoint)
+    val qckpt = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .makeQualified(cp).toString
+    val mp = new Path(p, CheckpointMarker)
+    if (!fs.exists(mp)) {
+      fs.mkdirs(p): Unit
+      val out = fs.create(mp, true)
+      try out.write(qckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val in = fs.open(mp)
+      val recorded =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      require(recorded == qckpt,
+        s"$surface: dir $dir is bound to checkpoint $recorded but was invoked " +
+          s"with $qckpt. Batch ids are checkpoint-scoped; mixing checkpoints " +
+          "silently corrupts batch-id-keyed partitions. Use the original " +
+          "checkpoint, or clear checkpoint+dirs together (delete the " +
+          s"$CheckpointMarker marker only if the ids provably align).")
+    }
+  }
+
+  /** Max numeric entry in a checkpoint metadata-log dir, -1 when none
+    * — commits/<id> and offsets/<id> share this shape. */
+  private def maxLogEntry(s: SparkSession, checkpoint: String,
+                          sub: String): Long = {
+    val p = new Path(checkpoint, sub)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max)
   }
 
   /** The last batch id the checkpoint has COMMITTED — ids ≤ this are
     * replay-immune (Structured Streaming resumes at lastCommitted+1);
     * -1 when nothing committed yet. */
-  private def lastCommittedBatch(s: SparkSession, checkpoint: String): Long = {
-    val p = new Path(checkpoint, "commits")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith(".") && n.forall(_.isDigit))
-      .map(_.toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  private def lastCommittedBatch(s: SparkSession, checkpoint: String): Long =
+    maxLogEntry(s, checkpoint, "commits")
 
   /** Fold every replay-immune live batch partition (id ≤ the
     * checkpoint's last committed batch; the bootstrap always) into the
@@ -164,47 +206,63 @@ object StreamTierIngest {
     */
   def fold(s: SparkSession, indexDir: String,
            checkpoint: String): Option[(Int, Long)] = {
+    // the same checkpoint-pairing invariant start() enforces: folding
+    // with a foreign/ahead checkpoint would fold a batch the TRUE
+    // checkpoint still considers pending — its replay then matches
+    // itself in the compacted base and empties its survivors partition
+    bindCheckpoint(s, indexDir, checkpoint, "fold")
     val committed = lastCommittedBatch(s, checkpoint)
     val foldable = livePartitions(s, indexDir).filter(_._1 <= committed)
     if (foldable.isEmpty) return None
     val store = compactedStore(indexDir)
+    val prevVersion = graft.io.AtomicPublish.currentVersion(s, store)
     val live = s.read.option("basePath", indexDir)
       .parquet(foldable.map(_._2.toString): _*)
       .select("doc_id", "band_idx", "band_hash")
-    val prev = graft.io.AtomicPublish.currentVersion(s, store)
+    val prev = prevVersion
       .map(v => s.read.parquet(s"$store/v=$v")
         .select("doc_id", "band_idx", "band_hash"))
     // distinct: a crash between a previous fold's commit and its
     // partition delete re-presents identical rows — idempotent re-fold
+    val rowsObs = new org.apache.spark.sql.Observation()
     val all = prev.fold(live)(_.unionByName(live)).distinct()
+      // the observed count doubles as the run-log row count — no
+      // second read of the freshly-written base
+      .observe(rowsObs, count(lit(1)).as("rows"))
       .withColumn("band_bucket", bucketOf(col("band_hash")))
     val fs = new Path(store).getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = graft.io.AtomicPublish.stageVersionWith(store) { p =>
       // range tasks span contiguous (bucket, hash) slices: ~1 file per
       // task per bucket touched, hash-sorted inside for row-group
-      // pruning; task count scales with on-disk index bytes
-      all.repartitionByRange(foldNumFiles(s, indexDir),
+      // pruning; task count scales with the bytes actually rewritten
+      all.repartitionByRange(foldNumFiles(s, foldable.map(_._2),
+            prevVersion.map(v => new Path(s"$store/v=$v"))),
           col("band_bucket"), col("band_hash"))
         .sortWithinPartitions("band_bucket", "band_hash")
         .write.partitionBy("band_bucket").mode("overwrite").parquet(p.toString)
     }
     if (!fs.exists(new Path(staging, "_SUCCESS")))
       fs.create(new Path(staging, "_SUCCESS"), true).close()
-    val v = graft.io.AtomicPublish.commitStagedOcc(s, store, staging)
+    graft.io.AtomicPublish.commitStagedOcc(s, store, staging): Unit
     graft.io.Vacuum.sweep(s, store, keepVersions = 2): Unit
     foldable.foreach { case (_, p) => fs.delete(p, true): Unit }
-    Some((foldable.size, s.read.parquet(s"$store/v=$v").count()))
+    Some((foldable.size, rowsObs.get("rows").asInstanceOf[Long]))
   }
 
-  /** ~256 MB of index bytes per fold write task, floor 8 — the same
-    * source-proportional sizing DerivedStore applies to tier files. */
-  private def foldNumFiles(s: SparkSession, indexDir: String): Int = {
-    val p = new Path(indexDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
+  /** Write-task count for the fold: sized from the bytes it actually
+    * rewrites — the foldable partitions plus the CURRENT compacted
+    * version (never Vacuum-retained superseded versions or staging
+    * orphans) — at DerivedStore's shared bytes-per-file grain. */
+  private def foldNumFiles(s: SparkSession, foldable: Seq[Path],
+                           compactedVersion: Option[Path]): Int = {
     var bytes = 0L
-    while (it.hasNext) bytes += it.next().getLen
-    math.max(8, math.min(bytes / (256L * 1024 * 1024), 200000L).toInt)
+    (foldable ++ compactedVersion).foreach { p =>
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) bytes += it.next().getLen
+    }
+    math.max(8, math.min(bytes / graft.io.DerivedStore.SourceBytesPerFile,
+      graft.io.DerivedStore.MaxTierFiles).toInt)
   }
 
   /** `intraBatchExact`: also drop WITHIN-batch exact duplicates (d1's
@@ -224,6 +282,8 @@ object StreamTierIngest {
     // earlier batches' partitions — data loss, while their docs
     // re-enter dedup against themselves. Refuse loudly: the operator
     // keeps the checkpoint with its dirs, or clears all three together.
+    Seq(indexDir, survivorsDir).foreach(d =>
+      bindCheckpoint(s, d, checkpoint, "start"))
     val next = nextBatchId(s, checkpoint)
     Seq("index" -> indexDir, "survivors" -> survivorsDir).foreach {
       case (label, d) =>
@@ -296,29 +356,11 @@ object StreamTierIngest {
   /** The id Structured Streaming will assign the next planned batch on
     * this checkpoint: max offsets-log entry + 1 (a written offset means
     * that id is taken — committed or pending-replay), 0 when fresh. */
-  private def nextBatchId(s: SparkSession, checkpoint: String): Long = {
-    val p = new Path(checkpoint, "offsets")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith(".") && n.forall(_.isDigit))
-      .map(_.toLong)
-      .foldLeft(-1L)(math.max) + 1
-  }
+  private def nextBatchId(s: SparkSession, checkpoint: String): Long =
+    maxLogEntry(s, checkpoint, "offsets") + 1
 
   /** Stream-owned `ingest_batch=<id>` partition ids (>= 0) present in
     * a sink dir — the bootstrap (-1) is checkpoint-independent. */
-  private def livePartitionIds(s: SparkSession, dir: String): Seq[Long] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).iterator
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("ingest_batch="))
-      .flatMap(_.stripPrefix("ingest_batch=").toLongOption)
-      .filter(_ >= 0)
-      .toSeq
-  }
+  private def livePartitionIds(s: SparkSession, dir: String): Seq[Long] =
+    livePartitions(s, dir).map(_._1).filter(_ >= 0)
 }

@@ -104,11 +104,12 @@ class StreamTierIngestSpec extends SparkSpec {
 
     // a FRESH checkpoint over the retained sink dirs would restart
     // batch ids at 0 and dynamic-overwrite committed partitions (data
-    // loss) — start() must refuse before planning a single batch
+    // loss) — start() must refuse before planning a single batch (the
+    // _checkpoint binding marker catches the mismatch first)
     val e = intercept[IllegalArgumentException] {
       StreamTierIngest.start(spark, in, schema, idx, out, s"$base/ckpt-fresh")
     }
-    assert(e.getMessage.contains("ingest_batch partitions"))
+    assert(e.getMessage.contains("bound to checkpoint"))
     corpus.unpersist(); fresh1.unpersist(): Unit
   }
 
@@ -145,6 +146,13 @@ class StreamTierIngestSpec extends SparkSpec {
       "fold moves rows, never loses them")
     assert(StreamTierIngest.fold(spark, idxA, ckptA).isEmpty,
       "re-running a folded night is a no-op")
+    // folding with a FOREIGN checkpoint (here: B's, which is ahead of
+    // whatever A has pending) could fold a batch A's true checkpoint
+    // still considers replayable — the binding marker refuses
+    val wrongCkpt = intercept[IllegalArgumentException] {
+      StreamTierIngest.fold(spark, idxA, ckptB)
+    }
+    assert(wrongCkpt.getMessage.contains("bound to checkpoint"))
 
     // the compacted base prunes: a narrow bucket probe touches fewer
     // files than the whole base (the pre-fold ingest_batch layout
