@@ -140,4 +140,38 @@ class TierRefreshSpec extends SparkSpec {
     val log = spark.read.parquet(runLog)
     assert(log.filter(col("job_nm") === "stream_band_fold").count() == 2)
   }
+
+  test("note/serve bookkeeping is thread-isolated: a concurrent DAG or serve cannot clobber another run's row") {
+    import java.util.concurrent.CountDownLatch
+    // deterministic interleaving: A writes its note, B then clears and
+    // writes its own on another thread, A reads after B finished — a
+    // JVM-global slot would hand A thread B's state (the r11 review's
+    // two-DAGs-one-JVM shape); the thread-local contract keeps each
+    // run's row sourced from its own thread.
+    val aWrote = new CountDownLatch(1)
+    val bDone = new CountDownLatch(1)
+    @volatile var aNote: Option[String] = None
+    @volatile var aServe: Option[(String, String)] = None
+    val a = new Thread(() => {
+      Pipeline.jobNote = Some("mode=merge v=7")
+      DerivedStore.lastServe = Some("tokens" -> "merge")
+      aWrote.countDown()
+      bDone.await()
+      aNote = Pipeline.jobNote
+      aServe = DerivedStore.lastServe
+    })
+    val b = new Thread(() => {
+      aWrote.await()
+      Pipeline.jobNote = None
+      Pipeline.jobNote = Some("mode=full v=1")
+      DerivedStore.lastServe = None
+      DerivedStore.lastServe = Some("shingles" -> "full")
+      bDone.countDown()
+    })
+    a.start(); b.start(); a.join(10000); b.join(10000)
+    assert(aNote.contains("mode=merge v=7"),
+      s"thread B's clear/overwrite leaked into thread A's note: $aNote")
+    assert(aServe.contains("tokens" -> "merge"),
+      s"thread B's serve leaked into thread A's bookkeeping: $aServe")
+  }
 }
