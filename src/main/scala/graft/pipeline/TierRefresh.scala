@@ -89,7 +89,9 @@ object TierRefresh {
     Job(name, s"stream.$name", deps = deps)((s, _) =>
       graft.streaming.StreamTierIngest.fold(s, indexDir, checkpoint) match {
         case Some((parts, rows)) =>
-          Pipeline.jobNote = Some(s"folded=$parts"); rows
+          val mode = graft.streaming.StreamTierIngest.lastFoldMode
+            .map(m => s" mode=$m").getOrElse("")
+          Pipeline.jobNote = Some(s"folded=$parts$mode"); rows
         case None =>
           Pipeline.jobNote = Some("noop"); 0L
       })

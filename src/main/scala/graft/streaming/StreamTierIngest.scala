@@ -197,12 +197,25 @@ object StreamTierIngest {
     * if a micro-batch races the post-commit partition delete, its
     * probe either double-reads a folded row (harmless — matches count
     * DISTINCT corpus docs) or fails on a vanished file and is retried
-    * by the stream's own replay, which recomputes identical survivors. The rewrite is an IO-bound O(|index|) job — the same
-    * cost class as a directory tier's byte-copy — paid nightly so the
-    * per-batch O(|unfolded|) probes stay small.
+    * by the stream's own replay, which recomputes identical survivors.
     *
-    * Returns (folded partition count, compacted base rows), or None
-    * when nothing is foldable (re-running a folded night is a no-op).
+    * LSM-shaped cost (r11): each version records the max folded batch
+    * id in a [[FoldedMarker]], so (a) a crash between commit and
+    * partition delete is cleaned by DELETING the already-folded
+    * partitions — never a distinct() over history — and (b) the
+    * nightly fold is an APPEND: byte-copy the served base (IO only,
+    * no shuffle, no compute on history — the directory-tier copy
+    * trade) plus a delta-sized sorted write into the bucket layout.
+    * Appended sorted runs accumulate ~one file per bucket per fold;
+    * when the base's file count exceeds [[rewriteFileBudget]], the
+    * fold runs as a MAJOR REWRITE instead (base ∪ delta range-sorted
+    * from scratch) — the classic minor/major compaction split, so
+    * probe-side file opens stay bounded without paying a history
+    * shuffle every night.
+    *
+    * Returns (folded partition count, rows folded in), or None when
+    * nothing is foldable (re-running a folded night is a no-op;
+    * crash-cleanup of already-folded partitions also reports None).
     */
   def fold(s: SparkSession, indexDir: String,
            checkpoint: String): Option[(Int, Long)] = {
@@ -213,33 +226,71 @@ object StreamTierIngest {
     bindCheckpoint(s, indexDir, checkpoint, "fold")
     val committed = lastCommittedBatch(s, checkpoint)
     val foldable = livePartitions(s, indexDir).filter(_._1 <= committed)
-    if (foldable.isEmpty) return None
+    if (foldable.isEmpty) { lastFoldMode = None; return None }
     val store = compactedStore(indexDir)
+    val fs = new Path(store).getFileSystem(s.sparkContext.hadoopConfiguration)
     val prevVersion = graft.io.AtomicPublish.currentVersion(s, store)
-    val live = s.read.option("basePath", indexDir)
-      .parquet(foldable.map(_._2.toString): _*)
-      .select("doc_id", "band_idx", "band_hash")
-    val prev = prevVersion
-      .map(v => s.read.parquet(s"$store/v=$v")
-        .select("doc_id", "band_idx", "band_hash"))
-    // distinct: a crash between a previous fold's commit and its
-    // partition delete re-presents identical rows — idempotent re-fold
+    val prevPath = prevVersion.map(v => new Path(s"$store/v=$v"))
+    // watermark: partitions the served base already contains (left
+    // behind by a crash between a fold's commit and its deletes) are
+    // cleaned up by deletion alone — their rows are already in place
+    val watermark = prevPath.flatMap(foldedWatermark(s, _))
+    val (stale, freshParts) = foldable.partition {
+      case (id, _) => watermark.exists(id <= _)
+    }
+    if (freshParts.isEmpty) {
+      stale.foreach { case (_, p) => fs.delete(p, true): Unit }
+      lastFoldMode = None
+      return None
+    }
     val rowsObs = new org.apache.spark.sql.Observation()
-    val all = prev.fold(live)(_.unionByName(live)).distinct()
-      // the observed count doubles as the run-log row count — no
-      // second read of the freshly-written base
+    val fresh = s.read.option("basePath", indexDir)
+      .parquet(freshParts.map(_._2.toString): _*)
+      .select("doc_id", "band_idx", "band_hash")
+      // the observed count is the run-log row count — no re-scan of
+      // the freshly-written base
       .observe(rowsObs, count(lit(1)).as("rows"))
       .withColumn("band_bucket", bucketOf(col("band_hash")))
-    val fs = new Path(store).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a legacy base (no watermark) cannot prove the fresh partitions
+    // aren't already folded in — route to the rewrite, whose distinct
+    // restores idempotence once; every version after carries the marker
+    val legacyBase = prevVersion.nonEmpty && watermark.isEmpty
+    val mode =
+      if (prevVersion.isEmpty) "full"
+      else if (legacyBase ||
+        dataFileCount(s, prevPath.get) > rewriteFileBudget(s, prevPath.get))
+        "rewrite"
+      else "append"
+    lastFoldMode = Some(mode)
     val staging = graft.io.AtomicPublish.stageVersionWith(store) { p =>
-      // range tasks span contiguous (bucket, hash) slices: ~1 file per
-      // task per bucket touched, hash-sorted inside for row-group
-      // pruning; task count scales with the bytes actually rewritten
-      all.repartitionByRange(foldNumFiles(s, foldable.map(_._2),
-            prevVersion.map(v => new Path(s"$store/v=$v"))),
-          col("band_bucket"), col("band_hash"))
-        .sortWithinPartitions("band_bucket", "band_hash")
-        .write.partitionBy("band_bucket").mode("overwrite").parquet(p.toString)
+      mode match {
+        case "append" =>
+          // minor compaction: history moves as bytes, never through a
+          // shuffle; the delta lands as sorted per-bucket runs
+          copyDataFiles(s, prevPath.get, new Path(p))
+          fresh.repartitionByRange(foldNumFiles(s, freshParts.map(_._2), None),
+              col("band_bucket"), col("band_hash"))
+            .sortWithinPartitions("band_bucket", "band_hash")
+            .write.partitionBy("band_bucket").mode("append").parquet(p)
+        case _ =>
+          // full (first fold) or major rewrite: one range-sorted write
+          // of base ∪ delta. distinct() only for a legacy base whose
+          // content the watermark can't vouch for
+          val base = prevPath.map(pp => s.read.parquet(pp.toString)
+            .select("doc_id", "band_idx", "band_hash")
+            .withColumn("band_bucket", bucketOf(col("band_hash"))))
+          val all0 = base.fold(fresh: org.apache.spark.sql.DataFrame)(_.unionByName(fresh))
+          val all = if (legacyBase) all0.distinct() else all0
+          all.repartitionByRange(foldNumFiles(s, freshParts.map(_._2), prevPath),
+              col("band_bucket"), col("band_hash"))
+            .sortWithinPartitions("band_bucket", "band_hash")
+            .write.partitionBy("band_bucket").mode("overwrite").parquet(p)
+      }
+      val maxFolded = (freshParts.map(_._1) ++ watermark).max
+      val out = fs.create(new Path(p, FoldedMarker), true)
+      try out.write(maxFolded.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     if (!fs.exists(new Path(staging, "_SUCCESS")))
       fs.create(new Path(staging, "_SUCCESS"), true).close()
@@ -247,6 +298,64 @@ object StreamTierIngest {
     graft.io.Vacuum.sweep(s, store, keepVersions = 2): Unit
     foldable.foreach { case (_, p) => fs.delete(p, true): Unit }
     Some((foldable.size, rowsObs.get("rows").asInstanceOf[Long]))
+  }
+
+  /** How the last fold on this thread built its version ("full" |
+    * "append" | "rewrite") — spec introspection only, the
+    * DerivedStore.lastBuild pattern. */
+  @volatile private[graft] var lastFoldMode: Option[String] = None
+
+  private val FoldedMarker = "_folded"
+
+  /** Max batch id a compacted version has folded in, from its
+    * [[FoldedMarker]]; None for a pre-watermark (legacy) version. */
+  private def foldedWatermark(s: SparkSession, versionPath: Path): Option[Long] = {
+    val p = new Path(versionPath, FoldedMarker)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  /** Byte-copy a committed base's DATA into a staging dir — commit
+    * records and markers stay behind (the new version writes its own). */
+  private def copyDataFiles(s: SparkSession, from: Path, to: Path): Unit = {
+    val fs = from.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(to): Unit
+    fs.listStatus(from).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith("."))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(to, n),
+          false, s.sparkContext.hadoopConfiguration): Unit
+    }
+  }
+
+  /** Data files (non-hidden, recursive) in a compacted version. */
+  private def dataFileCount(s: SparkSession, versionPath: Path): Long = {
+    val fs = versionPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(versionPath, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Major-rewrite trigger: the base may accumulate appended runs up
+    * to 4× its byte-ideal file count (floor: 8 runs per bucket) before
+    * a fold pays the history shuffle to restore the tight layout. */
+  private def rewriteFileBudget(s: SparkSession, versionPath: Path): Long = {
+    var bytes = 0L
+    val fs = versionPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(versionPath, true)
+    while (it.hasNext) bytes += it.next().getLen
+    math.max(8L * Buckets,
+      4L * math.max(8, bytes / graft.io.DerivedStore.SourceBytesPerFile))
   }
 
   /** Write-task count for the fold: sized from the bytes it actually

@@ -133,7 +133,8 @@ class TierRefreshSpec extends SparkSpec {
     val job = TierRefresh.streamFoldJob("stream_band_fold", idx, ckpt)
     val r1 = Pipeline.run(spark, Seq(job), night1, runLog).head
     assert(r1.status == Pipeline.Succeeded && r1.rows > 0 &&
-      r1.note == "folded=2", s"first night folds bootstrap + batch 0: $r1")
+      r1.note == "folded=2 mode=full",
+      s"first night folds bootstrap + batch 0: $r1")
     val r2 = Pipeline.run(spark, Seq(job), night1.plusDays(1), runLog).head
     assert(r2.status == Pipeline.Succeeded && r2.note == "noop",
       s"an already-folded night is a no-op: $r2")

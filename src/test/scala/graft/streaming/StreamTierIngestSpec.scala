@@ -142,6 +142,8 @@ class StreamTierIngestSpec extends SparkSpec {
     val rowsPreFold = StreamTierIngest.index(spark, idxA).count()
     val folded = StreamTierIngest.fold(spark, idxA, ckptA)
     assert(folded.exists(_._1 == 2), s"bootstrap + batch 0 must fold, got $folded")
+    assert(StreamTierIngest.lastFoldMode.contains("full"),
+      "the first fold writes the base from scratch")
     assert(StreamTierIngest.index(spark, idxA).count() == rowsPreFold,
       "fold moves rows, never loses them")
     assert(StreamTierIngest.fold(spark, idxA, ckptA).isEmpty,
@@ -200,6 +202,20 @@ class StreamTierIngestSpec extends SparkSpec {
       "replay across the fold must not duplicate or drop survivors")
     assert(spark.read.parquet(outA).filter(col("doc_id") >= 2000000L).count() == 0,
       "the replayed batch still gates on the folded bands")
+
+    // nightly minor compaction: with the base in place, folding the
+    // re-committed batch 1 APPENDS delta-sized sorted runs (history
+    // moves as a byte-copy, never through a shuffle); counts still
+    // match the never-folded control and the watermark advances
+    val fold2 = StreamTierIngest.fold(spark, idxA, ckptA)
+    assert(fold2.exists(_._1 == 1), s"batch 1 must fold, got $fold2")
+    assert(StreamTierIngest.lastFoldMode.contains("append"),
+      s"second fold is the minor-compaction append, got ${StreamTierIngest.lastFoldMode}")
+    assert(StreamTierIngest.index(spark, idxA).count() ==
+      StreamTierIngest.index(spark, idxB).count(),
+      "append-folded index equals the never-folded control")
+    assert(StreamTierIngest.fold(spark, idxA, ckptA).isEmpty,
+      "and the next night is a no-op again")
     corpus.unpersist(): Unit
   }
 
