@@ -680,15 +680,22 @@ object DerivedStore {
   /** Byte-copy a committed version's artifacts into a staging dir —
     * the commit records (`_SUCCESS`, `_fingerprint`) stay behind;
     * [[commitStaged]] writes the new version's own. */
-  private def copyVersion(s: SparkSession, from: String, to: String): Unit = {
-    val src = new Path(from)
-    val fs = hadoopFs(s, src)
-    val dst = new Path(to)
-    fs.mkdirs(dst): Unit
-    fs.listStatus(src).foreach { st =>
+  private def copyVersion(s: SparkSession, from: String, to: String): Unit =
+    copyTree(s, new Path(from), new Path(to),
+      keep = n => n != FingerprintFile && n != "_SUCCESS")
+
+  /** Driver-side recursive copy of a version dir's entries whose names
+    * pass `keep` — the one byte-copy loop behind every "new version
+    * starts as a copy of the served one" path (frame/dir tiers here,
+    * the stream-index fold's minor compaction). */
+  private[graft] def copyTree(s: SparkSession, from: Path, to: Path,
+                              keep: String => Boolean): Unit = {
+    val fs = hadoopFs(s, from)
+    fs.mkdirs(to): Unit
+    fs.listStatus(from).foreach { st =>
       val n = st.getPath.getName
-      if (n != FingerprintFile && n != "_SUCCESS")
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(dst, n),
+      if (keep(n))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(to, n),
           false, s.sparkContext.hadoopConfiguration): Unit
     }
   }

@@ -74,11 +74,25 @@ object StreamTierIngest {
   private def compactedStore(indexDir: String): String = s"$indexDir/.compacted"
 
   /** Seed the stream-owned index from a corpus snapshot (partition
-    * `ingest_batch=-1`; every later batch owns `ingest_batch=<id>`). */
-  def bootstrapIndex(corpus: DataFrame, indexDir: String): Unit =
+    * `ingest_batch=-1`; every later batch owns `ingest_batch=<id>`).
+    * Pre-stream only: once a fold has produced a compacted base, the
+    * watermark records the bootstrap as folded, so a re-written `-1`
+    * partition would be classified as an already-folded crash leftover
+    * and deleted unfolded — silent key loss. Refused loudly; seed
+    * additional documents through the stream (they dedup against the
+    * standing index, which is the gate's contract). */
+  def bootstrapIndex(corpus: DataFrame, indexDir: String): Unit = {
+    val s = corpus.sparkSession
+    require(graft.io.AtomicPublish
+        .currentVersion(s, compactedStore(indexDir)).isEmpty,
+      s"bootstrapIndex($indexDir): the index already has a folded compacted " +
+        "base; a re-bootstrap's rows would be mistaken for already-folded " +
+        "crash leftovers at the next fold and deleted unfolded. Ingest new " +
+        "seed documents through the stream instead.")
     IdempotentWriter.partitionRefresh(
       BandIndexStore.bandKeys(corpus).withColumn("ingest_batch", lit(-1L)),
       indexDir, "ingest_batch"): Unit
+  }
 
   /** The standing index as a frame (the `ingest_batch` column rides
     * along; consumers key on (band_idx, band_hash, doc_id)): live
@@ -255,10 +269,14 @@ object StreamTierIngest {
     // aren't already folded in — route to the rewrite, whose distinct
     // restores idempotence once; every version after carries the marker
     val legacyBase = prevVersion.nonEmpty && watermark.isEmpty
+    // one recursive listing per dir: (data files, bytes) feed the mode
+    // decision AND both writers' task sizing
+    val baseStats = prevPath.map(dirStats(s, _))
+    val freshBytes = freshParts.map(fp => dirStats(s, fp._2)._2).sum
     val mode =
       if (prevVersion.isEmpty) "full"
       else if (legacyBase ||
-        dataFileCount(s, prevPath.get) > rewriteFileBudget(s, prevPath.get))
+        baseStats.exists { case (files, bytes) => files > rewriteFileBudget(bytes) })
         "rewrite"
       else "append"
     lastFoldMode = Some(mode)
@@ -267,8 +285,9 @@ object StreamTierIngest {
         case "append" =>
           // minor compaction: history moves as bytes, never through a
           // shuffle; the delta lands as sorted per-bucket runs
-          copyDataFiles(s, prevPath.get, new Path(p))
-          fresh.repartitionByRange(foldNumFiles(s, freshParts.map(_._2), None),
+          graft.io.DerivedStore.copyTree(s, prevPath.get, new Path(p),
+            keep = n => !n.startsWith("_") && !n.startsWith("."))
+          fresh.repartitionByRange(numFilesFor(freshBytes),
               col("band_bucket"), col("band_hash"))
             .sortWithinPartitions("band_bucket", "band_hash")
             .write.partitionBy("band_bucket").mode("append").parquet(p)
@@ -281,7 +300,8 @@ object StreamTierIngest {
             .withColumn("band_bucket", bucketOf(col("band_hash"))))
           val all0 = base.fold(fresh: org.apache.spark.sql.DataFrame)(_.unionByName(fresh))
           val all = if (legacyBase) all0.distinct() else all0
-          all.repartitionByRange(foldNumFiles(s, freshParts.map(_._2), prevPath),
+          all.repartitionByRange(
+              numFilesFor(freshBytes + baseStats.map(_._2).getOrElse(0L)),
               col("band_bucket"), col("band_hash"))
             .sortWithinPartitions("band_bucket", "band_hash")
             .write.partitionBy("band_bucket").mode("overwrite").parquet(p)
@@ -300,10 +320,16 @@ object StreamTierIngest {
     Some((foldable.size, rowsObs.get("rows").asInstanceOf[Long]))
   }
 
-  /** How the last fold on this thread built its version ("full" |
-    * "append" | "rewrite") — spec introspection only, the
-    * DerivedStore.lastBuild pattern. */
-  @volatile private[graft] var lastFoldMode: Option[String] = None
+  /** How the last fold on THIS THREAD built its version ("full" |
+    * "append" | "rewrite") — introspection for specs and the run-log
+    * note. Thread-local like the rest of the note channel: a global
+    * slot would let a concurrent fold clobber the mode a DAG job is
+    * about to log. */
+  private val lastFoldModeTl =
+    ThreadLocal.withInitial[Option[String]](() => None)
+  private[graft] def lastFoldMode: Option[String] = lastFoldModeTl.get()
+  private[graft] def lastFoldMode_=(v: Option[String]): Unit =
+    lastFoldModeTl.set(v)
 
   private val FoldedMarker = "_folded"
 
@@ -321,58 +347,30 @@ object StreamTierIngest {
     }
   }
 
-  /** Byte-copy a committed base's DATA into a staging dir — commit
-    * records and markers stay behind (the new version writes its own). */
-  private def copyDataFiles(s: SparkSession, from: Path, to: Path): Unit = {
-    val fs = from.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(to): Unit
-    fs.listStatus(from).foreach { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith("."))
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(to, n),
-          false, s.sparkContext.hadoopConfiguration): Unit
+  /** One recursive listing: (non-hidden data files, their bytes). */
+  private def dirStats(s: SparkSession, dir: Path): (Long, Long) = {
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dir, true)
+    var n = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) { n += 1; bytes += f.getLen }
     }
+    (n, bytes)
   }
 
-  /** Data files (non-hidden, recursive) in a compacted version. */
-  private def dataFileCount(s: SparkSession, versionPath: Path): Long = {
-    val fs = versionPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(versionPath, true)
-    var n = 0L
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) n += 1
-    }
-    n
-  }
+  /** Write-task count at DerivedStore's shared bytes-per-file grain. */
+  private def numFilesFor(bytes: Long): Int =
+    math.max(8, math.min(bytes / graft.io.DerivedStore.SourceBytesPerFile,
+      graft.io.DerivedStore.MaxTierFiles).toInt)
 
   /** Major-rewrite trigger: the base may accumulate appended runs up
     * to 4× its byte-ideal file count (floor: 8 runs per bucket) before
     * a fold pays the history shuffle to restore the tight layout. */
-  private def rewriteFileBudget(s: SparkSession, versionPath: Path): Long = {
-    var bytes = 0L
-    val fs = versionPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(versionPath, true)
-    while (it.hasNext) bytes += it.next().getLen
+  private def rewriteFileBudget(bytes: Long): Long =
     math.max(8L * Buckets,
       4L * math.max(8, bytes / graft.io.DerivedStore.SourceBytesPerFile))
-  }
-
-  /** Write-task count for the fold: sized from the bytes it actually
-    * rewrites — the foldable partitions plus the CURRENT compacted
-    * version (never Vacuum-retained superseded versions or staging
-    * orphans) — at DerivedStore's shared bytes-per-file grain. */
-  private def foldNumFiles(s: SparkSession, foldable: Seq[Path],
-                           compactedVersion: Option[Path]): Int = {
-    var bytes = 0L
-    (foldable ++ compactedVersion).foreach { p =>
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) bytes += it.next().getLen
-    }
-    math.max(8, math.min(bytes / graft.io.DerivedStore.SourceBytesPerFile,
-      graft.io.DerivedStore.MaxTierFiles).toInt)
-  }
 
   /** `intraBatchExact`: also drop WITHIN-batch exact duplicates (d1's
     * content hash, batch-local, no extra state) keeping the lowest

@@ -216,6 +216,13 @@ class StreamTierIngestSpec extends SparkSpec {
       "append-folded index equals the never-folded control")
     assert(StreamTierIngest.fold(spark, idxA, ckptA).isEmpty,
       "and the next night is a no-op again")
+    // a re-bootstrap after folding would be mistaken for an
+    // already-folded crash leftover at the next fold and deleted
+    // unfolded — refuse loudly
+    val reboot = intercept[IllegalArgumentException] {
+      StreamTierIngest.bootstrapIndex(corpus, idxA)
+    }
+    assert(reboot.getMessage.contains("compacted base"))
     corpus.unpersist(): Unit
   }
 
