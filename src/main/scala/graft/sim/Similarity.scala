@@ -1091,18 +1091,23 @@ object Similarity {
 
   /** Corpus row count recorded at [[pqIndexBuild]]; a legacy version
     * without the sidecar falls back to one count() (its next rebuild —
-    * any source drift — upgrades it). */
-  private def indexRowCount(s: SparkSession, idx: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(idx, "_nrows")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) s.read.parquet(s"$idx/codes").count()
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+    * any source drift — upgrades it). Memoized per version path —
+    * committed versions are immutable, so the count can never go
+    * stale, and even the legacy fallback's job runs once per JVM. */
+  private val nrowsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def indexRowCount(s: SparkSession, idx: String): Long =
+    nrowsCache.getOrElseUpdate(idx, {
+      val p = new org.apache.hadoop.fs.Path(idx, "_nrows")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) s.read.parquet(s"$idx/codes").count()
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    })
 
   /** The snapshot-keyed PQ index for this corpus, under
     * `DerivedStore.servedDir`'s fingerprint/OCC protocol: a
