@@ -365,12 +365,17 @@ object StreamTierIngest {
     math.max(8, math.min(bytes / graft.io.DerivedStore.SourceBytesPerFile,
       graft.io.DerivedStore.MaxTierFiles).toInt)
 
+  /** Test hook: force the major-rewrite file budget so specs can
+    * drive the rewrite mode without accumulating 512 appended runs. */
+  @volatile private[graft] var rewriteBudgetOverride: Option[Long] = None
+
   /** Major-rewrite trigger: the base may accumulate appended runs up
     * to 4× its byte-ideal file count (floor: 8 runs per bucket) before
     * a fold pays the history shuffle to restore the tight layout. */
   private def rewriteFileBudget(bytes: Long): Long =
-    math.max(8L * Buckets,
-      4L * math.max(8, bytes / graft.io.DerivedStore.SourceBytesPerFile))
+    rewriteBudgetOverride.getOrElse(
+      math.max(8L * Buckets,
+        4L * math.max(8, bytes / graft.io.DerivedStore.SourceBytesPerFile)))
 
   /** `intraBatchExact`: also drop WITHIN-batch exact duplicates (d1's
     * content hash, batch-local, no extra state) keeping the lowest

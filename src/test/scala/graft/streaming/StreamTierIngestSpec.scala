@@ -223,6 +223,49 @@ class StreamTierIngestSpec extends SparkSpec {
       StreamTierIngest.bootstrapIndex(corpus, idxA)
     }
     assert(reboot.getMessage.contains("compacted base"))
+
+    // MAJOR rewrite: when appended runs breach the file budget, the
+    // fold restores the tight layout in one range-sorted write — same
+    // rows, fewer files
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+      .filter(col("doc_id") % 7 === 0).limit(8)
+    b2.coalesce(1).write.mode("append").parquet(inA)
+    b2.coalesce(1).write.mode("append").parquet(inB)
+    drain(inA, schema, idxA, outA, ckptA)
+    drain(inB, schema, idxB, outB, ckptB)
+    val preRewrite = StreamTierIngest.index(spark, idxA).count()
+    StreamTierIngest.rewriteBudgetOverride = Some(0L) // force the trigger
+    try {
+      val fr = StreamTierIngest.fold(spark, idxA, ckptA)
+      assert(fr.exists(_._1 == 1) &&
+        StreamTierIngest.lastFoldMode.contains("rewrite"),
+        s"budget breach must take the major rewrite: $fr ${StreamTierIngest.lastFoldMode}")
+    } finally StreamTierIngest.rewriteBudgetOverride = None
+    assert(StreamTierIngest.index(spark, idxA).count() == preRewrite &&
+      StreamTierIngest.index(spark, idxA).count() ==
+        StreamTierIngest.index(spark, idxB).count(),
+      "the rewrite keeps exactly the same rows")
+
+    // LEGACY base (pre-watermark version): the fold cannot prove the
+    // fresh partitions aren't already folded in, so it routes to the
+    // rewrite whose distinct() restores idempotence once
+    val store = s"$idxA/.compacted"
+    val v = graft.io.AtomicPublish.currentVersion(spark, store).get
+    val marker = new java.io.File(s"$store/v=$v/_folded")
+    assert(marker.delete(), "test setup: strip the watermark")
+    val b3 = docs.filter(col("doc_id") % 3 === 2)
+      .filter(col("doc_id") % 7 === 1).limit(8)
+    b3.coalesce(1).write.mode("append").parquet(inA)
+    b3.coalesce(1).write.mode("append").parquet(inB)
+    drain(inA, schema, idxA, outA, ckptA)
+    drain(inB, schema, idxB, outB, ckptB)
+    val fl = StreamTierIngest.fold(spark, idxA, ckptA)
+    assert(fl.exists(_._1 == 1) &&
+      StreamTierIngest.lastFoldMode.contains("rewrite"),
+      s"a legacy base routes to the rewrite: $fl ${StreamTierIngest.lastFoldMode}")
+    assert(StreamTierIngest.index(spark, idxA).count() ==
+      StreamTierIngest.index(spark, idxB).count(),
+      "legacy upgrade neither loses nor duplicates rows")
     corpus.unpersist(): Unit
   }
 
