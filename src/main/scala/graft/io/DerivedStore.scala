@@ -170,15 +170,20 @@ object DerivedStore {
                                       key: String): Boolean = {
     val s = prev.sparkSession
     val vdir = versionDirOf(prev)
-    // both sidecar layers describe the PUBLISH-TIME summaryKey column;
-    // a probe over any other key must not trust them (kname check —
-    // a legacy summary without the field also falls through)
+    // both sidecar layers describe the PUBLISH-TIME (kname, ktype)
+    // column; a probe over any other key — or the same name at a
+    // DIFFERENT type after schema evolution — must not trust them: a
+    // long-built bloom probed with strings answers every key
+    // might-not-contain, silently flipping overlap to disjoint (r11
+    // advice). A legacy summary without either field also falls
+    // through (to the exact probe, the safe direction).
+    val deltaType = normKeyType(delta.schema(key).dataType)
     val summary = vdir.flatMap { v =>
       val sp = new Path(v, KeySummaryDir)
       if (!hadoopFs(s, sp).exists(sp)) None
       else Some(s.read.parquet(sp.toString))
-        .filter(sf => sf.columns.contains("kname") &&
-          !sf.filter(col("kname") === key).isEmpty)
+        .filter(sf => sf.columns.contains("kname") && sf.columns.contains("ktype") &&
+          !sf.filter(col("kname") === key && col("ktype") === deltaType).isEmpty)
     }
     val rangeDisjoint = summary.exists { sf =>
       import org.apache.spark.sql.functions.{min => fmin, max => fmax}
@@ -220,6 +225,20 @@ object DerivedStore {
       Option(p)
     }
 
+  /** The bloom/range-comparable FAMILY of a summary key's type: the
+    * integral family collapses to "long" (the bloom puts cast to long,
+    * so an int delta probing a long-built bloom hashes identically);
+    * strings stand alone; anything else keeps its exact catalog name
+    * so only identically-typed probes trust the sidecars. */
+  private def normKeyType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case StringType => "string"
+      case other => other.catalogString
+    }
+  }
+
   /** Publish-time sidecars over the staged bytes: `_keysummary`
     * (1-row min/max + approx distinct count) and, when the count fits
     * [[BloomMaxKeys]] and the key type is bloomable, `_keybloom`.
@@ -231,10 +250,13 @@ object DerivedStore {
     val sp = new Path(stagingDir, KeySummaryDir)
     staged.agg(fmin(col(key)).as("kmin"), fmax(col(key)).as("kmax"),
         approx_count_distinct(col(key)).as("kcnt"))
-      // the summarized column's NAME rides along: a probe over any
-      // other column must fall through to the exact check, not trust
-      // another column's range (r11 review)
+      // the summarized column's NAME and TYPE ride along: a probe over
+      // any other column, or this column at a different type, must
+      // fall through to the exact check, not trust another column's
+      // range or a differently-typed bloom (r11 review + advice)
       .withColumn("kname", org.apache.spark.sql.functions.lit(key))
+      .withColumn("ktype", org.apache.spark.sql.functions.lit(
+        normKeyType(staged.schema(key).dataType)))
       .coalesce(1).write.parquet(sp.toString)
     val cnt = s.read.parquet(sp.toString).head().getAs[Long]("kcnt")
     if (cnt <= BloomMaxKeys) {
@@ -376,6 +398,24 @@ object DerivedStore {
         line.substring(0, cut)
       }.toSeq.distinct)
     }
+  }
+
+  /** Write a PROVENANCE-ONLY fingerprint into a (staged) version dir —
+    * the churn-sentinel form: the text can never equal a real listing,
+    * so the version can never be mistaken for source-fresh, [[classify]]
+    * reads it as Rewritten (never merge-eligible), and
+    * [[sourcesOfVersion]] — and therefore `tools/Lineage` — still
+    * resolves the version to its source tables. For version stores
+    * maintained OUTSIDE [[servedWith]]'s fingerprint lifecycle (the
+    * stream-ingest gate's compacted folds, whose sources are stream
+    * batches no file listing describes). */
+  def writeProvenanceOnly(s: SparkSession, versionDir: String,
+                          sources: Seq[String]): Unit = {
+    val p = new Path(versionDir, FingerprintFile)
+    val out = hadoopFs(s, p).create(p, true)
+    try out.write((ChurnSentinel +: sources.distinct.sorted).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Fingerprint a committed version was built from, if recorded. */

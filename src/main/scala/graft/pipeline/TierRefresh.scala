@@ -77,6 +77,19 @@ object TierRefresh {
       graft.io.GraphStore.cosupplyUnd(s, sfDir).count()),
   )
 
+  /** Shared run-log body for the stream-compaction jobs: `folded=N
+    * mode=M` on a folding night, `noop` on an already-folded one. */
+  private def foldJobBody(fold: SparkSession => Option[(Int, Long)])
+                         (s: SparkSession): Long =
+    fold(s) match {
+      case Some((parts, rows)) =>
+        val mode = graft.streaming.StreamTierIngest.lastFoldMode
+          .map(m => s" mode=$m").getOrElse("")
+        Pipeline.jobNote = Some(s"folded=$parts$mode"); rows
+      case None =>
+        Pipeline.jobNote = Some("noop"); 0L
+    }
+
   /** Nightly compaction of a streaming ingest gate's accumulated
     * batch partitions into its bucket-partitioned base
     * ([[graft.streaming.StreamTierIngest.fold]]) — registered beside
@@ -87,11 +100,34 @@ object TierRefresh {
   def streamFoldJob(name: String, indexDir: String, checkpoint: String,
                     deps: Seq[String] = Nil): Job =
     Job(name, s"stream.$name", deps = deps)((s, _) =>
-      graft.streaming.StreamTierIngest.fold(s, indexDir, checkpoint) match {
-        case Some((parts, rows)) =>
-          val mode = graft.streaming.StreamTierIngest.lastFoldMode
-            .map(m => s" mode=$m").getOrElse("")
-          Pipeline.jobNote = Some(s"folded=$parts$mode"); rows
+      foldJobBody(graft.streaming.StreamTierIngest.fold(_, indexDir, checkpoint))(s))
+
+  /** [[streamFoldJob]]'s survivors-side twin
+    * ([[graft.streaming.StreamTierIngest.foldSurvivors]]): compacts the
+    * gate's per-batch survivor partitions into the doc_id-sorted
+    * corpus base — without it the corpus sink grows one directory per
+    * micro-batch forever. `nearDupAtFold` also runs the d3 band pass
+    * over the folded delta (within-batch near-dup families, the
+    * compaction's contractual job). */
+  def survivorsFoldJob(name: String, survivorsDir: String, checkpoint: String,
+                       nearDupAtFold: Boolean = false,
+                       deps: Seq[String] = Nil): Job =
+    Job(name, s"stream.$name", deps = deps)((s, _) =>
+      foldJobBody(graft.streaming.StreamTierIngest
+        .foldSurvivors(_, survivorsDir, checkpoint, nearDupAtFold))(s))
+
+  /** Publish newly folded survivors into the warehouse corpus table
+    * ([[graft.streaming.StreamTierIngest.syncCorpus]]) — the job that
+    * turns stream arrivals into the append-only part-file drift the
+    * standing tiers' merge paths consume. Register it with a dep on
+    * the survivors fold, and give every tier serve a dep on it, so an
+    * append-only stream night refreshes the whole cascade at O(Δ). */
+  def corpusSyncJob(name: String, survivorsDir: String, corpusDir: String,
+                    deps: Seq[String] = Nil): Job =
+    Job(name, s"stream.$name", deps = deps)((s, _) =>
+      graft.streaming.StreamTierIngest.syncCorpus(s, survivorsDir, corpusDir) match {
+        case Some((rows, upto)) =>
+          Pipeline.jobNote = Some(s"synced=$rows upto=$upto"); rows
         case None =>
           Pipeline.jobNote = Some("noop"); 0L
       })

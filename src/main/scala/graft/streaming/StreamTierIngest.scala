@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -28,8 +28,10 @@ import graft.io.IdempotentWriter
   *
   * Contract notes: dedup is against the index as of the batch's start
   * (d15's exact semantics); WITHIN-batch duplicates both survive —
-  * the intra-batch pass is d1/d3's job at the next compaction, not
-  * the ingest gate's.
+  * exact dups can be dropped at the gate with `intraBatchExact`, and
+  * within-batch NEAR-dup families are dropped at the next compaction
+  * when [[foldSurvivors]] runs with `nearDupAtFold` (the d3 band pass
+  * over the folded delta).
   *
   * Per-batch cost: the batch-side compute (shingle + md5 + minhash,
   * the dominant work) is O(|batch|) and paid once per batch. The probe
@@ -47,17 +49,25 @@ import graft.io.IdempotentWriter
   * partitions, so per-batch probe I/O stays O(|matched buckets| +
   * |since-last-fold|) instead of growing with ingest history. What
   * never re-runs is the HISTORY'S compute: no text is re-read, no md5
-  * re-paid.
+  * re-paid. The SURVIVORS sink gets the same treatment from
+  * [[foldSurvivors]]: without it the corpus grows one partition dir
+  * per micro-batch forever (unbounded listing cost for every
+  * downstream consumer); with it, replay-immune survivor partitions
+  * fold into a doc_id-range-sorted corpus base on the same nightly
+  * cadence, and [[syncCorpus]] publishes the folded delta into the
+  * warehouse corpus table as append-only part files — the stream-era
+  * feed of the standing tiers' O(Δ) merge paths.
   *
   * Fold replay-safety: a batch in the crash window (sink writes landed,
   * checkpoint commit didn't) is by construction NOT folded — its
   * partition stays live, the replay overwrites it, and the probe's
-  * self-partition exclusion keeps working. Folded rows carry
+  * self-partition exclusion keeps working. Folded index rows carry
   * `ingest_batch = -1` (the bootstrap's id), which no real batch id
-  * can collide with. A fold crash between commit and partition delete
-  * leaves duplicate rows across the two layers — harmless to the probe
-  * (matches count DISTINCT corpus docs) and removed by the next fold's
-  * distinct.
+  * can collide with; folded survivor rows keep their real batch id so
+  * [[syncCorpus]] can watermark what it has published. A fold crash
+  * between commit and partition delete leaves duplicate rows across
+  * the two layers — harmless to the probe (matches count DISTINCT
+  * corpus docs) and removed by the next fold's distinct.
   */
 object StreamTierIngest {
 
@@ -71,7 +81,21 @@ object StreamTierIngest {
   private[streaming] def bucketOf(bandHash: org.apache.spark.sql.Column) =
     pmod(abs(hash(bandHash)), lit(Buckets))
 
-  private def compactedStore(indexDir: String): String = s"$indexDir/.compacted"
+  private def compactedStore(dir: String): String = s"$dir/.compacted"
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def writeTextFile(fs: FileSystem, p: Path, txt: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes(Utf8)) finally out.close()
+  }
+
+  private def readTextFile(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), Utf8)) finally in.close()
+    }
 
   /** Seed the stream-owned index from a corpus snapshot (partition
     * `ingest_batch=-1`; every later batch owns `ingest_batch=<id>`).
@@ -89,6 +113,7 @@ object StreamTierIngest {
         "base; a re-bootstrap's rows would be mistaken for already-folded " +
         "crash leftovers at the next fold and deleted unfolded. Ingest new " +
         "seed documents through the stream instead.")
+    recordSources(s, indexDir, tableNamesOf(corpus))
     IdempotentWriter.partitionRefresh(
       BandIndexStore.bandKeys(corpus).withColumn("ingest_batch", lit(-1L)),
       indexDir, "ingest_batch"): Unit
@@ -128,6 +153,27 @@ object StreamTierIngest {
     }
   }
 
+  /** The stream-grown corpus as one frame: live `ingest_batch=<id>`
+    * survivor partitions ∪ the compacted base maintained by
+    * [[foldSurvivors]]. Listing cost after N batches is
+    * O(since-last-fold), not O(N) — the fold bounds it. */
+  def survivors(s: SparkSession, survivorsDir: String): DataFrame = {
+    val live =
+      if (livePartitions(s, survivorsDir).nonEmpty)
+        Some(s.read.parquet(survivorsDir)
+          .withColumn("ingest_batch", col("ingest_batch").cast("long")))
+      else None
+    val store = compactedStore(survivorsDir)
+    val compacted = graft.io.AtomicPublish.currentVersion(s, store)
+      .map(v => s.read.parquet(s"$store/v=$v"))
+    (live, compacted) match {
+      case (Some(l), Some(c)) => l.unionByName(c)
+      case (Some(l), None)    => l
+      case (None, Some(c))    => c
+      case (None, None)       => s.read.parquet(survivorsDir)
+    }
+  }
+
   /** The `ingest_batch=<id>` partition dirs currently live (unfolded)
     * in the index dir, bootstrap (-1) included. */
   private def livePartitions(s: SparkSession, indexDir: String): Seq[(Long, Path)] = {
@@ -143,13 +189,36 @@ object StreamTierIngest {
 
   private val CheckpointMarker = "_checkpoint"
 
+  /** The checkpoint's IDENTITY: the query id Structured Streaming
+    * writes once into `<checkpoint>/metadata` when the checkpoint is
+    * created. None before the first start() materializes it. Binding
+    * to the identity, not just the path (r11 advice), is what makes a
+    * deleted-and-recreated checkpoint at the same path detectable —
+    * the recreated one carries a fresh id. */
+  private def checkpointIdentity(s: SparkSession, checkpoint: String): Option[String] = {
+    val p = new Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    readTextFile(fs, p)
+      .flatMap("\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_))
+      .map(_.group(1))
+  }
+
   /** Bind a batch-id-keyed dir to the checkpoint that owns its ids:
-    * the marker is written on first contact and validated on every
-    * later start()/fold(). Batch ids are CHECKPOINT-scoped — a fold or
-    * restart driven by a foreign/copied checkpoint would fold a batch
+    * the marker records the checkpoint's qualified path AND its
+    * identity (query id from the checkpoint's own metadata — written
+    * once at creation) on first contact, and both are validated on
+    * every later start()/fold(). Batch ids are CHECKPOINT-scoped — a
+    * fold or restart driven by a foreign checkpoint would fold a batch
     * the true checkpoint still considers pending (whose replay then
     * self-matches against the compacted base and empties its survivors
-    * partition) or overwrite committed partitions. Deleting the marker
+    * partition) or overwrite committed partitions; a checkpoint
+    * DELETED AND RECREATED at the same path restarts batch ids at 0,
+    * so the next fold would misclassify the new stream's partitions as
+    * already-folded crash leftovers (ids ≤ the compacted watermark)
+    * and delete them unfolded — path equality alone cannot see this,
+    * the identity check can. The id is recorded lazily (a first
+    * start() precedes the checkpoint's creation) and pinned forever on
+    * first contact with a materialized checkpoint. Deleting the marker
     * is the operator's explicit "I know the ids align" override. */
   private def bindCheckpoint(s: SparkSession, dir: String,
                              checkpoint: String, surface: String): Unit = {
@@ -158,25 +227,89 @@ object StreamTierIngest {
     val cp = new Path(checkpoint)
     val qckpt = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
       .makeQualified(cp).toString
+    val curId = checkpointIdentity(s, checkpoint)
     val mp = new Path(p, CheckpointMarker)
-    if (!fs.exists(mp)) {
+    def writeMarker(): Unit = {
       fs.mkdirs(p): Unit
-      val out = fs.create(mp, true)
-      try out.write(qckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } else {
-      val in = fs.open(mp)
-      val recorded =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      require(recorded == qckpt,
-        s"$surface: dir $dir is bound to checkpoint $recorded but was invoked " +
-          s"with $qckpt. Batch ids are checkpoint-scoped; mixing checkpoints " +
-          "silently corrupts batch-id-keyed partitions. Use the original " +
-          "checkpoint, or clear checkpoint+dirs together (delete the " +
-          s"$CheckpointMarker marker only if the ids provably align).")
+      writeTextFile(fs, mp, (qckpt +: curId.map("id=" + _).toSeq).mkString("\n"))
+    }
+    readTextFile(fs, mp) match {
+      case None => writeMarker()
+      case Some(txt) =>
+        val lines = txt.split("\n")
+        val recorded = lines.head
+        val recordedId = lines.find(_.startsWith("id=")).map(_.stripPrefix("id="))
+        require(recorded == qckpt,
+          s"$surface: dir $dir is bound to checkpoint $recorded but was invoked " +
+            s"with $qckpt. Batch ids are checkpoint-scoped; mixing checkpoints " +
+            "silently corrupts batch-id-keyed partitions. Use the original " +
+            "checkpoint, or clear checkpoint+dirs together (delete the " +
+            s"$CheckpointMarker marker only if the ids provably align).")
+        (recordedId, curId) match {
+          case (Some(r), Some(c)) =>
+            require(r == c,
+              s"$surface: dir $dir is bound to checkpoint identity $r but $qckpt " +
+                s"now carries identity $c — the checkpoint was deleted and " +
+                "recreated at the same path. Its batch ids restart at 0, so the " +
+                "next fold would misclassify the new stream's partitions as " +
+                "already-folded crash leftovers and delete them unfolded. " +
+                "Restore the original checkpoint, or clear checkpoint+dirs " +
+                s"together (delete the $CheckpointMarker marker only if the ids " +
+                "provably align).")
+          case (Some(r), None) =>
+            require(false,
+              s"$surface: dir $dir is bound to checkpoint identity $r but " +
+                s"$qckpt has no metadata — the checkpoint was deleted. A fresh " +
+                "stream at this path restarts batch ids at 0 over batch-id-keyed " +
+                "state. Restore the checkpoint, or clear checkpoint+dirs " +
+                "together.")
+          case (None, Some(_)) =>
+            // pre-identity marker (first bind ran before the checkpoint
+            // materialized, or a legacy marker): pin the id now
+            writeMarker()
+          case (None, None) => () // nothing to verify yet
+        }
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Provenance: which logical source tables feed this gate
+  // ---------------------------------------------------------------------
+
+  private val SourcesMarker = "_sources"
+
+  /** Record the logical source-table names feeding a batch-id-keyed
+    * dir (idempotent union): [[bootstrapIndex]] derives them from the
+    * corpus frame's input files, [[start]] from the stream source
+    * dir's basename. The fold copies them into each compacted
+    * version's provenance record ([[graft.io.DerivedStore
+    * .writeProvenanceOnly]]) so `tools/Lineage` traverses a
+    * stream-index scan to its raw tables like any DerivedStore tier. */
+  private def recordSources(s: SparkSession, dir: String,
+                            names: Seq[String]): Unit = {
+    if (names.isEmpty) return
+    val p = new Path(dir, SourcesMarker)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val existing = recordedSources(s, dir)
+    if (!names.forall(existing.contains)) {
+      fs.mkdirs(new Path(dir)): Unit
+      writeTextFile(fs, p, (existing ++ names).distinct.sorted.mkString("\n"))
+    }
+  }
+
+  private[streaming] def recordedSources(s: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir, SourcesMarker)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    readTextFile(fs, p).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty)
+  }
+
+  /** Table names a frame was read from: the path segment ending in
+    * `.parquet` (the warehouse's `<table>.parquet` dir convention). */
+  private def tableNamesOf(df: DataFrame): Seq[String] =
+    df.inputFiles.toSeq
+      .flatMap(_.split('/').find(_.endsWith(".parquet")))
+      .map(_.stripSuffix(".parquet"))
+      .distinct
 
   /** Max numeric entry in a checkpoint metadata-log dir, -1 when none
     * — commits/<id> and offsets/<id> share this shape. */
@@ -197,6 +330,27 @@ object StreamTierIngest {
     * -1 when nothing committed yet. */
   private def lastCommittedBatch(s: SparkSession, checkpoint: String): Long =
     maxLogEntry(s, checkpoint, "commits")
+
+  // ---------------------------------------------------------------------
+  // The nightly fold: shared LSM machinery for both compacted stores
+  // ---------------------------------------------------------------------
+
+  /** Layout + bookkeeping hooks distinguishing the two compacted
+    * stores the gate maintains: the band INDEX (bucket-partitioned,
+    * hash-sorted key triples) and the SURVIVORS corpus (doc_id-range-
+    * sorted full rows, optional d3 pass on the folded delta). The
+    * fold protocol — watermark, minor/major split, OCC publish,
+    * partition delete — is identical; only these hooks differ. */
+  private final case class FoldShape(
+      surface: String,
+      /** Raw partition read → (frame to fold in, row count readable
+        * after the staged write — "rows read from the folded
+        * partitions" — and a cleanup run after the count). */
+      prepare: DataFrame => (DataFrame, () => Long, () => Unit),
+      /** Read a committed base for the full/rewrite modes. */
+      readBase: (SparkSession, Path) => DataFrame,
+      /** Range-sort + write under the store's layout. */
+      write: (DataFrame, String, Int, String) => Unit)
 
   /** Fold every replay-immune live batch partition (id ≤ the
     * checkpoint's last committed batch; the bootstrap always) into the
@@ -227,21 +381,119 @@ object StreamTierIngest {
     * probe-side file opens stay bounded without paying a history
     * shuffle every night.
     *
-    * Returns (folded partition count, rows folded in), or None when
-    * nothing is foldable (re-running a folded night is a no-op;
-    * crash-cleanup of already-folded partitions also reports None).
-    */
+    * Returns (folded partition count, rows read from the folded
+    * partitions — on the legacy-upgrade rewrite this is the
+    * PRE-distinct count, so it can exceed what the distinct() lands),
+    * or None when nothing is foldable (re-running a folded night is a
+    * no-op; crash-cleanup of already-folded partitions also reports
+    * None). */
   def fold(s: SparkSession, indexDir: String,
-           checkpoint: String): Option[(Int, Long)] = {
+           checkpoint: String): Option[(Int, Long)] =
+    foldCompacted(s, indexDir, checkpoint, indexShape)
+
+  private def indexShape: FoldShape = {
+    val keyCols = Seq("doc_id", "band_idx", "band_hash")
+    FoldShape(
+      surface = "fold",
+      prepare = { raw =>
+        val obs = new Observation()
+        val f = raw.select(keyCols.map(col): _*)
+          // the observed count is the run-log row count — no re-scan
+          // of the freshly-written base
+          .observe(obs, count(lit(1)).as("rows"))
+          .withColumn("band_bucket", bucketOf(col("band_hash")))
+        (f, () => obs.get("rows").asInstanceOf[Long], () => ())
+      },
+      readBase = (s2, pp) => s2.read.parquet(pp.toString)
+        .select(keyCols.map(col): _*)
+        .withColumn("band_bucket", bucketOf(col("band_hash"))),
+      write = (df, p, numFiles, saveMode) =>
+        df.repartitionByRange(numFiles, col("band_bucket"), col("band_hash"))
+          .sortWithinPartitions("band_bucket", "band_hash")
+          .write.partitionBy("band_bucket").mode(saveMode).parquet(p))
+  }
+
+  /** [[fold]]'s survivors-side twin: compacts replay-immune
+    * `ingest_batch=<id>` SURVIVOR partitions into a doc_id-range-
+    * sorted corpus base under the same watermark/checkpoint/OCC
+    * discipline — without it the corpus sink accumulates one
+    * partition dir per micro-batch forever. Folded rows KEEP their
+    * real `ingest_batch` (as a plain long column) so [[syncCorpus]]
+    * can watermark which batches it has published.
+    *
+    * `nearDupAtFold`: also run d3's band pass over the folded delta —
+    * WITHIN-batch near-dup families survive the ingest gate by
+    * contract (the probe sees the index as of batch start and
+    * excludes the batch's own partition); this discharges the "d1/d3's
+    * job at the next compaction" promise in code. Cross-batch and
+    * corpus near-dups were already gated at ingest, so the pass is
+    * delta-confined: O(Δ) banding, component loop only when the delta
+    * actually collides ([[dropNearDupFamilies]]'s count gate). */
+  def foldSurvivors(s: SparkSession, survivorsDir: String, checkpoint: String,
+                    nearDupAtFold: Boolean = false): Option[(Int, Long)] =
+    foldCompacted(s, survivorsDir, checkpoint, survivorsShape(nearDupAtFold))
+
+  private def survivorsShape(nearDup: Boolean): FoldShape = FoldShape(
+    surface = "foldSurvivors",
+    prepare = { raw =>
+      // the partition column reads back as int; the base stores long
+      val typed = raw.withColumn("ingest_batch", col("ingest_batch").cast("long"))
+      if (!nearDup) {
+        val obs = new Observation()
+        (typed.observe(obs, count(lit(1)).as("rows")),
+          () => obs.get("rows").asInstanceOf[Long], () => ())
+      } else {
+        // cached: the band pass reads the delta twice (pairs + the
+        // anti-join) before the write does; an Observation would
+        // double-count under the self-join, so the log count is one
+        // cheap cached count() instead
+        val cached = typed.persist()
+        (dropNearDupFamilies(cached), () => cached.count(),
+          () => { cached.unpersist(): Unit })
+      }
+    },
+    readBase = (s2, pp) => s2.read.parquet(pp.toString),
+    write = (df, p, numFiles, saveMode) =>
+      df.repartitionByRange(numFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode(saveMode).parquet(p))
+
+  /** d3 confined to the folded delta: band the delta's docs, connect
+    * the collisions (d8's min-label components), keep each family's
+    * min doc_id. Count-gated: a delta with zero band collisions (the
+    * common night) skips the component loop entirely. Deterministic —
+    * same delta, same survivors — though the fold runs post-commit, so
+    * replay determinism is not load-bearing here. */
+  private[streaming] def dropNearDupFamilies(delta: DataFrame): DataFrame = {
+    val bands = BandIndexStore.bandKeys(delta).persist()
+    try {
+      val pairs = graft.dedup.Dedup.lshPairsFromBands(bands)
+      if (pairs.isEmpty) delta
+      else {
+        // components() runs its label loop eagerly and returns
+        // checkpointed labels, so the anti-join below no longer
+        // references the band cache
+        val losers = graft.dedup.Dedup.components(pairs)
+          .filter(col("component") =!= col("doc_id"))
+          .select("doc_id")
+        delta.join(losers, Seq("doc_id"), "left_anti")
+      }
+    } finally bands.unpersist(): Unit
+  }
+
+  private def foldCompacted(s: SparkSession, dir: String, checkpoint: String,
+                            shape: FoldShape): Option[(Int, Long)] = {
     // the same checkpoint-pairing invariant start() enforces: folding
     // with a foreign/ahead checkpoint would fold a batch the TRUE
     // checkpoint still considers pending — its replay then matches
     // itself in the compacted base and empties its survivors partition
-    bindCheckpoint(s, indexDir, checkpoint, "fold")
+    bindCheckpoint(s, dir, checkpoint, shape.surface)
+    // cleared first so an aborted attempt can't be read as a result
+    lastFoldMode = None
     val committed = lastCommittedBatch(s, checkpoint)
-    val foldable = livePartitions(s, indexDir).filter(_._1 <= committed)
-    if (foldable.isEmpty) { lastFoldMode = None; return None }
-    val store = compactedStore(indexDir)
+    val foldable = livePartitions(s, dir).filter(_._1 <= committed)
+    if (foldable.isEmpty) return None
+    val store = compactedStore(dir)
     val fs = new Path(store).getFileSystem(s.sparkContext.hadoopConfiguration)
     val prevVersion = graft.io.AtomicPublish.currentVersion(s, store)
     val prevPath = prevVersion.map(v => new Path(s"$store/v=$v"))
@@ -254,17 +506,10 @@ object StreamTierIngest {
     }
     if (freshParts.isEmpty) {
       stale.foreach { case (_, p) => fs.delete(p, true): Unit }
-      lastFoldMode = None
       return None
     }
-    val rowsObs = new org.apache.spark.sql.Observation()
-    val fresh = s.read.option("basePath", indexDir)
-      .parquet(freshParts.map(_._2.toString): _*)
-      .select("doc_id", "band_idx", "band_hash")
-      // the observed count is the run-log row count — no re-scan of
-      // the freshly-written base
-      .observe(rowsObs, count(lit(1)).as("rows"))
-      .withColumn("band_bucket", bucketOf(col("band_hash")))
+    val (fresh, rowsRead, cleanup) = shape.prepare(
+      s.read.option("basePath", dir).parquet(freshParts.map(_._2.toString): _*))
     // a legacy base (no watermark) cannot prove the fresh partitions
     // aren't already folded in — route to the rewrite, whose distinct
     // restores idempotence once; every version after carries the marker
@@ -279,45 +524,46 @@ object StreamTierIngest {
         baseStats.exists { case (files, bytes) => files > rewriteFileBudget(bytes) })
         "rewrite"
       else "append"
-    lastFoldMode = Some(mode)
     val staging = graft.io.AtomicPublish.stageVersionWith(store) { p =>
       mode match {
         case "append" =>
           // minor compaction: history moves as bytes, never through a
-          // shuffle; the delta lands as sorted per-bucket runs
+          // shuffle; the delta lands as sorted runs in the base layout
           graft.io.DerivedStore.copyTree(s, prevPath.get, new Path(p),
             keep = n => !n.startsWith("_") && !n.startsWith("."))
-          fresh.repartitionByRange(numFilesFor(freshBytes),
-              col("band_bucket"), col("band_hash"))
-            .sortWithinPartitions("band_bucket", "band_hash")
-            .write.partitionBy("band_bucket").mode("append").parquet(p)
+          shape.write(fresh, p, numFilesFor(freshBytes), "append")
         case _ =>
           // full (first fold) or major rewrite: one range-sorted write
           // of base ∪ delta. distinct() only for a legacy base whose
           // content the watermark can't vouch for
-          val base = prevPath.map(pp => s.read.parquet(pp.toString)
-            .select("doc_id", "band_idx", "band_hash")
-            .withColumn("band_bucket", bucketOf(col("band_hash"))))
-          val all0 = base.fold(fresh: org.apache.spark.sql.DataFrame)(_.unionByName(fresh))
+          val base = prevPath.map(pp => shape.readBase(s, pp))
+          val all0 = base.fold(fresh)(_.unionByName(fresh))
           val all = if (legacyBase) all0.distinct() else all0
-          all.repartitionByRange(
-              numFilesFor(freshBytes + baseStats.map(_._2).getOrElse(0L)),
-              col("band_bucket"), col("band_hash"))
-            .sortWithinPartitions("band_bucket", "band_hash")
-            .write.partitionBy("band_bucket").mode("overwrite").parquet(p)
+          shape.write(all, p,
+            numFilesFor(freshBytes + baseStats.map(_._2).getOrElse(0L)),
+            "overwrite")
       }
       val maxFolded = (freshParts.map(_._1) ++ watermark).max
-      val out = fs.create(new Path(p, FoldedMarker), true)
-      try out.write(maxFolded.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      writeTextFile(fs, new Path(p, FoldedMarker), maxFolded.toString)
+      // provenance record: the sentinel-form fingerprint (never fresh,
+      // never merge-eligible) carrying the gate's recorded source
+      // tables, so tools/Lineage resolves a compacted-version scan to
+      // its raw tables like any DerivedStore tier (r11 verdict #3)
+      val srcs = recordedSources(s, dir)
+      if (srcs.nonEmpty) graft.io.DerivedStore.writeProvenanceOnly(s, p, srcs)
     }
     if (!fs.exists(new Path(staging, "_SUCCESS")))
       fs.create(new Path(staging, "_SUCCESS"), true).close()
     graft.io.AtomicPublish.commitStagedOcc(s, store, staging): Unit
     graft.io.Vacuum.sweep(s, store, keepVersions = 2): Unit
     foldable.foreach { case (_, p) => fs.delete(p, true): Unit }
-    Some((foldable.size, rowsObs.get("rows").asInstanceOf[Long]))
+    // only a COMMITTED fold reports its mode (r11 advice: a staged
+    // write that threw must not leave the aborted attempt's mode
+    // behind for a later reader to pair with an earlier success)
+    lastFoldMode = Some(mode)
+    val rows = rowsRead()
+    cleanup()
+    Some((foldable.size, rows))
   }
 
   /** How the last fold on THIS THREAD built its version ("full" |
@@ -338,13 +584,7 @@ object StreamTierIngest {
   private def foldedWatermark(s: SparkSession, versionPath: Path): Option[Long] = {
     val p = new Path(versionPath, FoldedMarker)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-      finally in.close()
-    }
+    readTextFile(fs, p).flatMap(_.trim.toLongOption)
   }
 
   /** One recursive listing: (non-hidden data files, their bytes). */
@@ -377,12 +617,85 @@ object StreamTierIngest {
       math.max(8L * Buckets,
         4L * math.max(8, bytes / graft.io.DerivedStore.SourceBytesPerFile)))
 
+  // ---------------------------------------------------------------------
+  // Corpus publication: folded survivors → the warehouse corpus table
+  // ---------------------------------------------------------------------
+
+  private val SyncMarker = "_stream_synced"
+
+  /** Publish the folded survivors into a warehouse corpus table,
+    * append-only: rows with `ingest_batch` in (last synced, folded
+    * watermark] land as NEW part files in `corpusDir`, so the standing
+    * tiers' file-grain fingerprints classify the night as AppendOnly
+    * and take their O(Δ) merge paths — the stream-era T0 feed of the
+    * nightly cascade ([[graft.pipeline.TierRefresh.corpusSyncJob]]).
+    *
+    * Reads ONLY the compacted base (an immutable committed version):
+    * live partitions can still be replay-overwritten, so they never
+    * sync; the bootstrap's `-1` rows never sync either — they were
+    * seeded FROM a corpus. Idempotent without a transaction: part
+    * files are named by the batch range they carry
+    * (`stream-sync-<from>-<upto>-…`), any range files beyond the
+    * recorded watermark are crashed-attempt leftovers deleted before
+    * the move, and the watermark marker (underscore-prefixed, so tier
+    * fingerprints ignore it) advances only after every file is in
+    * place — a crash replays the same deterministic range from the
+    * same immutable version.
+    *
+    * Returns (rows synced, upto batch id); None when nothing new. */
+  def syncCorpus(s: SparkSession, survivorsDir: String,
+                 corpusDir: String): Option[(Long, Long)] = {
+    val store = compactedStore(survivorsDir)
+    val cp = new Path(corpusDir)
+    val fs = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    for {
+      v <- graft.io.AtomicPublish.currentVersion(s, store)
+      upto <- foldedWatermark(s, new Path(s"$store/v=$v"))
+      syncedUpto = readTextFile(fs, new Path(cp, SyncMarker))
+        .flatMap(_.trim.toLongOption).getOrElse(-1L)
+      if upto > syncedUpto
+    } yield {
+      val obs = new Observation()
+      val delta = s.read.parquet(s"$store/v=$v")
+        .filter(col("ingest_batch") > syncedUpto && col("ingest_batch") <= upto)
+        .drop("ingest_batch")
+        .observe(obs, count(lit(1)).as("rows"))
+      val staging = new Path(cp, ".stream-sync-staging")
+      fs.delete(staging, true): Unit
+      delta.write.parquet(staging.toString)
+      // crashed-attempt leftovers: any sync file whose range starts
+      // past the committed watermark was moved in by an attempt that
+      // died before advancing the marker — delete before re-moving,
+      // so a retry (possibly over a LATER fold's wider range) never
+      // duplicates its rows
+      fs.listStatus(cp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("stream-sync-") &&
+            n.stripPrefix("stream-sync-").takeWhile(_ != '-')
+              .toLongOption.exists(_ > syncedUpto))
+          fs.delete(st.getPath, false): Unit
+      }
+      val parts = fs.listStatus(staging)
+        .filter(_.getPath.getName.startsWith("part-"))
+      parts.zipWithIndex.foreach { case (st, i) =>
+        val dest = new Path(cp,
+          f"stream-sync-${syncedUpto + 1}%d-$upto%d-part$i%04d.parquet")
+        require(fs.rename(st.getPath, dest),
+          s"syncCorpus: move ${st.getPath} -> $dest failed")
+      }
+      fs.delete(staging, true): Unit
+      writeTextFile(fs, new Path(cp, SyncMarker), upto.toString)
+      (obs.get("rows").asInstanceOf[Long], upto)
+    }
+  }
+
   /** `intraBatchExact`: also drop WITHIN-batch exact duplicates (d1's
     * content hash, batch-local, no extra state) keeping the lowest
     * doc_id — deterministic, so a crash-replay recomputes the same
     * survivors. Off by default: the gate's core contract dedups
     * against the index as of batch start (d15), and near-dup families
-    * WITHIN a batch remain d1/d3's job at compaction either way. */
+    * WITHIN a batch remain the compaction's job either way
+    * ([[foldSurvivors]]'s `nearDupAtFold` pass). */
   def start(s: SparkSession, srcDir: String, schema: StructType,
             indexDir: String, survivorsDir: String, checkpoint: String,
             trigger: Trigger = Trigger.AvailableNow(),
@@ -394,8 +707,11 @@ object StreamTierIngest {
     // earlier batches' partitions — data loss, while their docs
     // re-enter dedup against themselves. Refuse loudly: the operator
     // keeps the checkpoint with its dirs, or clears all three together.
-    Seq(indexDir, survivorsDir).foreach(d =>
-      bindCheckpoint(s, d, checkpoint, "start"))
+    Seq(indexDir, survivorsDir).foreach { d =>
+      bindCheckpoint(s, d, checkpoint, "start")
+      recordSources(s, d,
+        Seq(new Path(srcDir).getName.stripSuffix(".parquet")))
+    }
     val next = nextBatchId(s, checkpoint)
     Seq("index" -> indexDir, "survivors" -> survivorsDir).foreach {
       case (label, d) =>
