@@ -303,13 +303,19 @@ object StreamTierIngest {
     readTextFile(fs, p).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty)
   }
 
-  /** Table names a frame was read from: the path segment ending in
-    * `.parquet` (the warehouse's `<table>.parquet` dir convention). */
+  /** Table names a frame was read from: scan-root basenames under the
+    * warehouse's `<table>.parquet` dir convention. Collected from the
+    * ANALYZED plan, not `inputFiles` — a cached frame's optimized plan
+    * substitutes InMemoryRelation and reports no files at all. */
   private def tableNamesOf(df: DataFrame): Seq[String] =
-    df.inputFiles.toSeq
-      .flatMap(_.split('/').find(_.endsWith(".parquet")))
-      .map(_.stripSuffix(".parquet"))
-      .distinct
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).distinct
 
   /** Max numeric entry in a checkpoint metadata-log dir, -1 when none
     * — commits/<id> and offsets/<id> share this shape. */
