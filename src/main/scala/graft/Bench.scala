@@ -18,9 +18,13 @@ import org.apache.spark.sql.SparkSession
   * full ~25s suite pass can inflate a query in at most one of its
   * three samples. Per-pass totals land in the JSON (`"passes"`) so an
   * episode is visible in the artifact instead of masquerading as a
-  * regression. Caches are cleared between queries — each measurement
-  * owns its memory, and registered per-query persists (graft.core
-  * .Caching) can't accumulate GC pressure across 3×132 runs.
+  * regression; when the totals spread >30% — a pass was visibly
+  * stolen — up to two EXTRA passes run (r11 verdict #6), so every
+  * query's min still comes from ~3 clean samples and round-over-round
+  * family deltas stay attributable. Caches are cleared between
+  * queries — each measurement owns its memory, and registered
+  * per-query persists (graft.core.Caching) can't accumulate GC
+  * pressure across the runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,8 +88,17 @@ object Bench {
     }
 
     val Passes = 3
+    // dispersion-adaptive (round-11 verdict #6): when the pass totals
+    // spread more than 30% — the signature of a host-steal episode
+    // inflating one pass — run up to MaxPasses total, so per-query
+    // minima come from at least ~3 clean passes and family deltas stay
+    // attributable without a judge-side re-measure. An idle host pays
+    // exactly the 3 passes it always did.
+    val MaxPasses = 5
+    val SpreadBudget = 0.30
     val samples = collection.mutable.Map.empty[String, List[Double]]
-    val passTotals = (1 to Passes).map { _ =>
+    val passTotals = collection.mutable.ArrayBuffer.empty[Double]
+    def onePass(): Unit = {
       var passTotal = 0.0
       queries.foreach { case (name, fn) =>
         val t = timeOne(fn)
@@ -95,7 +108,17 @@ object Bench {
           samples(name) = t :: samples.getOrElse(name, Nil)
         }
       }
-      passTotal
+      passTotals += passTotal
+    }
+    (1 to Passes).foreach(_ => onePass())
+    def curSpread(): Double = {
+      val ok = passTotals.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else (ok.max - ok.min) / ok.min
+    }
+    while (curSpread() > SpreadBudget && passTotals.size < MaxPasses) {
+      System.err.println(f"[bench] pass_spread ${curSpread()}%.3f > $SpreadBudget " +
+        s"after ${passTotals.size} passes - steal suspected, running another")
+      onePass()
     }
     // min of the successful samples; -1 only if a query failed ALL passes
     val results = queries.map { case (name, _) =>

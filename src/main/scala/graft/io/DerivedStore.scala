@@ -510,6 +510,12 @@ object DerivedStore {
               // pruned-column pass), plus a bloom while the version's
               // distinct keys fit the bounded-size budget
               summaryKey.foreach(k => writeKeySummary(s, p, k))
+              // file-grain zone map on the layout key: the range-sorted
+              // files' disjoint [min,max] land in one `_filemap`
+              // manifest, so keyed lookups (TokenStore term fetches,
+              // TargetedDelete discovery) prune files without opening
+              // parquet footers (r11 verdict #4)
+              ZoneMap.write(s, p, sortKey)
             }
           }
         }

@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * delete-then-append sink (K1) can only do as a FULL table rewrite.
   *
   * Delete cost here is proportional to the files that actually
-  * contain target rows, not to the table: a pushdown-filtered scan
-  * (parquet min/max stats prune non-overlapping files — which is why
-  * this composes with `SortedLayout.writeRangeSorted`: ids cluster
-  * into few files) identifies the affected files via
-  * `input_file_name()`, ONLY those files are rewritten minus the
-  * targets, and untouched files are left byte-identical on disk. At
-  * 100 TB with a sorted layout, deleting a handful of documents
-  * rewrites a handful of files.
+  * contain target rows, not to the table. Affected-file discovery is
+  * layered (r11 verdict #4): when the table carries a `_filemap` zone
+  * map on the id column ([[ZoneMap]] — written at publish beside
+  * `SortedLayout.writeRangeSorted`'s disjoint ranges), candidates come
+  * from ONE driver-side manifest read — no footer opens at all for the
+  * non-candidates; otherwise a pushdown-filtered scan (parquet min/max
+  * stats prune non-overlapping files) identifies them. ONLY affected
+  * files are rewritten minus the targets; untouched files are left
+  * byte-identical on disk. At 100 TB with a sorted layout, deleting a
+  * handful of documents rewrites a handful of files — and with the
+  * manifest, discovers them without listing-then-opening 200k footers.
   *
   * Visibility: the swap is delete-old-then-keep-new within the live
   * directory — a concurrent reader can see a partial view during the
@@ -29,24 +32,38 @@ object TargetedDelete {
 
   case class Report(rowsDeleted: Long, filesRewritten: Long, filesTotal: Long)
 
+  /** How the last [[deleteIds]] on THIS THREAD discovered its affected
+    * files — "manifest" (zone-map pruned) or "scan" (pushdown scan).
+    * Spec introspection, same channel discipline as lastFoldMode. */
+  private val lastDiscoveryTl =
+    ThreadLocal.withInitial[Option[String]](() => None)
+  private[graft] def lastDiscovery: Option[String] = lastDiscoveryTl.get()
+
   private def journalPath(table: String) = new Path(table + ".delete-journal")
+  private def manifestStaging(table: String) = new Path(table + ".filemap-staging")
 
   /** Crash recovery for the swap. The journal is written AFTER staging
     * completes and BEFORE any table mutation; it records the full swap
     * plan (`mv` staged→dest renames, `old` files to delete) and ends
     * with an `END` marker. On entry:
-    *  - no journal → no crash, nothing to do;
+    *  - no journal → no crash, nothing to do (a stray manifest-staging
+    *    dir from a pre-journal crash is still discarded — the live
+    *    manifest was untouched and stays authoritative);
     *  - journal without `END` → died writing the journal itself, so
     *    the table was never touched: discard journal + staging;
     *  - complete journal → REPLAY it: finish any missing renames
     *    (both sides idempotent — a rename already done leaves no src),
-    *    delete the old files, drop staging and the journal.
-    * Without this, a re-run after a mid-swap crash would re-rewrite
-    * survivors from still-present old files while staged-in copies
-    * remain — duplicating every survivor permanently.
+    *    delete the old files, drop staging and the journal. The zone
+    *    map was dropped before the journal was written (see
+    *    [[deleteIds]]'s ordering), so after replay the table simply
+    *    has no manifest — callers fall back to the pushdown scan until
+    *    the next publish or delete rebuilds it. A stale manifest can
+    *    never survive a crash, which matters because a manifest —
+    *    unlike a parquet footer — CAN mis-prune if it lies.
     */
   private def recoverIfCrashed(fs: org.apache.hadoop.fs.FileSystem,
                                table: String): Unit = {
+    fs.delete(manifestStaging(table), true): Unit
     val j = journalPath(table)
     if (!fs.exists(j)) return
     val in = fs.open(j)
@@ -77,16 +94,39 @@ object TargetedDelete {
                 ids: Seq[Long]): Report = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverIfCrashed(fs, table)
-    val all = spark.read.parquet(table)
-    val filesTotal = all.select(input_file_name()).distinct().count()
+    lastDiscoveryTl.set(None)
+    // file population from ONE directory listing — counting via a
+    // distinct(input_file_name()) scan read every row of the table
+    // just to count its files
+    val filesTotal = fs.listStatus(new Path(table)).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
 
-    // pushdown-filtered scan: parquet stats prune files whose
-    // [min,max] can't contain a target id, so this touches only
-    // candidate files even before the filter evaluates
-    val affectedFiles = all
-      .filter(col(idCol).isin(ids: _*))
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0))
+    // discovery: the zone map answers "which files CAN hold a target
+    // id" from the driver-side manifest alone; only those candidates
+    // are then scanned for true hits. A missing or foreign-key
+    // manifest falls back to the pushdown-filtered scan (parquet
+    // stats still prune at the footer level).
+    val manifest = ZoneMap.manifestOf(spark, table)
+    val idManifest = manifest.filter(_.key == idCol)
+    val affectedFiles: Array[String] = idManifest match {
+      case Some(m) =>
+        lastDiscoveryTl.set(Some("manifest"))
+        val cands = m.candidateFilesForKeys(ids)
+        if (cands.isEmpty) Array.empty
+        else spark.read.option("basePath", table)
+          .parquet(cands.map(f => s"$table/$f"): _*)
+          .filter(col(idCol).isin(ids: _*))
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0))
+      case None =>
+        lastDiscoveryTl.set(Some("scan"))
+        spark.read.parquet(table)
+          .filter(col(idCol).isin(ids: _*))
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0))
+    }
 
     if (affectedFiles.isEmpty) return Report(0L, 0L, filesTotal)
 
@@ -111,6 +151,37 @@ object TargetedDelete {
     val moves = staged.zipWithIndex.map { case (st, i) =>
       st.getPath -> new Path(table, f"deleted-rewrite-$stamp%d-$i%04d.parquet")
     }
+
+    // zone-map maintenance, delta-cost: the next manifest = old
+    // entries minus the affected files, plus the staged files' stats
+    // (computed from the staging dir, renamed to their destination
+    // basenames). Built and staged BEFORE the table mutates; the live
+    // manifest is dropped before the journal lands and the staged one
+    // renamed in only after the swap completes, so a crash anywhere in
+    // between leaves NO manifest (scan fallback) rather than a lying
+    // one.
+    val manifestStaged = manifest.map { m =>
+      val affectedNames = affectedFiles.map(new Path(_).getName).toSet
+      val keptEntries = spark.read.parquet(s"$table/${ZoneMap.ManifestDir}")
+        .filter(!col("file").isin(affectedNames.toSeq: _*))
+      val destByStaged = moves.map { case (s, d) => s.getName -> d.getName }.toSeq
+      val next =
+        if (destByStaged.isEmpty) keptEntries // every affected row deleted
+        else {
+          val renames = spark.createDataFrame(destByStaged).toDF("file", "dest")
+          keptEntries.unionByName(
+            ZoneMap.statsOf(spark, staging.toString, m.key)
+              .join(renames, "file")
+              .select(col("dest").as("file"), col("fmin"), col("fmax"), col("kname")))
+        }
+      val ms = manifestStaging(table)
+      fs.delete(ms, true)
+      next.coalesce(1).write.parquet(ms.toString)
+      ms
+    }
+    manifest.foreach(_ =>
+      fs.delete(new Path(table, ZoneMap.ManifestDir), true): Unit)
+
     val j = journalPath(table)
     val out = fs.create(j, true)
     try out.write((
@@ -124,6 +195,10 @@ object TargetedDelete {
     affectedFiles.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     fs.delete(staging, true)
     fs.delete(j, false)
+    manifestStaged.foreach { ms =>
+      require(fs.rename(ms, new Path(table, ZoneMap.ManifestDir)),
+        s"manifest swap $ms failed")
+    }
     Report(rowsDeleted, affectedFiles.length.toLong, filesTotal)
   }
 }

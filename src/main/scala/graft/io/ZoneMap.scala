@@ -1,0 +1,119 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-grain zone maps: a `_filemap` manifest (one row per data file:
+  * basename, key min, key max) written at publish time beside a
+  * range-sorted table, so keyed reads prune FILES from one tiny
+  * driver-side manifest read instead of opening every parquet footer.
+  *
+  * Parquet's own row-group stats already prune — but only after the
+  * scan has LISTED and OPENED every footer, which at a 200k-file tier
+  * is 200k round trips per lookup on an object store. The manifest
+  * answers the same min/max question in one read: the generalization
+  * of `DerivedStore`'s version-level `_keysummary` down to file grain
+  * (r11 verdict #4). `SortedLayout.writeRangeSorted` makes the ranges
+  * disjoint, so a point key matches ≤2 files (one, or two when it
+  * lands on a file boundary).
+  *
+  * Contract: flat layouts (files directly under the table dir — what
+  * SortedLayout writes and what `TargetedDelete` operates on); the
+  * manifest is advisory — a missing or foreign-key manifest makes
+  * callers fall back to the footer-pruned scan, never a wrong answer.
+  * Writers that mutate the table in place must drop or rebuild the
+  * manifest across the mutation (`TargetedDelete` does), since a stale
+  * manifest — unlike a stale footer — CAN mis-prune.
+  */
+object ZoneMap {
+
+  val ManifestDir = "_filemap"
+
+  /** A loaded manifest: the summarized key and (file basename, fmin,
+    * fmax) per data file. */
+  final case class Manifest(key: String, entries: Seq[(String, Any, Any)]) {
+
+    /** Files whose [fmin, fmax] could hold ANY of `keys`. */
+    def candidateFilesForKeys(keys: Seq[Any]): Seq[String] =
+      entries.collect {
+        case (f, lo, hi) if keys.exists(k => leq(lo, k) && leq(k, hi)) => f
+      }
+
+    /** Files whose [fmin, fmax] intersects [lo, hi]. */
+    def candidateFilesForRange(lo: Any, hi: Any): Seq[String] =
+      entries.collect { case (f, flo, fhi) if leq(flo, hi) && leq(lo, fhi) => f }
+  }
+
+  /** Conservative ordering over manifest values: comparable pairs
+    * compare; anything else (nulls from all-null files, type drift)
+    * answers true, which keeps the file a CANDIDATE — the safe
+    * direction for a pruning structure. */
+  private def leq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, _) | (_, null) => true
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      BigDecimal(x.toString) <= BigDecimal(y.toString)
+    case (x: String, y: String) => x <= y
+    case (x: Comparable[_], y) if x.getClass == y.getClass =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y) <= 0
+    case _ => true
+  }
+
+  private def basenameOf = element_at(split(input_file_name(), "/"), -1)
+
+  /** Per-file (basename, min, max) of `key` over the data files at
+    * `dir` — one pruned-column pass. */
+  private[io] def statsOf(s: SparkSession, dir: String, key: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy(basenameOf.as("file"))
+      .agg(min(col(key)).as("fmin"), max(col(key)).as("fmax"))
+      .withColumn("kname", lit(key))
+
+  /** Write the manifest for `tableDir` keyed on `key`. Call after the
+    * table's data files are in place (publish staging, post-build);
+    * the cost is one column-pruned pass over data just written. */
+  def write(s: SparkSession, tableDir: String, key: String): Unit =
+    statsOf(s, tableDir, key)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tableDir/$ManifestDir")
+
+  /** The manifest at `tableDir`, whatever key it summarizes; None when
+    * absent or unreadable (a half-written manifest must degrade to the
+    * scan path, not fail the read). */
+  def manifestOf(s: SparkSession, tableDir: String): Option[Manifest] = {
+    val p = new Path(tableDir, ManifestDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val rows = s.read.parquet(p.toString).collect()
+      rows.headOption.map { h =>
+        Manifest(h.getAs[String]("kname"),
+          rows.toSeq.map(r => (r.getAs[String]("file"), r.get(r.fieldIndex("fmin")),
+            r.get(r.fieldIndex("fmax")))))
+      }
+    }.toOption.flatten
+  }
+
+  /** [[manifestOf]] restricted to manifests that summarize `key` — a
+    * foreign-key manifest must not prune this probe. */
+  def manifestFor(s: SparkSession, tableDir: String, key: String): Option[Manifest] =
+    manifestOf(s, tableDir).filter(_.key == key)
+
+  /** Read `tableDir` pruned to the files that can hold any of `keys`
+    * (the caller still applies the exact key predicate — the manifest
+    * only shrinks the file set). Falls back to the full footer-pruned
+    * scan when no manifest covers `key`; an empty candidate set reads
+    * as an empty (correctly-typed) frame without touching any file's
+    * footer. */
+  def scanForKeys(s: SparkSession, tableDir: String, key: String,
+                  keys: Seq[Any]): DataFrame =
+    manifestFor(s, tableDir, key).map(_.candidateFilesForKeys(keys)) match {
+      case Some(Seq()) =>
+        // schema from ONE file (the manifest proved none can match)
+        val one = manifestOf(s, tableDir).get.entries.head._1
+        s.read.parquet(s"$tableDir/$one").filter(lit(false))
+      case Some(files) =>
+        s.read.option("basePath", tableDir)
+          .parquet(files.map(f => s"$tableDir/$f"): _*)
+      case None => s.read.parquet(tableDir)
+    }
+}

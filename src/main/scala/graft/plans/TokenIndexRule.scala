@@ -108,7 +108,17 @@ case class TokenIndexSubstitution(spark: SparkSession)
             case a: AttributeReference if a.name == idx.docIdCol => a
           }
         } yield {
-          val postings = spark.read.parquet(idx.indexPath)
+          // the postings side composes with the file-grain zone map
+          // (r12): an index published with a `_filemap` manifest (a
+          // TokenStore tier version, or SortedLayout + ZoneMap.write)
+          // is pruned to the ≤2 files whose term range can hold the
+          // literal BEFORE any footer opens — one tiny driver-side
+          // manifest read at plan time, full-scan fallback (with
+          // parquet's own stats pruning) when no manifest covers the
+          // term column. Either way the exact predicate still applies,
+          // so the rewrite's row-set contract is untouched.
+          val postings = graft.io.ZoneMap
+            .scanForKeys(spark, idx.indexPath, idx.termCol, Seq(term))
             .where(col(idx.termCol) === term)
             .select(idx.docIdCol)
             .queryExecution.analyzed

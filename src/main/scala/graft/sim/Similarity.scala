@@ -1090,18 +1090,32 @@ object Similarity {
   }
 
   /** Corpus row count recorded at [[pqIndexBuild]]; a legacy version
-    * without the sidecar falls back to one count() (its next rebuild —
-    * any source drift — upgrades it). Memoized per version path —
-    * committed versions are immutable, so the count can never go
-    * stale, and even the legacy fallback's job runs once per JVM. */
+    * without the sidecar falls back to one count() and WRITES THE
+    * SIDECAR BACK beside the version (r11 verdict #5) — the codes are
+    * immutable once committed, so the backfilled count can never lie,
+    * and the next JVM reads the sidecar instead of re-counting.
+    * Memoized per version path on top: even the fallback's job runs
+    * once per JVM. */
   private val nrowsCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def indexRowCount(s: SparkSession, idx: String): Long =
+  private[graft] def dropNrowsMemo(idx: String): Unit =
+    nrowsCache.remove(idx): Unit
+  private[graft] def indexRowCount(s: SparkSession, idx: String): Long =
     nrowsCache.getOrElseUpdate(idx, {
       val p = new org.apache.hadoop.fs.Path(idx, "_nrows")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) s.read.parquet(s"$idx/codes").count()
-      else {
+      if (!fs.exists(p)) {
+        val n = s.read.parquet(s"$idx/codes").count()
+        // best-effort backfill: a concurrent writer or read-only store
+        // just means the next JVM pays the count again
+        try {
+          val out = fs.create(p, true)
+          try out.write(n.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case _: java.io.IOException => () }
+        n
+      } else {
         val in = fs.open(p)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong

@@ -73,6 +73,23 @@ object TokenStore {
         else prev.unionByName(tokensOf(delta))
     }
 
+  /** Term-keyed lookup over the served tier, file-pruned by the
+    * publish-time zone map: the tier is range-sorted on `term`
+    * ([[served]]'s sortKey), so its `_filemap` manifest holds disjoint
+    * per-file term ranges and a point term opens ≤2 data files — the
+    * BM25 tf / posting-fetch access path that at a 200k-file tier
+    * would otherwise pay a footer open per file just to prune. Falls
+    * back to the footer-pruned scan on a manifest-less (legacy)
+    * version; either way the exact predicate still applies. */
+  def termScan(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    served(s, dir): Unit // freshness: publish/refresh before locating the version
+    val store = DerivedStore.storePath(dir, "tokens")
+    val v = graft.io.AtomicPublish.currentVersion(s, store)
+      .getOrElse(sys.error(s"tokens tier absent under $store after serve"))
+    graft.io.ZoneMap.scanForKeys(s, s"$store/v=$v", "term", terms)
+      .filter(col("term").isin(terms: _*))
+  }
+
   /** Explicit-dir materialization (the pre-tier lifecycle, kept for
     * pipelines that own their storage layout — `TextPipelineE2ESpec`'s
     * publish flow); snapshot-keyed serving should use [[served]]. */

@@ -1,0 +1,102 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** File-grain zone maps: the publish-time `_filemap` manifest prunes
+  * keyed reads to the files whose [min,max] can match — point lookups
+  * open ≤2 files without touching parquet footers — and
+  * TargetedDelete discovers its affected files from the manifest
+  * instead of a pushdown scan, maintaining it delta-cost across the
+  * swap. */
+class ZoneMapSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  private def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.toSet
+
+  test("tokens tier: a point term lookup opens ≤2 files by manifest alone, same rows") {
+    val dir = tmpDir("zonemap-src")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("zonemap-store")
+    try {
+      docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val tier = graft.text.TokenStore.served(spark, dir)
+      val allFiles = filesOf(tier)
+      assert(allFiles.size >= 8, s"the tier should be multi-file: ${allFiles.size}")
+
+      // a mid-frequency term: present, but not everywhere
+      val term = tier.groupBy("term").count()
+        .filter(col("count") between (2, 50))
+        .orderBy("term").head().getString(0)
+      val pruned = graft.text.TokenStore.termScan(spark, dir, Seq(term))
+      assert(filesOf(pruned).size <= 2,
+        s"point lookup must open ≤2 of ${allFiles.size} files: ${filesOf(pruned).size}")
+      val expect = tier.filter(col("term") === term)
+      assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+        "manifest pruning must not change the result")
+
+      // a term below every file's range: zero candidates, zero footers
+      val ghost = graft.text.TokenStore.termScan(spark, dir, Seq("nothing"))
+      assert(ghost.isEmpty && ghost.columns.sameElements(tier.columns))
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  test("TargetedDelete discovers affected files from the manifest and maintains it across the swap") {
+    val dir = tmpDir("zonemap-del")
+    val table = s"$dir/corpus.parquet"
+    SortedLayout.writeRangeSorted(docs, table, numFiles = 8, col("doc_id"))
+    ZoneMap.write(spark, table, "doc_id")
+    val total = docs.count()
+
+    // adjacent ids cluster into few files under the sorted layout
+    val ids = docs.orderBy("doc_id").limit(3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val r = TargetedDelete.deleteIds(spark, table, "doc_id", ids)
+    assert(TargetedDelete.lastDiscovery.contains("manifest"),
+      s"discovery must read the zone map: ${TargetedDelete.lastDiscovery}")
+    assert(r.rowsDeleted == 3 && r.filesTotal == 8 && r.filesRewritten < r.filesTotal,
+      s"sorted layout confines the delete: $r")
+    spark.catalog.clearCache()
+    val after = spark.read.parquet(table)
+    assert(after.count() == total - 3 &&
+      after.filter(col("doc_id").isin(ids: _*)).isEmpty)
+
+    // the manifest survived the swap and describes the CURRENT files
+    val m = ZoneMap.manifestOf(spark, table)
+    assert(m.exists(_.key == "doc_id"), "manifest must be rebuilt after the swap")
+    val onDisk = new java.io.File(table).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    assert(m.get.entries.map(_._1).toSet == onDisk,
+      s"manifest files ${m.get.entries.map(_._1).toSet} vs disk $onDisk")
+
+    // and it still prunes correctly: a second delete through the
+    // maintained manifest removes rows that lived in a REWRITTEN file
+    val ids2 = after.orderBy("doc_id").limit(2)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val r2 = TargetedDelete.deleteIds(spark, table, "doc_id", ids2)
+    assert(TargetedDelete.lastDiscovery.contains("manifest") && r2.rowsDeleted == 2, s"$r2")
+    spark.catalog.clearCache()
+    assert(spark.read.parquet(table).count() == total - 5)
+
+    // deleting absent ids is a no-op that never opens a data file's
+    // footer (candidates = 0) and leaves the manifest in place
+    val r3 = TargetedDelete.deleteIds(spark, table, "doc_id", Seq(-999999L))
+    assert(r3.rowsDeleted == 0 && r3.filesRewritten == 0, s"$r3")
+    assert(ZoneMap.manifestOf(spark, table).nonEmpty)
+
+    // a manifest-less table takes the pushdown-scan path, same answer
+    val bare = s"$dir/bare.parquet"
+    SortedLayout.writeRangeSorted(docs, bare, numFiles = 8, col("doc_id"))
+    val rb = TargetedDelete.deleteIds(spark, bare, "doc_id", ids)
+    assert(TargetedDelete.lastDiscovery.contains("scan") && rb.rowsDeleted == 3)
+  }
+}

@@ -64,6 +64,35 @@ class TokenIndexRuleSpec extends SparkSpec {
     }
   }
 
+  test("a zone-mapped index prunes the postings scan to ≤2 files, same rows") {
+    val baseline = tokenQuery.collect().toSet
+    val idxPath = tmpDir("tokenidx-zm") + "/idx"
+    graft.io.SortedLayout.writeRangeSorted(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct(),
+      idxPath, numFiles = 8, col("term"))
+    graft.io.ZoneMap.write(spark, idxPath, "term")
+    IndexCatalog.register(docsPath,
+      IndexCatalog.TokenIndex(idxPath, "doc_id", "term", "text"))
+    try {
+      val q = tokenQuery
+      assert(hasSemiJoin(q))
+      // the semi-join's index side reads only the manifest's candidate
+      // files — the corpus side's files plus ≤2 posting files
+      val idxFiles = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains("tokenidx-zm")) =>
+          lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }
+      assert(idxFiles.nonEmpty && idxFiles.forall(_ <= 2),
+        s"postings scan must be manifest-pruned: $idxFiles of 8 files")
+      assert(q.collect().toSet == baseline)
+    } finally IndexCatalog.clear()
+  }
+
   test("no rewrite without a registered index, for other predicates, or other separators") {
     assert(!hasSemiJoin(tokenQuery)) // nothing registered
     withIndex { _ =>
