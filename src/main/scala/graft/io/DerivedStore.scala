@@ -381,13 +381,7 @@ object DerivedStore {
     * store path. */
   def sourcesOfVersion(s: SparkSession, versionPath: String): Option[Seq[String]] = {
     val p = new Path(versionPath, FingerprintFile)
-    val fs = hadoopFs(s, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
+    Sidecar.read(hadoopFs(s, p), p).flatMap { txt =>
       if (txt.startsWith(ChurnSentinel))
         Some(txt.split("\n").iterator.drop(1).filter(_.nonEmpty).toSeq)
           .filter(_.nonEmpty) // bare legacy sentinel: provenance unknown
@@ -412,23 +406,15 @@ object DerivedStore {
   def writeProvenanceOnly(s: SparkSession, versionDir: String,
                           sources: Seq[String]): Unit = {
     val p = new Path(versionDir, FingerprintFile)
-    val out = hadoopFs(s, p).create(p, true)
-    try out.write((ChurnSentinel +: sources.distinct.sorted).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    Sidecar.write(hadoopFs(s, p), p,
+      (ChurnSentinel +: sources.distinct.sorted).mkString("\n"))
   }
 
   /** Fingerprint a committed version was built from, if recorded. */
   private def versionFingerprint(s: SparkSession, store: String,
                                  v: Long): Option[String] = {
     val p = new Path(s"$store/v=$v", FingerprintFile)
-    val fs = hadoopFs(s, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-      finally in.close()
-    }
+    Sidecar.read(hadoopFs(s, p), p)
   }
 
   /** Serve `name` for `dir`: resolve the highest committed `v=n` whose

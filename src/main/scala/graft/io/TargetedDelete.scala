@@ -95,13 +95,20 @@ object TargetedDelete {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverIfCrashed(fs, table)
     lastDiscoveryTl.set(None)
-    // file population from ONE directory listing — counting via a
-    // distinct(input_file_name()) scan read every row of the table
-    // just to count its files
-    val filesTotal = fs.listStatus(new Path(table)).count { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.toLong
+    // file population from ONE recursive listing (nested/partitioned
+    // layouts included — the scan discovery path supports them, so the
+    // accounting must too) — counting via a distinct(input_file_name())
+    // scan read every row of the table just to count its files
+    val tableRoot = new Path(table)
+    val rootPrefix = tableRoot.toUri.getPath
+    var filesTotal = 0L
+    val lsIt = fs.listFiles(tableRoot, true)
+    while (lsIt.hasNext) {
+      val f = lsIt.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPrefix).stripPrefix("/")
+      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        filesTotal += 1
+    }
 
     // discovery: the zone map answers "which files CAN hold a target
     // id" from the driver-side manifest alone; only those candidates

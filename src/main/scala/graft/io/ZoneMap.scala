@@ -46,13 +46,16 @@ object ZoneMap {
   }
 
   /** Conservative ordering over manifest values: comparable pairs
-    * compare; anything else (nulls from all-null files, type drift)
-    * answers true, which keeps the file a CANDIDATE — the safe
-    * direction for a pruning structure. */
+    * compare; anything else (nulls from all-null files, NaN/Infinity
+    * stats from float keys, type drift) answers true, which keeps the
+    * file a CANDIDATE — the safe direction for a pruning structure. */
   private def leq(a: Any, b: Any): Boolean = (a, b) match {
     case (null, _) | (_, null) => true
     case (x: java.lang.Number, y: java.lang.Number) =>
-      BigDecimal(x.toString) <= BigDecimal(y.toString)
+      // Try: BigDecimal rejects NaN/Infinity — non-finite stats must
+      // keep the file a candidate, not crash the prune
+      scala.util.Try(BigDecimal(x.toString) <= BigDecimal(y.toString))
+        .getOrElse(true)
     case (x: String, y: String) => x <= y
     case (x: Comparable[_], y) if x.getClass == y.getClass =>
       x.asInstanceOf[Comparable[Any]].compareTo(y) <= 0
@@ -63,7 +66,7 @@ object ZoneMap {
 
   /** Per-file (basename, min, max) of `key` over the data files at
     * `dir` — one pruned-column pass. */
-  private[io] def statsOf(s: SparkSession, dir: String, key: String): DataFrame =
+  private[graft] def statsOf(s: SparkSession, dir: String, key: String): DataFrame =
     s.read.parquet(dir)
       .groupBy(basenameOf.as("file"))
       .agg(min(col(key)).as("fmin"), max(col(key)).as("fmax"))
@@ -106,14 +109,19 @@ object ZoneMap {
     * footer. */
   def scanForKeys(s: SparkSession, tableDir: String, key: String,
                   keys: Seq[Any]): DataFrame =
-    manifestFor(s, tableDir, key).map(_.candidateFilesForKeys(keys)) match {
-      case Some(Seq()) =>
-        // schema from ONE file (the manifest proved none can match)
-        val one = manifestOf(s, tableDir).get.entries.head._1
-        s.read.parquet(s"$tableDir/$one").filter(lit(false))
-      case Some(files) =>
-        s.read.option("basePath", tableDir)
-          .parquet(files.map(f => s"$tableDir/$f"): _*)
+    manifestFor(s, tableDir, key) match {
+      case Some(m) =>
+        m.candidateFilesForKeys(keys) match {
+          case Seq() =>
+            // schema from ONE file of the ALREADY-loaded manifest (a
+            // second read could race a concurrent manifest drop and
+            // crash where the contract is fall-back-never-fail);
+            // entries are nonempty by manifestOf's construction
+            s.read.parquet(s"$tableDir/${m.entries.head._1}").filter(lit(false))
+          case files =>
+            s.read.option("basePath", tableDir)
+              .parquet(files.map(f => s"$tableDir/$f"): _*)
+        }
       case None => s.read.parquet(tableDir)
     }
 }

@@ -1083,10 +1083,9 @@ object Similarity {
     // is amortized into the index's own lifecycle.
     val n = s.read.parquet(s"$path/codes").count()
     val metaPath = new org.apache.hadoop.fs.Path(path, "_nrows")
-    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
-    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.io.Sidecar.write(
+      metaPath.getFileSystem(s.sparkContext.hadoopConfiguration),
+      metaPath, n.toString)
   }
 
   /** Corpus row count recorded at [[pqIndexBuild]]; a legacy version
@@ -1104,22 +1103,13 @@ object Similarity {
     nrowsCache.getOrElseUpdate(idx, {
       val p = new org.apache.hadoop.fs.Path(idx, "_nrows")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
+      graft.io.Sidecar.read(fs, p).map(_.trim.toLong).getOrElse {
         val n = s.read.parquet(s"$idx/codes").count()
         // best-effort backfill: a concurrent writer or read-only store
         // just means the next JVM pays the count again
-        try {
-          val out = fs.create(p, true)
-          try out.write(n.toString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        } catch { case _: java.io.IOException => () }
+        try graft.io.Sidecar.write(fs, p, n.toString)
+        catch { case _: java.io.IOException => () }
         n
-      } else {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
       }
     })
 

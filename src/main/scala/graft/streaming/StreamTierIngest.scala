@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -82,20 +82,6 @@ object StreamTierIngest {
     pmod(abs(hash(bandHash)), lit(Buckets))
 
   private def compactedStore(dir: String): String = s"$dir/.compacted"
-
-  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
-
-  private def writeTextFile(fs: FileSystem, p: Path, txt: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(txt.getBytes(Utf8)) finally out.close()
-  }
-
-  private def readTextFile(fs: FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), Utf8)) finally in.close()
-    }
 
   /** Seed the stream-owned index from a corpus snapshot (partition
     * `ingest_batch=-1`; every later batch owns `ingest_batch=<id>`).
@@ -198,7 +184,7 @@ object StreamTierIngest {
   private def checkpointIdentity(s: SparkSession, checkpoint: String): Option[String] = {
     val p = new Path(checkpoint, "metadata")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    readTextFile(fs, p)
+    graft.io.Sidecar.read(fs, p)
       .flatMap("\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_))
       .map(_.group(1))
   }
@@ -231,9 +217,9 @@ object StreamTierIngest {
     val mp = new Path(p, CheckpointMarker)
     def writeMarker(): Unit = {
       fs.mkdirs(p): Unit
-      writeTextFile(fs, mp, (qckpt +: curId.map("id=" + _).toSeq).mkString("\n"))
+      graft.io.Sidecar.write(fs, mp, (qckpt +: curId.map("id=" + _).toSeq).mkString("\n"))
     }
-    readTextFile(fs, mp) match {
+    graft.io.Sidecar.read(fs, mp) match {
       case None => writeMarker()
       case Some(txt) =>
         val lines = txt.split("\n")
@@ -293,14 +279,14 @@ object StreamTierIngest {
     val existing = recordedSources(s, dir)
     if (!names.forall(existing.contains)) {
       fs.mkdirs(new Path(dir)): Unit
-      writeTextFile(fs, p, (existing ++ names).distinct.sorted.mkString("\n"))
+      graft.io.Sidecar.write(fs, p, (existing ++ names).distinct.sorted.mkString("\n"))
     }
   }
 
   private[streaming] def recordedSources(s: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir, SourcesMarker)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    readTextFile(fs, p).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty)
+    graft.io.Sidecar.read(fs, p).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty)
   }
 
   /** Table names a frame was read from: scan-root basenames under the
@@ -550,7 +536,7 @@ object StreamTierIngest {
             "overwrite")
       }
       val maxFolded = (freshParts.map(_._1) ++ watermark).max
-      writeTextFile(fs, new Path(p, FoldedMarker), maxFolded.toString)
+      graft.io.Sidecar.write(fs, new Path(p, FoldedMarker), maxFolded.toString)
       // provenance record: the sentinel-form fingerprint (never fresh,
       // never merge-eligible) carrying the gate's recorded source
       // tables, so tools/Lineage resolves a compacted-version scan to
@@ -561,14 +547,18 @@ object StreamTierIngest {
     if (!fs.exists(new Path(staging, "_SUCCESS")))
       fs.create(new Path(staging, "_SUCCESS"), true).close()
     graft.io.AtomicPublish.commitStagedOcc(s, store, staging): Unit
-    graft.io.Vacuum.sweep(s, store, keepVersions = 2): Unit
-    foldable.foreach { case (_, p) => fs.delete(p, true): Unit }
     // only a COMMITTED fold reports its mode (r11 advice: a staged
     // write that threw must not leave the aborted attempt's mode
     // behind for a later reader to pair with an earlier success)
     lastFoldMode = Some(mode)
+    // the count resolves BEFORE the folded partitions are deleted
+    // (r12 review): on the cached-count path a lost/evicted block
+    // would recompute its lineage from exactly those dirs — counting
+    // after the deletes would fail a fold that already committed
     val rows = rowsRead()
     cleanup()
+    graft.io.Vacuum.sweep(s, store, keepVersions = 2): Unit
+    foldable.foreach { case (_, p) => fs.delete(p, true): Unit }
     Some((foldable.size, rows))
   }
 
@@ -590,7 +580,7 @@ object StreamTierIngest {
   private def foldedWatermark(s: SparkSession, versionPath: Path): Option[Long] = {
     val p = new Path(versionPath, FoldedMarker)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    readTextFile(fs, p).flatMap(_.trim.toLongOption)
+    graft.io.Sidecar.read(fs, p).flatMap(_.trim.toLongOption)
   }
 
   /** One recursive listing: (non-hidden data files, their bytes). */
@@ -657,7 +647,7 @@ object StreamTierIngest {
     for {
       v <- graft.io.AtomicPublish.currentVersion(s, store)
       upto <- foldedWatermark(s, new Path(s"$store/v=$v"))
-      syncedUpto = readTextFile(fs, new Path(cp, SyncMarker))
+      syncedUpto = graft.io.Sidecar.read(fs, new Path(cp, SyncMarker))
         .flatMap(_.trim.toLongOption).getOrElse(-1L)
       if upto > syncedUpto
     } yield {
@@ -668,29 +658,94 @@ object StreamTierIngest {
         .observe(obs, count(lit(1)).as("rows"))
       val staging = new Path(cp, ".stream-sync-staging")
       fs.delete(staging, true): Unit
+      fs.delete(new Path(cp, ".stream-sync-staging2"), true): Unit
+      fs.delete(new Path(cp, ".filemap-sync-staging"), true): Unit
       delta.write.parquet(staging.toString)
+      // right-size the night's addition: the filter scatters delta rows
+      // across every base input partition, so a tiny night would land
+      // ~|base files| near-empty part files in the corpus table FOREVER
+      // (the table must stay append-only for the tier merge economy, so
+      // no later compaction can fix it without forcing full rebuilds).
+      // One delta-sized rewrite collapses it to bytes/256MB files.
+      val (stagedFiles, stagedBytes) = {
+        val it = fs.listFiles(staging, false)
+        var n = 0L; var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.startsWith("part-")) { n += 1; b += f.getLen }
+        }
+        (n, b)
+      }
+      val targetFiles = math.max(1L,
+        stagedBytes / graft.io.DerivedStore.SourceBytesPerFile)
+      if (stagedFiles > targetFiles) {
+        val tight = new Path(cp, ".stream-sync-staging2")
+        fs.delete(tight, true): Unit
+        s.read.parquet(staging.toString)
+          .repartitionByRange(targetFiles.toInt, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.parquet(tight.toString)
+        fs.delete(staging, true): Unit
+        require(fs.rename(tight, staging), s"syncCorpus: restage $tight failed")
+      }
       // crashed-attempt leftovers: any sync file whose range starts
       // past the committed watermark was moved in by an attempt that
       // died before advancing the marker — delete before re-moving,
       // so a retry (possibly over a LATER fold's wider range) never
       // duplicates its rows
-      fs.listStatus(cp).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("stream-sync-") &&
-            n.stripPrefix("stream-sync-").takeWhile(_ != '-')
-              .toLongOption.exists(_ > syncedUpto))
-          fs.delete(st.getPath, false): Unit
-      }
-      val parts = fs.listStatus(staging)
+      val leftovers = fs.listStatus(cp).map(_.getPath.getName).filter { n =>
+        n.startsWith("stream-sync-") &&
+          n.stripPrefix("stream-sync-").takeWhile(_ != '-')
+            .toLongOption.exists(_ > syncedUpto)
+      }.toSeq
+      val moves = fs.listStatus(staging)
         .filter(_.getPath.getName.startsWith("part-"))
-      parts.zipWithIndex.foreach { case (st, i) =>
-        val dest = new Path(cp,
-          f"stream-sync-${syncedUpto + 1}%d-$upto%d-part$i%04d.parquet")
-        require(fs.rename(st.getPath, dest),
-          s"syncCorpus: move ${st.getPath} -> $dest failed")
+        .zipWithIndex.map { case (st, i) =>
+          st.getPath -> new Path(cp,
+            f"stream-sync-${syncedUpto + 1}%d-$upto%d-part$i%04d.parquet")
+        }.toSeq
+      // zone-map maintenance (r12 review): this append mutates the
+      // corpus table in place, so a `_filemap` someone published on it
+      // must not survive STALE — a manifest missing the new files
+      // silently hides them from every manifest-pruned read (the
+      // TargetedDelete takedown would report rowsDeleted=0 as success).
+      // Same discipline as TargetedDelete: stage the next manifest
+      // (old entries − to-be-deleted leftovers + the staged files'
+      // stats under their destination names), drop the live one before
+      // the first table mutation, rename the staged one in after —
+      // any crash leaves NO manifest (scan fallback), never a lie.
+      val manifestStaged = graft.io.ZoneMap.manifestOf(s, corpusDir).map { m =>
+        val keptEntries = s.read
+          .parquet(s"$corpusDir/${graft.io.ZoneMap.ManifestDir}")
+          .filter(!col("file").isin(leftovers: _*))
+        val renames = s.createDataFrame(
+          moves.map { case (src, d) => src.getName -> d.getName })
+          .toDF("file", "dest")
+        val next =
+          if (moves.isEmpty) keptEntries
+          else keptEntries.unionByName(
+            graft.io.ZoneMap.statsOf(s, staging.toString, m.key)
+              .join(renames, "file")
+              .select(col("dest").as("file"), col("fmin"), col("fmax"),
+                col("kname")))
+        val ms = new Path(cp, ".filemap-sync-staging")
+        fs.delete(ms, true): Unit
+        next.coalesce(1).write.parquet(ms.toString)
+        ms
+      }
+      manifestStaged.foreach(_ =>
+        fs.delete(new Path(cp, graft.io.ZoneMap.ManifestDir), true): Unit)
+      leftovers.foreach(n => fs.delete(new Path(cp, n), false): Unit)
+      moves.foreach { case (src, dest) =>
+        require(fs.rename(src, dest),
+          s"syncCorpus: move $src -> $dest failed")
       }
       fs.delete(staging, true): Unit
-      writeTextFile(fs, new Path(cp, SyncMarker), upto.toString)
+      graft.io.Sidecar.write(fs, new Path(cp, SyncMarker), upto.toString)
+      manifestStaged.foreach { ms =>
+        require(fs.rename(ms, new Path(cp, graft.io.ZoneMap.ManifestDir)),
+          s"syncCorpus: manifest swap $ms failed")
+      }
       (obs.get("rows").asInstanceOf[Long], upto)
     }
   }

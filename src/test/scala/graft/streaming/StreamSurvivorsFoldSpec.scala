@@ -209,6 +209,8 @@ class StreamSurvivorsFoldSpec extends SparkSpec {
       .filter(_.getName.startsWith("stream-sync-")).map(_.getName)
     assert(files0.nonEmpty && files0.forall(_.startsWith("stream-sync-0-0-")),
       s"part files carry their batch range: ${files0.toSeq}")
+    assert(files0.length == 1,
+      s"a tiny delta lands ONE right-sized file, not one per base partition: ${files0.toSeq}")
     assert(StreamTierIngest.syncCorpus(spark, out, corpusDir).isEmpty,
       "an already-synced watermark is a no-op")
 
@@ -221,6 +223,12 @@ class StreamSurvivorsFoldSpec extends SparkSpec {
     assert(spark.read.parquet(corpusDir).count() == kept0,
       "the crash-retry must not duplicate rows")
 
+    // a zone map someone published on the corpus table must survive
+    // the sync CORRECT (r12 review): the appended files join the
+    // manifest, so manifest-pruned reads — including the takedown
+    // path — see the streamed rows
+    graft.io.ZoneMap.write(spark, corpusDir, "doc_id")
+
     // batch 1 folds and syncs as its own append
     docs.filter(col("doc_id") % 3 === 2).limit(20)
       .coalesce(1).write.mode("append").parquet(in)
@@ -232,6 +240,20 @@ class StreamSurvivorsFoldSpec extends SparkSpec {
       s"batch 1 syncs its own delta: $s2 vs $kept1")
     spark.catalog.clearCache()
     assert(spark.read.parquet(corpusDir).count() == kept0 + kept1)
+
+    val m = graft.io.ZoneMap.manifestOf(spark, corpusDir)
+    val onDisk = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("stream-sync-"))
+      .map(_.getName).toSet
+    assert(m.exists(_.entries.map(_._1).toSet == onDisk),
+      s"the sync maintains the manifest: ${m.map(_.entries.map(_._1))} vs $onDisk")
+    val takedownId = StreamTierIngest.survivors(spark, out)
+      .filter(col("ingest_batch") === 1L).select("doc_id").head().getLong(0)
+    val td = graft.io.TargetedDelete.deleteIds(spark, corpusDir, "doc_id",
+      Seq(takedownId))
+    assert(graft.io.TargetedDelete.lastDiscovery.contains("manifest") &&
+      td.rowsDeleted == 1,
+      s"the takedown must FIND a streamed doc through the manifest: $td")
   }
 
   test("a checkpoint deleted and recreated at the same path is refused by identity") {
