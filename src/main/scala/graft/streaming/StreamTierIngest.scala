@@ -420,7 +420,11 @@ object StreamTierIngest {
     * job at the next compaction" promise in code. Cross-batch and
     * corpus near-dups were already gated at ingest, so the pass is
     * delta-confined: O(Δ) banding, component loop only when the delta
-    * actually collides ([[dropNearDupFamilies]]'s count gate). */
+    * actually collides ([[dropNearDupFamilies]]'s count gate). The
+    * dropped members' band keys stay in the STANDING INDEX by design:
+    * they gate future re-crawls of that content, and a key pointing
+    * at a dropped doc_id still answers is_dup correctly for its
+    * surviving family (matches count distinct docs). */
   def foldSurvivors(s: SparkSession, survivorsDir: String, checkpoint: String,
                     nearDupAtFold: Boolean = false): Option[(Int, Long)] =
     foldCompacted(s, survivorsDir, checkpoint, survivorsShape(nearDupAtFold))
