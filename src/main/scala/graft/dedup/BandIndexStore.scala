@@ -58,41 +58,39 @@ object BandIndexStore {
     * ingested batches ARE its source of truth; this entry point is for
     * the snapshot-derived tier). */
   def corpusIndex(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.servedIncremental(s, dir, "band_index", Seq("documents"),
+    DerivedStore.servedIncrementalLsm(s, dir, "band_index", Seq("documents"),
       // the tiers compose: the band build reads the shingle tier's
       // stored per-shingle longs (hm) — its md5 pass is never re-paid
       // here; a stale shingle tier refreshes first (re-entrant serve,
-      // the lsh-components pattern)
+      // the lsh-components pattern). A key-overlap rejection from the
+      // delta probe routes HERE, so the dirty-table rebuild still
+      // composes through the shingle tier
       (s2, d) => Dedup.bandsOf(Dedup.signaturesOf(
         ShingleStore.served(s2, d).select("doc_id", "hm"))),
-      corpusIndexMerge, numFiles = 8, sortKey = "band_hash",
+      corpusIndexDelta, numFiles = 8, sortKey = "band_hash",
       summaryKey = Some("doc_id"))
 
-  /** Append-only refresh of the snapshot tier: band keys are a pure
+  /** Append-only delta of the snapshot tier: band keys are a pure
     * per-doc map, so the next version is exactly prev ∪ bands(delta) —
-    * the [[append]] lifecycle expressed as [[DerivedStore]]'s merge,
-    * O(Δ) band computation instead of re-shingling the corpus.
+    * the [[append]] lifecycle expressed as [[DerivedStore]]'s LSM
+    * delta (r12: byte-copied base + delta runs, O(Δ) band computation
+    * AND O(Δ) IO — the plain merge still rewrote the tier nightly).
     * Contract (the append-only table contract generally): delta files
     * carry NEW doc_ids. File-grain drift classification can't see key
     * overlap, so the precondition is ENFORCED here: a re-ingested
     * existing doc_id (which would silently duplicate its band rows and
     * diverge from a rebuild) is detected by a delta-sized key probe
-    * and routed to the full rebuild instead — AnnIndex.append's guard,
-    * with the graceful fallback a frame merge affords. */
-  private def corpusIndexMerge(s: SparkSession, dir: String, prev: DataFrame,
-                               deltas: Map[String, Seq[String]]): DataFrame =
+    * and rejected — the full rebuild takes over (AnnIndex.append's
+    * guard, with the graceful fallback a frame tier affords). */
+  private def corpusIndexDelta(s: SparkSession, dir: String, prev: DataFrame,
+                               deltas: Map[String, Seq[String]]): Option[DataFrame] =
     deltas.getOrElse("documents", Seq.empty) match {
-      case Seq() => prev
+      case Seq() => Some(prev.limit(0))
       case paths =>
         val delta = s.read.option("basePath", s"$dir/documents.parquet")
           .parquet(paths: _*)
-        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id"))
-          // fall back through the SAME tier-composed path as the full
-          // build (the shingle tier's own guard rebuilds it from the
-          // dirty table first) — never a from-text re-shingle here
-          Dedup.bandsOf(Dedup.signaturesOf(
-            ShingleStore.served(s, dir).select("doc_id", "hm")))
-        else prev.unionByName(bandKeys(delta))
+        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id")) None
+        else Some(bandKeys(delta))
     }
 
   /** [[dedupBatch]] against the snapshot-served [[corpusIndex]]. */

@@ -59,24 +59,26 @@ object ShingleStore {
   val artifacts: (SparkSession, String) => DataFrame = (s, dir) =>
     artifactsOf(Tables.loadParallel(s, dir, "documents"))
 
-  /** The corpus-snapshot shingle tier. */
+  /** The corpus-snapshot shingle tier. LSM-published (r12): an
+    * append-only corpus night writes only the delta's artifacts as
+    * sorted runs beside the byte-copied base — the md5 work was
+    * already O(Δ); now the IO is too. */
   def served(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.servedIncremental(s, dir, "shingles", Seq("documents"),
-      artifacts, merge, numFiles = 8, sortKey = "doc_id",
+    DerivedStore.servedIncrementalLsm(s, dir, "shingles", Seq("documents"),
+      artifacts, deltaArtifacts, numFiles = 8, sortKey = "doc_id",
       summaryKey = Some("doc_id"))
 
-  /** O(Δ) append-only refresh with the re-ingestion guard —
-    * TokenStore's merge, verbatim contract. */
-  private def merge(s: SparkSession, dir: String, prev: DataFrame,
-                    deltas: Map[String, Seq[String]]): DataFrame =
+  /** O(Δ) append-only delta with the re-ingestion guard —
+    * TokenStore's contract, verbatim. */
+  private def deltaArtifacts(s: SparkSession, dir: String, prev: DataFrame,
+                             deltas: Map[String, Seq[String]]): Option[DataFrame] =
     deltas.getOrElse("documents", Seq.empty) match {
-      case Seq() => prev
+      case Seq() => Some(prev.limit(0))
       case paths =>
         val delta = s.read.option("basePath", s"$dir/documents.parquet")
           .parquet(paths: _*)
-        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id"))
-          artifacts(s, dir)
-        else prev.unionByName(artifactsOf(delta))
+        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id")) None
+        else Some(artifactsOf(delta))
     }
 
   /** The exploded (doc_id, lang, sh) rows `Dedup.shingleRows` used to

@@ -80,6 +80,15 @@ object DerivedStore {
     * deltaFilesPerTable) => next version's rows`. */
   type Merge = (SparkSession, String, DataFrame, Map[String, Seq[String]]) => DataFrame
 
+  /** A PURE-APPEND tier's delta producer for the LSM publish path
+    * ([[servedIncrementalLsm]]): return ONLY the rows the next version
+    * adds beside the served tier's (`next == prev ∪ delta`, no prev
+    * row changes — per-key map tiers qualify; label/cluster tiers do
+    * not). Returning None rejects the batch (re-ingested keys, any
+    * precondition trip) and routes to the full build. */
+  type DeltaMerge =
+    (SparkSession, String, DataFrame, Map[String, Seq[String]]) => Option[DataFrame]
+
   /** Last build THIS THREAD ran: (store name, "full" | "merge") —
     * introspection for specs and the run-log note channel. Thread-local
     * (r11 review): serves are synchronous on the calling thread, and a
@@ -245,34 +254,35 @@ object DerivedStore {
     * Two pruned-column passes over data the publish just wrote. */
   private def writeKeySummary(s: SparkSession, stagingDir: String,
                               key: String): Unit = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, min => fmin, max => fmax}
+    import org.apache.spark.sql.functions.{approx_count_distinct, lit, min => fmin, max => fmax}
     val staged = s.read.parquet(stagingDir)
     val sp = new Path(stagingDir, KeySummaryDir)
-    staged.agg(fmin(col(key)).as("kmin"), fmax(col(key)).as("kmax"),
+    val agg = staged.agg(fmin(col(key)).as("kmin"), fmax(col(key)).as("kmax"),
         approx_count_distinct(col(key)).as("kcnt"))
       // the summarized column's NAME and TYPE ride along: a probe over
       // any other column, or this column at a different type, must
       // fall through to the exact check, not trust another column's
       // range or a differently-typed bloom (r11 review + advice)
-      .withColumn("kname", org.apache.spark.sql.functions.lit(key))
-      .withColumn("ktype", org.apache.spark.sql.functions.lit(
-        normKeyType(staged.schema(key).dataType)))
+      .withColumn("kname", lit(key))
+      .withColumn("ktype", lit(normKeyType(staged.schema(key).dataType)))
+      .persist()
+    val cnt = agg.head().getAs[Long]("kcnt")
+    // the bloom is built at a RECORDED capacity with 2× headroom, so
+    // LSM appends can fold delta keys into it bit-compatibly instead
+    // of rebuilding every night ([[mergeKeySummary]])
+    val bloom =
+      if (cnt > BloomMaxKeys) None
+      else bloomKeyed(staged, key)
+        .map(kf => bloomCapacity(cnt) ->
+          kf.stat.bloomFilter(key, bloomCapacity(cnt), 0.01))
+    agg.withColumn("bloomn",
+        bloom.map(b => lit(b._1)).getOrElse(lit(null)).cast("long"))
       .coalesce(1).write.parquet(sp.toString)
-    val cnt = s.read.parquet(sp.toString).head().getAs[Long]("kcnt")
-    if (cnt <= BloomMaxKeys) {
-      import org.apache.spark.sql.types._
-      val keyed = staged.schema(key).dataType match {
-        case LongType | IntegerType | ShortType | ByteType =>
-          Some(staged.select(col(key).cast("long").as(key)))
-        case StringType => Some(staged.select(col(key)))
-        case _ => None
-      }
-      keyed.foreach { kf =>
-        val bf = kf.stat.bloomFilter(key, math.max(cnt, 1L), 0.01)
-        val bp = new Path(stagingDir, KeyBloomFile)
-        val out = hadoopFs(s, bp).create(bp, true)
-        try bf.writeTo(out) finally out.close()
-      }
+    agg.unpersist(): Unit
+    bloom.foreach { case (_, bf) =>
+      val bp = new Path(stagingDir, KeyBloomFile)
+      val out = hadoopFs(s, bp).create(bp, true)
+      try bf.writeTo(out) finally out.close()
     }
   }
 
@@ -426,7 +436,7 @@ object DerivedStore {
              sources: Seq[String],
              build: (SparkSession, String) => DataFrame,
              numFiles: Int, sortKey: String): DataFrame =
-    servedWith(s, dir, name, sources, build, None, numFiles, sortKey, None)
+    servedWith(s, dir, name, sources, build, None, None, numFiles, sortKey, None)
 
   /** [[served]] plus an append-only fast path: when drift classifies
     * as [[SourceDrift.AppendOnly]], the next version is
@@ -446,13 +456,42 @@ object DerivedStore {
                         merge: Merge,
                         numFiles: Int, sortKey: String,
                         summaryKey: Option[String] = None): DataFrame =
-    servedWith(s, dir, name, sources, build, Some(merge), numFiles, sortKey,
-      summaryKey)
+    servedWith(s, dir, name, sources, build, Some(merge), None, numFiles,
+      sortKey, summaryKey)
+
+  /** [[servedIncremental]] with LSM publication for pure-append tiers:
+    * on AppendOnly drift the next version is a BYTE-COPY of the served
+    * one plus the delta written as sorted runs — history never moves
+    * through a shuffle and never rewrites, so an append night costs
+    * O(Δ) IO instead of the O(|tier|) full-layout rewrite the plain
+    * merge pays (compute was already O(Δ) there; this closes the IO
+    * side — at a corpus-sized token tier, the difference between
+    * re-writing the warehouse nightly and appending the day). Appended
+    * runs overlap the base's key ranges, so per-file pruning degrades
+    * gradually until the file budget (4× the byte-ideal count) routes
+    * one fold through a MAJOR rewrite that restores the tight layout —
+    * the stream-index fold's minor/major split, applied to frame
+    * tiers. Sidecars stay truthful at delta cost: `_filemap` = prev
+    * entries + the new runs' stats; `_keysummary` merges min/max/count;
+    * `_keybloom` merges the delta's keys into the served bloom while
+    * the recorded capacity holds, rebuilding at 2× headroom when
+    * exhausted (amortized to doublings). Readers and the oracle see
+    * identical rows either way — `LsmTierSpec` pins merge == rebuild,
+    * the guard path, and the budget trigger. */
+  def servedIncrementalLsm(s: SparkSession, dir: String, name: String,
+                           sources: Seq[String],
+                           build: (SparkSession, String) => DataFrame,
+                           deltaMerge: DeltaMerge,
+                           numFiles: Int, sortKey: String,
+                           summaryKey: Option[String] = None): DataFrame =
+    servedWith(s, dir, name, sources, build, None, Some(deltaMerge), numFiles,
+      sortKey, summaryKey)
 
   private def servedWith(s: SparkSession, dir: String, name: String,
                          sources: Seq[String],
                          build: (SparkSession, String) => DataFrame,
                          merge: Option[Merge],
+                         deltaMerge: Option[DeltaMerge],
                          numFiles: Int, sortKey: String,
                          summaryKey: Option[String]): DataFrame = {
     val store = storePath(dir, name)
@@ -465,43 +504,44 @@ object DerivedStore {
         fresh(fp0).getOrElse { // recheck under the lock
           dropPinnedPlans(s, dir, sources, store)
           publishRechecked(s, dir, sources, store, fp0) { fp =>
-            // a merge may serve ANOTHER tier inside its body (the lsh
-            // components merge probes the band-index tier) — the inner
-            // serve re-enters the (reentrant) lock and may publish
-            // first; lastBuild is set AFTER the callback so it reports
-            // THIS store's mode, not the inner one's
-            val (rows, mode) = (for {
-              m <- merge
+            // the LSM path first: a pure-append tier with AppendOnly
+            // drift whose deltaMerge accepts the batch stages the next
+            // version as byte-copied base + delta-sized sorted runs
+            lastLsmMode = None
+            val lsm = for {
+              dm <- deltaMerge
               v <- AtomicPublish.currentVersion(s, store)
               recorded <- versionFingerprint(s, store, v)
               delta <- classify(recorded, fp.split("\n").toSeq, dir) match {
                 case SourceDrift.AppendOnly(nf) => Some(nf)
                 case _ => None
               }
-            } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
-              .getOrElse((build(s, dir), "full"))
-            lastBuild = Some(name -> mode)
-            served = mode
-            AtomicPublish.stageVersionWith(store) { p =>
-              // numFiles is a floor, not the count: at warehouse scale
-              // a fixed 8 would write multi-TB single-task files, so
-              // the layout scales with the SOURCE bytes the
-              // fingerprint already itemizes (tier size tracks source
-              // size within a constant factor for every registered
-              // tier; test-scale sources keep the configured floor)
-              SortedLayout.writeRangeSorted(rows, p,
-                scaledNumFiles(numFiles, fp), col(sortKey))
-              // key sidecars for the O(Δ) overlap probe, paid inside
-              // the publish they describe: min/max always (one
-              // pruned-column pass), plus a bloom while the version's
-              // distinct keys fit the bounded-size budget
-              summaryKey.foreach(k => writeKeySummary(s, p, k))
-              // file-grain zone map on the layout key: the range-sorted
-              // files' disjoint [min,max] land in one `_filemap`
-              // manifest, so keyed lookups (TokenStore term fetches,
-              // TargetedDelete discovery) prune files without opening
-              // parquet footers (r11 verdict #4)
-              ZoneMap.write(s, p, sortKey)
+              deltaRows <- dm(s, dir, s.read.parquet(s"$store/v=$v"), delta)
+            } yield {
+              lastBuild = Some(name -> "merge")
+              served = "merge"
+              stageLsm(s, store, v, deltaRows, delta, fp, numFiles, sortKey,
+                summaryKey)
+            }
+            lsm.getOrElse {
+              // a merge may serve ANOTHER tier inside its body (the lsh
+              // components merge probes the band-index tier) — the inner
+              // serve re-enters the (reentrant) lock and may publish
+              // first; lastBuild is set AFTER the callback so it reports
+              // THIS store's mode, not the inner one's
+              val (rows, mode) = (for {
+                m <- merge
+                v <- AtomicPublish.currentVersion(s, store)
+                recorded <- versionFingerprint(s, store, v)
+                delta <- classify(recorded, fp.split("\n").toSeq, dir) match {
+                  case SourceDrift.AppendOnly(nf) => Some(nf)
+                  case _ => None
+                }
+              } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
+                .getOrElse((build(s, dir), "full"))
+              lastBuild = Some(name -> mode)
+              served = mode
+              stageFullLayout(s, store, rows, fp, numFiles, sortKey, summaryKey)
             }
           }
         }
@@ -509,6 +549,216 @@ object DerivedStore {
     }
     lastServe = Some(name -> served) // after any inner re-entrant serve
     s.read.parquet(s"$store/v=$version")
+  }
+
+  /** The classic full-layout staging: one range-sorted write of the
+    * whole row set plus fresh sidecars. */
+  private def stageFullLayout(s: SparkSession, store: String, rows: DataFrame,
+                              fp: String, numFiles: Int, sortKey: String,
+                              summaryKey: Option[String]): Path =
+    AtomicPublish.stageVersionWith(store) { p =>
+      // numFiles is a floor, not the count: at warehouse scale
+      // a fixed 8 would write multi-TB single-task files, so
+      // the layout scales with the SOURCE bytes the
+      // fingerprint already itemizes (tier size tracks source
+      // size within a constant factor for every registered
+      // tier; test-scale sources keep the configured floor)
+      SortedLayout.writeRangeSorted(rows, p,
+        scaledNumFiles(numFiles, fp), col(sortKey))
+      // key sidecars for the O(Δ) overlap probe, paid inside
+      // the publish they describe: min/max always (one
+      // pruned-column pass), plus a bloom while the version's
+      // distinct keys fit the bounded-size budget
+      summaryKey.foreach(k => writeKeySummary(s, p, k))
+      // file-grain zone map on the layout key: the range-sorted
+      // files' disjoint [min,max] land in one `_filemap`
+      // manifest, so keyed lookups (TokenStore term fetches,
+      // TargetedDelete discovery) prune files without opening
+      // parquet footers (r11 verdict #4)
+      ZoneMap.write(s, p, sortKey)
+    }
+
+  /** Which layout the last LSM publish on THIS THREAD took ("append" |
+    * "rewrite") — spec introspection; thread-local like [[lastBuild]]. */
+  private val lastLsmTl =
+    ThreadLocal.withInitial[Option[String]](() => None)
+  private[graft] def lastLsmMode: Option[String] = lastLsmTl.get()
+  private[graft] def lastLsmMode_=(v: Option[String]): Unit = lastLsmTl.set(v)
+
+  /** Test hook: force the LSM major-rewrite file budget. */
+  @volatile private[graft] var lsmBudgetOverride: Option[Long] = None
+
+  /** Major-rewrite trigger for LSM tiers: appended runs may grow the
+    * version to 4× its byte-ideal file count before a publish pays the
+    * history shuffle to restore the tight layout. */
+  private def lsmFileBudget(bytes: Long, numFiles: Int): Long =
+    lsmBudgetOverride.getOrElse(
+      4L * math.max(numFiles.toLong, bytes / SourceBytesPerFile))
+
+  /** Non-hidden data files directly under a (flat) version dir. */
+  private def dataFilesOf(s: SparkSession, dir: Path) = {
+    val fs = hadoopFs(s, dir)
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** LSM staging: minor (byte-copy base + delta-sized sorted runs +
+    * delta-cost sidecar maintenance) until the base's file count
+    * breaches [[lsmFileBudget]], then one major rewrite (base ∪ delta
+    * through the full layout). `deltaFiles` (the AppendOnly source
+    * paths) size the delta writer — tier bytes track source bytes
+    * within a constant factor, the [[scaledNumFiles]] argument. */
+  private def stageLsm(s: SparkSession, store: String, v: Long,
+                       deltaRows: DataFrame,
+                       deltaFiles: Map[String, Seq[String]], fp: String,
+                       numFiles: Int, sortKey: String,
+                       summaryKey: Option[String]): Path = {
+    val prevDir = new Path(s"$store/v=$v")
+    val prevData = dataFilesOf(s, prevDir)
+    val prevBytes = prevData.map(_.getLen).sum
+    if (prevData.size > lsmFileBudget(prevBytes, numFiles)) {
+      lastLsmMode = Some("rewrite")
+      stageFullLayout(s, store,
+        s.read.parquet(prevDir.toString).unionByName(deltaRows), fp, numFiles,
+        sortKey, summaryKey)
+    } else {
+      lastLsmMode = Some("append")
+      val deltaBytes = deltaFiles.valuesIterator.flatten.map { f =>
+        val p = new Path(f)
+        hadoopFs(s, p).getFileStatus(p).getLen
+      }.sum
+      AtomicPublish.stageVersionWith(store) { p =>
+        copyTree(s, prevDir, new Path(p),
+          keep = n => !n.startsWith("_") && !n.startsWith("."))
+        deltaRows.repartitionByRange(
+            math.max(1, math.min(deltaBytes / SourceBytesPerFile,
+              MaxTierFiles).toInt), col(sortKey))
+          .sortWithinPartitions(col(sortKey))
+          .write.mode("append").parquet(p)
+        val prevNames = prevData.map(_.getPath.getName).toSet
+        val newFiles = dataFilesOf(s, new Path(p))
+          .filterNot(st => prevNames(st.getPath.getName))
+          .map(_.getPath.toString)
+        mergeSidecars(s, prevDir, p, newFiles, sortKey, summaryKey)
+      }
+    }
+  }
+
+  /** Delta-cost sidecar maintenance for an LSM append: copied base
+    * files kept their names, so prev entries stay valid — only the new
+    * runs need stats. */
+  private def mergeSidecars(s: SparkSession, prevDir: Path, stagingDir: String,
+                            newFiles: Seq[String], sortKey: String,
+                            summaryKey: Option[String]): Unit = {
+    if (newFiles.isEmpty) {
+      // empty delta: the base's sidecars describe the new version too
+      copyTree(s, prevDir, new Path(stagingDir),
+        keep = n => n == ZoneMap.ManifestDir || n == KeySummaryDir ||
+          n == KeyBloomFile)
+      return
+    }
+    val newDf = s.read.parquet(newFiles: _*)
+    // _filemap: prev entries + the new runs' stats (ranges may overlap
+    // the base's — pruning degrades gracefully, never wrongly, until
+    // the major rewrite restores disjointness)
+    val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
+    if (hadoopFs(s, prevManifest).exists(prevManifest))
+      s.read.parquet(prevManifest.toString)
+        .unionByName(ZoneMap.statsOfFrame(newDf, sortKey))
+        .coalesce(1).write.parquet(s"$stagingDir/${ZoneMap.ManifestDir}")
+    else
+      // legacy base without a manifest: one pruned-column pass
+      ZoneMap.write(s, stagingDir, sortKey)
+    summaryKey.foreach(k => mergeKeySummary(s, prevDir, stagingDir, k, newDf))
+  }
+
+  /** Merge the 1-row `_keysummary` (min/max combine; counts ADD — the
+    * deltaMerge contract guarantees disjoint keys) and fold the delta's
+    * keys into the served `_keybloom` while its recorded capacity
+    * holds; an exhausted or legacy bloom rebuilds at 2× headroom (one
+    * pruned-column pass, amortized to corpus doublings). Any
+    * kname/ktype mismatch falls back to the full recompute. */
+  private def mergeKeySummary(s: SparkSession, prevDir: Path,
+                              stagingDir: String, key: String,
+                              newDf: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, greatest, least, lit, min => fmin, max => fmax}
+    val prevSummary = new Path(prevDir, KeySummaryDir)
+    val mergeable = hadoopFs(s, prevSummary).exists(prevSummary) && {
+      val sf = s.read.parquet(prevSummary.toString)
+      sf.columns.contains("kname") && sf.columns.contains("ktype") &&
+        !sf.filter(col("kname") === key &&
+          col("ktype") === normKeyType(newDf.schema(key).dataType)).isEmpty
+    }
+    if (!mergeable) { writeKeySummary(s, stagingDir, key); return }
+    val prevSf = s.read.parquet(prevSummary.toString)
+    val prevRow = prevSf.head()
+    val dAgg = newDf.agg(fmin(col(key)).as("dmin"), fmax(col(key)).as("dmax"),
+      approx_count_distinct(col(key)).as("dcnt")).persist()
+    val cnt = prevRow.getAs[Long]("kcnt") + dAgg.head().getAs[Long]("dcnt")
+    val prevCap =
+      if (prevSf.columns.contains("bloomn"))
+        Option(prevRow.getAs[java.lang.Long]("bloomn")).map(_.toLong)
+      else None
+    val (bloom, cap) = (bloomAt(s, prevDir), prevCap) match {
+      case (Some(pb), Some(c)) if cnt <= c =>
+        // O(Δ): a delta bloom built at the RECORDED capacity is
+        // bit-compatible with the served one
+        bloomKeyed(newDf, key).flatMap { kf =>
+          scala.util.Try {
+            val db = kf.stat.bloomFilter(key, c, 0.01)
+            db.mergeInPlace(pb); db
+          }.toOption
+        } match {
+          case Some(db) => (Some(db), Some(c))
+          case None => rebuildBloom(s, stagingDir, key, cnt)
+        }
+      case _ => rebuildBloom(s, stagingDir, key, cnt)
+    }
+    prevSf.crossJoin(dAgg)
+      .select(least(col("kmin"), col("dmin")).as("kmin"),
+        greatest(col("kmax"), col("dmax")).as("kmax"),
+        (col("kcnt") + col("dcnt")).as("kcnt"),
+        col("kname"), col("ktype"))
+      .withColumn("bloomn",
+        cap.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .coalesce(1).write.parquet(s"$stagingDir/$KeySummaryDir")
+    dAgg.unpersist(): Unit
+    bloom.foreach { bf =>
+      val bp = new Path(stagingDir, KeyBloomFile)
+      val out = hadoopFs(s, bp).create(bp, true)
+      try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** Fresh-capacity bloom over the whole staged tier — the exhausted/
+    * legacy fallback; None when the tier outgrew [[BloomMaxKeys]]. */
+  private def rebuildBloom(s: SparkSession, stagingDir: String, key: String,
+                           cnt: Long): (Option[org.apache.spark.util.sketch.BloomFilter], Option[Long]) =
+    if (cnt > BloomMaxKeys) (None, None)
+    else {
+      val cap = bloomCapacity(cnt)
+      (bloomKeyed(s.read.parquet(stagingDir), key)
+        .map(_.stat.bloomFilter(key, cap, 0.01)), Some(cap))
+    }
+
+  /** Bloom capacity for a tier with `cnt` distinct keys: 2× headroom
+    * so nightly appends merge instead of rebuilding, capped at
+    * [[BloomMaxKeys]]. */
+  private def bloomCapacity(cnt: Long): Long =
+    math.min(math.max(2L * math.max(cnt, 1L), 1024L), BloomMaxKeys)
+
+  /** The bloom-typed projection of `key` (the same casts the probe
+    * uses); None for types the bloom doesn't cover. */
+  private def bloomKeyed(df: DataFrame, key: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    df.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(df.select(col(key).cast("long").as(key)))
+      case StringType => Some(df.select(col(key)))
+      case _ => None
+    }
   }
 
   /** ~256 MB of source bytes per tier output file — the shuffle-

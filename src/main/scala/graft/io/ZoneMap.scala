@@ -67,8 +67,12 @@ object ZoneMap {
   /** Per-file (basename, min, max) of `key` over the data files at
     * `dir` — one pruned-column pass. */
   private[graft] def statsOf(s: SparkSession, dir: String, key: String): DataFrame =
-    s.read.parquet(dir)
-      .groupBy(basenameOf.as("file"))
+    statsOfFrame(s.read.parquet(dir), key)
+
+  /** [[statsOf]] over an already-constructed scan (a specific file
+    * subset — the LSM append's new runs). */
+  private[graft] def statsOfFrame(df: DataFrame, key: String): DataFrame =
+    df.groupBy(basenameOf.as("file"))
       .agg(min(col(key)).as("fmin"), max(col(key)).as("fmax"))
       .withColumn("kname", lit(key))
 

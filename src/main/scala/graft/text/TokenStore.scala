@@ -49,28 +49,31 @@ object TokenStore {
     tokensOf(Tables.loadParallel(s, dir, "documents"))
 
   /** The corpus-snapshot token tier: build once per snapshot, serve
-    * every downstream token consumer. */
+    * every downstream token consumer. LSM-published (r12): an
+    * append-only corpus night byte-copies the served version and
+    * writes only `tokensOf(delta)` as sorted runs — O(Δ) compute AND
+    * O(Δ) IO, where the plain merge still paid a full-tier range
+    * shuffle + rewrite every night. */
   def served(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.servedIncremental(s, dir, "tokens", Seq("documents"),
-      tokens, tokensMerge, numFiles = 8, sortKey = "term",
+    DerivedStore.servedIncrementalLsm(s, dir, "tokens", Seq("documents"),
+      tokens, tokensDelta, numFiles = 8, sortKey = "term",
       summaryKey = Some("doc_id"))
 
-  /** Append-only refresh: tokens are a pure per-doc map, so the next
+  /** Append-only delta: tokens are a pure per-doc map, so the next
     * version is exactly prev ∪ tokensOf(delta) — O(Δ) tokenize, no
     * corpus re-read. A re-ingested existing doc_id (which would
     * duplicate its token rows against what a rebuild of a clean
     * append produces) is detected by the delta-sized key probe and
-    * routed to the full rebuild — BandIndexStore's guard. */
-  private def tokensMerge(s: SparkSession, dir: String, prev: DataFrame,
-                          deltas: Map[String, Seq[String]]): DataFrame =
+    * rejected — the full rebuild takes over (BandIndexStore's guard). */
+  private def tokensDelta(s: SparkSession, dir: String, prev: DataFrame,
+                          deltas: Map[String, Seq[String]]): Option[DataFrame] =
     deltas.getOrElse("documents", Seq.empty) match {
-      case Seq() => prev
+      case Seq() => Some(prev.limit(0))
       case paths =>
         val delta = s.read.option("basePath", s"$dir/documents.parquet")
           .parquet(paths: _*)
-        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id"))
-          tokens(s, dir)
-        else prev.unionByName(tokensOf(delta))
+        if (DerivedStore.deltaKeysOverlap(prev, delta, "doc_id")) None
+        else Some(tokensOf(delta))
     }
 
   /** Term-keyed lookup over the served tier, file-pruned by the
