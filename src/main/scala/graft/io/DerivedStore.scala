@@ -970,15 +970,59 @@ object DerivedStore {
     * pass `keep` — the one byte-copy loop behind every "new version
     * starts as a copy of the served one" path (frame/dir tiers here,
     * the stream-index fold's minor compaction). */
+  /** Test hook / tuning knob: the file count above which [[copyTree]]
+    * fans the per-file byte moves out to executors. The driver loop is
+    * right for test-grain trees (no job overhead); a warehouse-scale
+    * base (the nightly fold / LSM-append history move) must not stream
+    * every history byte through one driver thread. */
+  @volatile private[graft] var distributedCopyMinFiles = 33
+
   private[graft] def copyTree(s: SparkSession, from: Path, to: Path,
                               keep: String => Boolean): Unit = {
     val fs = hadoopFs(s, from)
+    val conf = s.sparkContext.hadoopConfiguration
     fs.mkdirs(to): Unit
+    // enumerate kept FILES with their paths relative to `from` — the
+    // unit of parallel copy (directories materialize implicitly:
+    // Hadoop create() makes parents)
+    val rels = Seq.newBuilder[String]
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val r = if (rel.isEmpty) st.getPath.getName
+                else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, r) else rels += r
+      }
     fs.listStatus(from).foreach { st =>
-      val n = st.getPath.getName
-      if (keep(n))
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(to, n),
-          false, s.sparkContext.hadoopConfiguration): Unit
+      if (keep(st.getPath.getName)) {
+        if (st.isDirectory) walk(st.getPath, st.getPath.getName)
+        else rels += st.getPath.getName
+      }
+    }
+    val files = rels.result()
+    if (files.size <= distributedCopyMinFiles)
+      files.foreach { r =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(from, r), fs,
+          new Path(to, r), false, conf): Unit
+      }
+    else {
+      // distributed byte move: one executor task per file batch, each
+      // opening src/dst through its own FileSystem — history bytes
+      // never pass through the driver. The Hadoop conf travels as
+      // key-value pairs (Configuration itself is not serializable).
+      import scala.jdk.CollectionConverters._
+      val confKv = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+      val (fromS, toS) = (from.toString, to.toString)
+      val slices = math.min(files.size, s.sparkContext.defaultParallelism * 4)
+      s.sparkContext.parallelize(files, slices).foreachPartition { it =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        confKv.foreach { case (k, v) => c.set(k, v) }
+        it.foreach { r =>
+          val src = new Path(s"$fromS/$r")
+          val dst = new Path(s"$toS/$r")
+          org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(c), src,
+            dst.getFileSystem(c), dst, false, c): Unit
+        }
+      }
     }
   }
 

@@ -140,6 +140,43 @@ class LsmTierSpec extends SparkSpec {
     }
   }
 
+  test("copyTree's distributed path moves the same bytes as the driver loop") {
+    val src = tmpDir("copytree-src")
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    docs.repartition(4).write.parquet(s"$src/base")
+    docs.limit(10).coalesce(1).write.parquet(s"$src/base/nested=1")
+    def snapshot(root: String): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      def walk(f: java.io.File, rel: String): Unit =
+        f.listFiles().foreach { c =>
+          val r = if (rel.isEmpty) c.getName else s"$rel/${c.getName}"
+          if (c.isDirectory) walk(c, r)
+          else if (!c.getName.startsWith("_") && !c.getName.startsWith("."))
+            b += r -> c.length()
+        }
+      walk(new java.io.File(root), "")
+      b.result()
+    }
+    val expected = snapshot(s"$src/base")
+    assert(expected.size > 1)
+    val keep = (n: String) => !n.startsWith("_") && !n.startsWith(".")
+    // driver loop (above threshold-by-default for this tiny tree)
+    DerivedStore.copyTree(spark, new org.apache.hadoop.fs.Path(s"$src/base"),
+      new org.apache.hadoop.fs.Path(s"$src/drv"), keep)
+    assert(snapshot(s"$src/drv") == expected)
+    // distributed path, forced: same files, same sizes, executors did
+    // the byte moves
+    val prev = DerivedStore.distributedCopyMinFiles
+    DerivedStore.distributedCopyMinFiles = 0
+    try DerivedStore.copyTree(spark, new org.apache.hadoop.fs.Path(s"$src/base"),
+      new org.apache.hadoop.fs.Path(s"$src/dist"), keep)
+    finally DerivedStore.distributedCopyMinFiles = prev
+    assert(snapshot(s"$src/dist") == expected)
+    // and the rows survive both routes bit-exactly
+    assert(rowSet(spark.read.parquet(s"$src/dist")) ==
+      rowSet(spark.read.parquet(s"$src/base")))
+  }
+
   test("shingle and band tiers ride the same LSM path and stay rebuild-equal") {
     val dir = tmpDir("lsm-src2")
     val prevRoot = sys.props.get("graft.graphstore.dir")
