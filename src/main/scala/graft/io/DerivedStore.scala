@@ -504,19 +504,33 @@ object DerivedStore {
         fresh(fp0).getOrElse { // recheck under the lock
           dropPinnedPlans(s, dir, sources, store)
           publishRechecked(s, dir, sources, store, fp0) { fp =>
-            // the LSM path first: a pure-append tier with AppendOnly
-            // drift whose deltaMerge accepts the batch stages the next
-            // version as byte-copied base + delta-sized sorted runs
-            lastLsmMode = None
-            val lsm = for {
-              dm <- deltaMerge
+            // the one drift classification both refresh styles share:
+            // (served version, AppendOnly delta files) — merge and
+            // deltaMerge are mutually exclusive by construction, so
+            // this evaluates at most once per attempt
+            def appendDrift: Option[(Long, Map[String, Seq[String]])] = for {
               v <- AtomicPublish.currentVersion(s, store)
               recorded <- versionFingerprint(s, store, v)
               delta <- classify(recorded, fp.split("\n").toSeq, dir) match {
                 case SourceDrift.AppendOnly(nf) => Some(nf)
                 case _ => None
               }
-              deltaRows <- dm(s, dir, s.read.parquet(s"$store/v=$v"), delta)
+            } yield (v, delta)
+            lastLsmMode = None
+            // the LSM path first: a pure-append tier with AppendOnly
+            // drift whose deltaMerge accepts the batch stages the next
+            // version as byte-copied base + delta-sized sorted runs
+            val lsm = for {
+              dm <- deltaMerge
+              (v, delta) <- appendDrift
+              prev = s.read.parquet(s"$store/v=$v")
+              deltaRows <- dm(s, dir, prev, delta)
+              // schema evolution cannot ride the byte-copy: mixed-schema
+              // files would make the served read nondeterministically
+              // hide or null the new column (the plain merge's
+              // unionByName failed LOUDLY here) — route to the full
+              // build, which lays the whole tier out under one schema
+              if sameTierSchema(prev.schema, deltaRows.schema)
             } yield {
               lastBuild = Some(name -> "merge")
               served = "merge"
@@ -531,17 +545,18 @@ object DerivedStore {
               // THIS store's mode, not the inner one's
               val (rows, mode) = (for {
                 m <- merge
-                v <- AtomicPublish.currentVersion(s, store)
-                recorded <- versionFingerprint(s, store, v)
-                delta <- classify(recorded, fp.split("\n").toSeq, dir) match {
-                  case SourceDrift.AppendOnly(nf) => Some(nf)
-                  case _ => None
-                }
+                (v, delta) <- appendDrift
               } yield (m(s, dir, s.read.parquet(s"$store/v=$v"), delta), "merge"))
                 .getOrElse((build(s, dir), "full"))
               lastBuild = Some(name -> mode)
               served = mode
-              stageFullLayout(s, store, rows, fp, numFiles, sortKey, summaryKey)
+              val staging = stageFullLayout(s, store, rows, fp, numFiles,
+                sortKey, summaryKey)
+              // an inner re-entrant serve (the build may refresh an
+              // upstream LSM tier) must not leak ITS layout mode as
+              // this full-layout publish's
+              lastLsmMode = None
+              staging
             }
           }
         }
@@ -610,6 +625,25 @@ object DerivedStore {
     * through the full layout). `deltaFiles` (the AppendOnly source
     * paths) size the delta writer — tier bytes track source bytes
     * within a constant factor, the [[scaledNumFiles]] argument. */
+  /** Same tier row shape (names + types, order- and nullability-
+    * insensitive — parquet round-trips widen containsNull/nullable, so
+    * nullability must be normalized RECURSIVELY or every array-column
+    * tier would flunk its own byte-copy precondition) — the LSM
+    * append's guard against mixed-schema versions. */
+  private def sameTierSchema(a: org.apache.spark.sql.types.StructType,
+                             b: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    def denull(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => ArrayType(denull(e), containsNull = true)
+      case MapType(k, v, _) => MapType(denull(k), denull(v), valueContainsNull = true)
+      case StructType(fs) =>
+        StructType(fs.map(f => StructField(f.name, denull(f.dataType))))
+      case other => other
+    }
+    a.fields.map(f => f.name -> denull(f.dataType)).toSet ==
+      b.fields.map(f => f.name -> denull(f.dataType)).toSet
+  }
+
   private def stageLsm(s: SparkSession, store: String, v: Long,
                        deltaRows: DataFrame,
                        deltaFiles: Map[String, Seq[String]], fp: String,
@@ -618,18 +652,21 @@ object DerivedStore {
     val prevDir = new Path(s"$store/v=$v")
     val prevData = dataFilesOf(s, prevDir)
     val prevBytes = prevData.map(_.getLen).sum
+    // the mode is recorded only after its staging completes — an
+    // aborted attempt must not leave a mode for a later reader to
+    // pair with an earlier success (the r11 fold-mode discipline)
     if (prevData.size > lsmFileBudget(prevBytes, numFiles)) {
-      lastLsmMode = Some("rewrite")
-      stageFullLayout(s, store,
+      val staging = stageFullLayout(s, store,
         s.read.parquet(prevDir.toString).unionByName(deltaRows), fp, numFiles,
         sortKey, summaryKey)
+      lastLsmMode = Some("rewrite")
+      staging
     } else {
-      lastLsmMode = Some("append")
       val deltaBytes = deltaFiles.valuesIterator.flatten.map { f =>
         val p = new Path(f)
         hadoopFs(s, p).getFileStatus(p).getLen
       }.sum
-      AtomicPublish.stageVersionWith(store) { p =>
+      val staging = AtomicPublish.stageVersionWith(store) { p =>
         copyTree(s, prevDir, new Path(p),
           keep = n => !n.startsWith("_") && !n.startsWith("."))
         deltaRows.repartitionByRange(
@@ -643,6 +680,8 @@ object DerivedStore {
           .map(_.getPath.toString)
         mergeSidecars(s, prevDir, p, newFiles, sortKey, summaryKey)
       }
+      lastLsmMode = Some("append")
+      staging
     }
   }
 
@@ -662,15 +701,24 @@ object DerivedStore {
     val newDf = s.read.parquet(newFiles: _*)
     // _filemap: prev entries + the new runs' stats (ranges may overlap
     // the base's — pruning degrades gracefully, never wrongly, until
-    // the major rewrite restores disjointness)
+    // the major rewrite restores disjointness). A prev manifest keyed
+    // on a DIFFERENT column (sortKey changed between deploys) cannot
+    // be merged — mixed-key entries would mis-prune — so it recomputes
+    // in full, the same kname/ktype discipline the key summary keeps.
     val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
-    if (hadoopFs(s, prevManifest).exists(prevManifest))
-      s.read.parquet(prevManifest.toString)
-        .unionByName(ZoneMap.statsOfFrame(newDf, sortKey))
-        .coalesce(1).write.parquet(s"$stagingDir/${ZoneMap.ManifestDir}")
-    else
-      // legacy base without a manifest: one pruned-column pass
-      ZoneMap.write(s, stagingDir, sortKey)
+    val prevManifestDf =
+      if (!hadoopFs(s, prevManifest).exists(prevManifest)) None
+      else Some(s.read.parquet(prevManifest.toString))
+        .filter(m => m.columns.contains("kname") &&
+          m.filter(col("kname") =!= sortKey).isEmpty)
+    prevManifestDf match {
+      case Some(prevRows) =>
+        prevRows.unionByName(ZoneMap.statsOfFrame(newDf, sortKey))
+          .coalesce(1).write.parquet(s"$stagingDir/${ZoneMap.ManifestDir}")
+      case None =>
+        // legacy/foreign-key base manifest: one pruned-column pass
+        ZoneMap.write(s, stagingDir, sortKey)
+    }
     summaryKey.foreach(k => mergeKeySummary(s, prevDir, stagingDir, k, newDf))
   }
 
@@ -739,8 +787,13 @@ object DerivedStore {
     if (cnt > BloomMaxKeys) (None, None)
     else {
       val cap = bloomCapacity(cnt)
-      (bloomKeyed(s.read.parquet(stagingDir), key)
-        .map(_.stat.bloomFilter(key, cap, 0.01)), Some(cap))
+      bloomKeyed(s.read.parquet(stagingDir), key) match {
+        // capacity is recorded ONLY beside a bloom that exists — a
+        // bloomn without a _keybloom would lie to any reader trusting
+        // the pair (writeKeySummary keeps the same symmetry)
+        case Some(kf) => (Some(kf.stat.bloomFilter(key, cap, 0.01)), Some(cap))
+        case None => (None, None)
+      }
     }
 
   /** Bloom capacity for a tier with `cnt` distinct keys: 2× headroom
@@ -983,19 +1036,24 @@ object DerivedStore {
     val conf = s.sparkContext.hadoopConfiguration
     fs.mkdirs(to): Unit
     // enumerate kept FILES with their paths relative to `from` — the
-    // unit of parallel copy (directories materialize implicitly:
-    // Hadoop create() makes parents)
+    // unit of parallel copy. Directories are re-created up front
+    // (cheap metadata ops) so an EMPTY subdir survives the copy the
+    // way the old recursive FileUtil.copy preserved it — a dir-tier
+    // artifact's reader must find the directory it left behind.
     val rels = Seq.newBuilder[String]
     def walk(p: Path, rel: String): Unit =
       fs.listStatus(p).foreach { st =>
         val r = if (rel.isEmpty) st.getPath.getName
                 else s"$rel/${st.getPath.getName}"
-        if (st.isDirectory) walk(st.getPath, r) else rels += r
+        if (st.isDirectory) { fs.mkdirs(new Path(to, r)): Unit; walk(st.getPath, r) }
+        else rels += r
       }
     fs.listStatus(from).foreach { st =>
       if (keep(st.getPath.getName)) {
-        if (st.isDirectory) walk(st.getPath, st.getPath.getName)
-        else rels += st.getPath.getName
+        if (st.isDirectory) {
+          fs.mkdirs(new Path(to, st.getPath.getName)): Unit
+          walk(st.getPath, st.getPath.getName)
+        } else rels += st.getPath.getName
       }
     }
     val files = rels.result()

@@ -44,8 +44,11 @@ class LsmTierSpec extends SparkSpec {
     s"$store/v=${AtomicPublish.currentVersion(spark, store).get}"
   }
 
-  private def rowSet(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // MULTISET comparison: Set equality would hide duplicated rows —
+  // the exact failure the re-ingestion guard and the rewrite's union
+  // discipline exist to prevent (r12 review)
+  private def rowSet(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   test("LSM append: rows == rebuild, base files byte-copied, sidecars truthful, guard fires through merged sidecars, budget triggers the rewrite") {
     val dir = tmpDir("lsm-src")
