@@ -56,7 +56,16 @@ object ZoneMap {
       // keep the file a candidate, not crash the prune
       scala.util.Try(BigDecimal(x.toString) <= BigDecimal(y.toString))
         .getOrElse(true)
-    case (x: String, y: String) => x <= y
+    case (x: String, y: String) =>
+      // Manifest fmin/fmax come from Spark min/max, which orders strings
+      // by UTF-8 bytes (unsigned). Java's String ordering is UTF-16 code
+      // units — the two diverge between supplementary-plane chars
+      // (surrogate pairs, 0xF0.. in UTF-8) and U+E000..U+FFFF (0xEE..0xEF
+      // in UTF-8), so comparing with String.<= could wrongly EXCLUDE a
+      // file that holds the key. Compare the UTF-8 bytes unsigned.
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
     case (x: Comparable[_], y) if x.getClass == y.getClass =>
       x.asInstanceOf[Comparable[Any]].compareTo(y) <= 0
     case _ => true

@@ -342,7 +342,14 @@ object StreamTierIngest {
       /** Read a committed base for the full/rewrite modes. */
       readBase: (SparkSession, Path) => DataFrame,
       /** Range-sort + write under the store's layout. */
-      write: (DataFrame, String, Int, String) => Unit)
+      write: (DataFrame, String, Int, String) => Unit,
+      /** Flat-layout stores whose versions carry a file-grain
+        * `ingest_batch` `_filemap` (and, on rewrite nights, a
+        * [[SyncDeltaDir]] copy) so [[syncCorpus]] prunes its delta read
+        * on every night. False for the bucketed index layout —
+        * ZoneMap's contract is flat dirs, and nothing syncs from the
+        * index. */
+      batchManifest: Boolean = false)
 
   /** Fold every replay-immune live batch partition (id ≤ the
     * checkpoint's last committed batch; the bootstrap always) into the
@@ -452,7 +459,8 @@ object StreamTierIngest {
     write = (df, p, numFiles, saveMode) =>
       df.repartitionByRange(numFiles, col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .write.mode(saveMode).parquet(p))
+        .write.mode(saveMode).parquet(p),
+    batchManifest = true)
 
   /** d3 confined to the folded delta: band the delta's docs, connect
     * the collisions (d8's min-label components), keep each family's
@@ -541,6 +549,9 @@ object StreamTierIngest {
       }
       val maxFolded = (freshParts.map(_._1) ++ watermark).max
       graft.io.Sidecar.write(fs, new Path(p, FoldedMarker), maxFolded.toString)
+      if (shape.batchManifest)
+        writeBatchSidecars(s, p, mode, prevPath, legacyBase, fresh,
+          freshBytes, watermark, maxFolded, shape)
       // provenance record: the sentinel-form fingerprint (never fresh,
       // never merge-eligible) carrying the gate's recorded source
       // tables, so tools/Lineage resolves a compacted-version scan to
@@ -577,6 +588,17 @@ object StreamTierIngest {
   private[graft] def lastFoldMode_=(v: Option[String]): Unit =
     lastFoldModeTl.set(v)
 
+  /** How the last [[syncCorpus]] on THIS THREAD sourced its delta:
+    * "syncdelta" (a rewrite night's exact copy), "manifest:k/n" (k of
+    * the base's n files were candidates), or "full" (no sidecar —
+    * footer-pruned scan). Spec/run-log introspection, thread-local for
+    * the same reason as [[lastFoldMode]]. */
+  private val lastSyncScanTl =
+    ThreadLocal.withInitial[Option[String]](() => None)
+  private[graft] def lastSyncScan: Option[String] = lastSyncScanTl.get()
+  private[graft] def lastSyncScan_=(v: Option[String]): Unit =
+    lastSyncScanTl.set(v)
+
   private val FoldedMarker = "_folded"
 
   /** Max batch id a compacted version has folded in, from its
@@ -587,17 +609,87 @@ object StreamTierIngest {
     graft.io.Sidecar.read(fs, p).flatMap(_.trim.toLongOption)
   }
 
-  /** One recursive listing: (non-hidden data files, their bytes). */
+  /** One recursive walk: (non-hidden data files, their bytes). Hidden
+    * DIRECTORIES are skipped whole — a version's [[SyncDeltaDir]] copy
+    * must not inflate the rewrite-budget math or the writers' task
+    * sizing with files no reader scans. */
   private def dirStats(s: SparkSession, dir: Path): (Long, Long) = {
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(dir, true)
     var n = 0L; var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (!f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith(".")) { n += 1; bytes += f.getLen }
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else { n += 1; bytes += st.getLen }
+      }
     }
+    walk(dir)
     (n, bytes)
+  }
+
+  /** Hidden delta copy a rewrite-mode fold leaves beside the base so
+    * [[syncCorpus]] never pays the mixed-base scan (a doc_id-range
+    * rewrite scatters the night's batches into every file — no
+    * file-grain stats can isolate them afterwards). Underscore-prefixed:
+    * invisible to every base reader, never byte-copied forward by the
+    * next append fold, so each version's copy describes only ITS
+    * rewrite. */
+  private[streaming] val SyncDeltaDir = "_syncdelta"
+
+  /** [[FoldShape.batchManifest]]'s sidecars, written inside the staged
+    * version (r12 verdict #2):
+    *
+    *  - a `_filemap` keyed on `ingest_batch`, maintained at DELTA cost
+    *    on append nights (the byte-copied base files keep their entries
+    *    verbatim; the stats pass reads only the night's new files) and
+    *    recomputed by one column-pruned pass after a full/rewrite —
+    *    [[syncCorpus]] prunes its read from this one driver-side
+    *    manifest instead of O(files) footer opens;
+    *  - on a (non-legacy) rewrite night, a [[SyncDeltaDir]] copy of the
+    *    folded delta with its covered batch range, because after the
+    *    rewrite the manifest honestly reports every file a candidate.
+    *    Legacy rewrites skip the copy: their distinct() may drop fresh
+    *    rows, and a side copy would diverge from the base. */
+  private def writeBatchSidecars(s: SparkSession, p: String, mode: String,
+                                 prevPath: Option[Path], legacyBase: Boolean,
+                                 fresh: DataFrame, freshBytes: Long,
+                                 watermark: Option[Long], maxFolded: Long,
+                                 shape: FoldShape): Unit = {
+    val vp = new Path(p)
+    val pfs = vp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prior =
+      if (mode == "append")
+        prevPath.flatMap(pp =>
+          graft.io.ZoneMap.manifestFor(s, pp.toString, "ingest_batch"))
+      else None
+    prior match {
+      case Some(m) =>
+        val priorNames = m.entries.map(_._1).toSet
+        val deltaFiles = pfs.listStatus(vp).iterator
+          .filter(st => !st.isDirectory)
+          .map(_.getPath)
+          .filter { q =>
+            val n = q.getName
+            !n.startsWith("_") && !n.startsWith(".") && !priorNames.contains(n)
+          }.map(_.toString).toList
+        val priorEntries = s.read.parquet(
+          s"${prevPath.get}/${graft.io.ZoneMap.ManifestDir}")
+        val next =
+          if (deltaFiles.isEmpty) priorEntries
+          else priorEntries.unionByName(graft.io.ZoneMap.statsOfFrame(
+            s.read.option("basePath", p).parquet(deltaFiles: _*),
+            "ingest_batch"))
+        next.coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/${graft.io.ZoneMap.ManifestDir}")
+      case None =>
+        graft.io.ZoneMap.write(s, p, "ingest_batch")
+    }
+    if (mode == "rewrite" && !legacyBase) {
+      val sd = new Path(vp, SyncDeltaDir)
+      shape.write(fresh, sd.toString, numFilesFor(freshBytes), "overwrite")
+      graft.io.Sidecar.write(pfs, new Path(sd, "_range"),
+        s"${watermark.getOrElse(-1L)},$maxFolded")
+    }
   }
 
   /** Write-task count at DerivedStore's shared bytes-per-file grain. */
@@ -648,6 +740,30 @@ object StreamTierIngest {
     val store = compactedStore(survivorsDir)
     val cp = new Path(corpusDir)
     val fs = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    lastSyncScan = None // cleared first: an early-exit sync reports nothing
+    // Crash recovery (r12 advice): an attempt that died between the
+    // watermark write and the manifest swap left the corpus permanently
+    // manifest-less — the retry is a watermark no-op, and entry used to
+    // delete the staged manifest unconditionally, so manifest-pruned
+    // reads degraded to full scans until an unrelated rewrite. The
+    // staged manifest is deterministic for its range: when it exactly
+    // describes the CURRENT on-disk data-file set and no live manifest
+    // exists, completing the crashed rename is safe; any mismatch
+    // (earlier crash points, concurrent mutation) still deletes it and
+    // falls back to the scan path.
+    val stagedManifest = new Path(cp, ".filemap-sync-staging")
+    val liveManifest = new Path(cp, graft.io.ZoneMap.ManifestDir)
+    if (fs.exists(stagedManifest) && !fs.exists(liveManifest)) {
+      val described = scala.util.Try(
+        s.read.parquet(stagedManifest.toString).select("file")
+          .collect().map(_.getString(0)).toSet).getOrElse(Set.empty[String])
+      val onDisk = fs.listStatus(cp).iterator.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+          n.endsWith(".parquet")).toSet
+      if (described.nonEmpty && described == onDisk)
+        require(fs.rename(stagedManifest, liveManifest),
+          s"syncCorpus: manifest recovery rename $stagedManifest failed")
+    }
     for {
       v <- graft.io.AtomicPublish.currentVersion(s, store)
       upto <- foldedWatermark(s, new Path(s"$store/v=$v"))
@@ -655,8 +771,41 @@ object StreamTierIngest {
         .flatMap(_.trim.toLongOption).getOrElse(-1L)
       if upto > syncedUpto
     } yield {
+      // delta-read pruning (r12 verdict #2), best source first: a
+      // rewrite night's exact [[SyncDeltaDir]] copy when it covers the
+      // needed range; else the version's ingest_batch `_filemap` (one
+      // driver-side read prunes to the delta-holding files — append
+      // nights' runs carry tight ranges, byte-copied base files keep
+      // their old caps); else the footer-pruned full scan. All three
+      // read the same rows — the filter below is the truth, the
+      // pruning only shrinks the file set.
+      val versionDir = s"$store/v=$v"
+      val sd = new Path(s"$versionDir/$SyncDeltaDir")
+      val sfs = sd.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val sdRange = graft.io.Sidecar.read(sfs, new Path(sd, "_range"))
+        .map(_.trim.split(",")).collect {
+          case Array(a, b) if a.toLongOption.nonEmpty && b.toLongOption.nonEmpty =>
+            (a.toLong, b.toLong)
+        }
+      val baseScan = sdRange match {
+        case Some((from, sdUpto)) if syncedUpto >= from && upto <= sdUpto =>
+          lastSyncScan = Some("syncdelta")
+          s.read.parquet(sd.toString)
+        case _ =>
+          graft.io.ZoneMap.manifestFor(s, versionDir, "ingest_batch") match {
+            case Some(m) =>
+              val cand = m.candidateFilesForRange(syncedUpto + 1, upto)
+              lastSyncScan = Some(s"manifest:${cand.size}/${m.entries.size}")
+              if (cand.isEmpty) s.read.parquet(versionDir).filter(lit(false))
+              else s.read.option("basePath", versionDir)
+                .parquet(cand.map(f => s"$versionDir/$f"): _*)
+            case None =>
+              lastSyncScan = Some("full")
+              s.read.parquet(versionDir)
+          }
+      }
       val obs = new Observation()
-      val delta = s.read.parquet(s"$store/v=$v")
+      val delta = baseScan
         .filter(col("ingest_batch") > syncedUpto && col("ingest_batch") <= upto)
         .drop("ingest_batch")
         .observe(obs, count(lit(1)).as("rows"))
@@ -787,7 +936,7 @@ object StreamTierIngest {
             "over retained sink dirs would overwrite committed batches. Keep the " +
             "checkpoint that wrote them, or clear checkpoint+index+survivors together.")
     }
-    s.readStream.schema(schema).parquet(srcDir)
+    val query = s.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -821,11 +970,20 @@ object StreamTierIngest {
                 Seq("doc_id"), "left_semi")
               .withColumn("ingest_batch", lit(id))
               .persist() // feeds the sink AND the index append
-            IdempotentWriter.partitionRefresh(kept, survivorsDir, "ingest_batch"): Unit
-            IdempotentWriter.partitionRefresh(
-              bands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-                .withColumn("ingest_batch", lit(id)),
-              indexDir, "ingest_batch"): Unit
+            // an ALL-DUPLICATE batch (a re-crawl night) keeps nothing:
+            // skip both writes rather than landing an empty dynamic
+            // overwrite — when a fold has deleted every live partition,
+            // the refresh's read-back of a survivors dir holding only
+            // sidecars would fail analysis and kill the stream. Replay
+            // is deterministic, so skipping stays exactly-once; the
+            // fold's watermark covers skipped ids by taking the max.
+            if (!kept.isEmpty) {
+              IdempotentWriter.partitionRefresh(kept, survivorsDir, "ingest_batch"): Unit
+              IdempotentWriter.partitionRefresh(
+                bands.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                  .withColumn("ingest_batch", lit(id)),
+                indexDir, "ingest_batch"): Unit
+            }
           } finally {
             bands.unpersist()
             if (kept != null) kept.unpersist(): Unit
@@ -833,6 +991,17 @@ object StreamTierIngest {
         }
       }
       .start()
+    // Pin the checkpoint IDENTITY now, not at the next bind contact: a
+    // first start() against a not-yet-materialized checkpoint wrote the
+    // marker without an id, and a lazily-pinned marker would accept
+    // whatever identity exists at the NEXT start — including a
+    // checkpoint deleted and recreated in between, the exact hazard the
+    // pin guards. Spark writes `checkpoint/metadata` (the query id)
+    // synchronously while constructing the StreamExecution inside
+    // .start(), so by this line the identity exists and the re-bind
+    // pins it within the same call that created the checkpoint.
+    Seq(indexDir, survivorsDir).foreach(d => bindCheckpoint(s, d, checkpoint, "start"))
+    query
   }
 
   /** d1's exact content key (`dedup/Dedup.scala`'s normalization),

@@ -48,6 +48,31 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("string pruning follows Spark's UTF-8 binary order, not Java's UTF-16 order") {
+    // Spark min/max orders strings by UTF-8 bytes: fullwidth/replacement
+    // chars (U+E000..U+FFFF → 0xEE..0xEF) sort BELOW supplementary-plane
+    // chars (→ 0xF0..), while Java's UTF-16 ordering puts them ABOVE the
+    // surrogates. A key like U+FFFD lies inside [U+FF01, U+1F600] in
+    // UTF-8 but outside it in UTF-16 — the old String ordering wrongly
+    // excluded the file and silently dropped the row.
+    val table = s"${tmpDir("zonemap-utf8")}/t.parquet"
+    val rows = Seq("apple", "banana", "！x", "�x", "😀x")
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    val df = spark.createDataFrame(rows).toDF("k", "v")
+    SortedLayout.writeRangeSorted(df, table, numFiles = 2, col("k"))
+    ZoneMap.write(spark, table, "k")
+
+    val m = ZoneMap.manifestFor(spark, table, "k")
+    assert(m.nonEmpty, "manifest must load")
+    val hit = ZoneMap.scanForKeys(spark, table, "k", Seq("�x"))
+      .filter(col("k") === "�x")
+    assert(hit.count() == 1,
+      "a key between a fullwidth min and an emoji max must survive pruning")
+    // and the non-ASCII prune still PRUNES when it safely can: a key
+    // below every range yields zero candidates
+    assert(m.get.candidateFilesForKeys(Seq("")).isEmpty)
+  }
+
   test("TargetedDelete discovers affected files from the manifest and maintains it across the swap") {
     val dir = tmpDir("zonemap-del")
     val table = s"$dir/corpus.parquet"

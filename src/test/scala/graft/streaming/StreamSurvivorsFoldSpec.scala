@@ -256,6 +256,105 @@ class StreamSurvivorsFoldSpec extends SparkSpec {
       s"the takedown must FIND a streamed doc through the manifest: $td")
   }
 
+  test("syncCorpus prunes its delta read every night: manifest on appends, syncdelta after a rewrite") {
+    val base = tmpDir("surv-sync-prune")
+    val in = s"$base/in"; val out = s"$base/out"
+    val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+    val corpusDir = s"$base/corpus"
+    val schema = docs.schema
+    StreamTierIngest.bootstrapIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+
+    // the identity pin is EAGER (r12 advice): the very first start()
+    // writes the marker and pins the just-created checkpoint's id in
+    // the same call, not at the next bind contact
+    docs.filter(col("doc_id") % 3 === 1).limit(40)
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(in, schema, idx, out, ckpt)
+    val marker = graft.io.Sidecar.read(
+      new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(out, "_checkpoint"))
+    assert(marker.exists(_.contains("id=")),
+      s"first start() must pin the checkpoint identity eagerly: $marker")
+
+    assert(StreamTierIngest.foldSurvivors(spark, out, ckpt).nonEmpty)
+    val kept0 = StreamTierIngest.survivors(spark, out).count()
+    val s1 = StreamTierIngest.syncCorpus(spark, out, corpusDir)
+    assert(s1.exists(_._1 == kept0))
+    assert(StreamTierIngest.lastSyncScan.exists(_.startsWith("manifest")),
+      s"the first fold writes the batch manifest: ${StreamTierIngest.lastSyncScan}")
+
+    // append night: the base's byte-copied files cap at batch 0, so the
+    // manifest confines the sync to the night's sorted runs
+    docs.filter(col("doc_id") % 3 === 2).limit(20)
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(in, schema, idx, out, ckpt)
+    assert(StreamTierIngest.foldSurvivors(spark, out, ckpt).nonEmpty &&
+      StreamTierIngest.lastFoldMode.contains("append"))
+    val kept1 = StreamTierIngest.survivors(spark, out).count() - kept0
+    val s2 = StreamTierIngest.syncCorpus(spark, out, corpusDir)
+    assert(s2.exists(_._1 == kept1), s"$s2 vs $kept1")
+    val prune = StreamTierIngest.lastSyncScan
+    val kn = prune.collect {
+      case p if p.startsWith("manifest:") =>
+        val Array(k, n) = p.stripPrefix("manifest:").split("/").map(_.toInt)
+        (k, n)
+    }
+    assert(kn.exists { case (k, n) => k < n },
+      s"an append night's sync must open only delta-holding files: $prune")
+
+    // an ALL-DUPLICATE batch (a re-crawl night): every doc is already
+    // in the corpus, nothing survives — the gate must skip the empty
+    // writes and keep streaming, even though the fold has deleted
+    // every live partition (an empty dynamic overwrite would leave the
+    // survivors dir sidecar-only and unreadable)
+    copiesOf(StreamTierIngest.survivors(spark, out)
+        .drop("ingest_batch").limit(10), 4000000L)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(in, schema, idx, out, ckpt)
+    assert(StreamTierIngest.survivors(spark, out).count() == kept0 + kept1,
+      "an all-dup batch keeps nothing and must not kill the stream")
+
+    // rewrite night: batches mix into every doc_id-range file, so the
+    // fold leaves an exact _syncdelta copy and the sync reads THAT.
+    // Synthetic per-doc texts: genuinely novel content, so the batch
+    // survives the gate whole.
+    copiesOf(docs.limit(10), 5000000L)
+      .withColumn("text", concat_ws(" ",
+        md5(concat(lit("s1"), col("doc_id"))),
+        md5(concat(lit("s2"), col("doc_id"))),
+        md5(concat(lit("s3"), col("doc_id")))))
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(in, schema, idx, out, ckpt)
+    StreamTierIngest.rewriteBudgetOverride = Some(0L)
+    try {
+      assert(StreamTierIngest.foldSurvivors(spark, out, ckpt).nonEmpty &&
+        StreamTierIngest.lastFoldMode.contains("rewrite"))
+    } finally StreamTierIngest.rewriteBudgetOverride = None
+    val keptAll = StreamTierIngest.survivors(spark, out).count()
+    val s3 = StreamTierIngest.syncCorpus(spark, out, corpusDir)
+    assert(s3.exists(_._1 == keptAll - kept0 - kept1), s"$s3")
+    assert(StreamTierIngest.lastSyncScan.contains("syncdelta"),
+      s"a rewrite night's sync reads the exact delta copy: ${StreamTierIngest.lastSyncScan}")
+    spark.catalog.clearCache()
+    assert(spark.read.parquet(corpusDir).count() == keptAll,
+      "however the delta was sourced, the corpus equals the survivors")
+
+    // crash recovery (r12 advice): an attempt that died between the
+    // watermark write and the manifest swap is completed at next entry
+    // when the staged manifest exactly describes the on-disk files —
+    // the corpus is never left permanently manifest-less
+    graft.io.ZoneMap.write(spark, corpusDir, "doc_id")
+    val live = new java.io.File(s"$corpusDir/_filemap")
+    val staged = new java.io.File(s"$corpusDir/.filemap-sync-staging")
+    assert(live.renameTo(staged), "spec setup: simulate the crash window")
+    assert(StreamTierIngest.syncCorpus(spark, out, corpusDir).isEmpty,
+      "watermark already advanced: the retry is a sync no-op")
+    assert(graft.io.ZoneMap.manifestFor(spark, corpusDir, "doc_id").nonEmpty,
+      "entry must complete the crashed rename, not delete the staged manifest")
+    assert(!staged.exists())
+  }
+
   test("a checkpoint deleted and recreated at the same path is refused by identity") {
     val base = tmpDir("surv-ckpt-id")
     val in = s"$base/in"; val out = s"$base/out"
