@@ -48,22 +48,34 @@ object ClusterStore {
     Dedup.components(graft.sim.Similarity.s4EmbeddingNeardup(s, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 
+  /** Hash-bucket count of both label tiers' layout: labels REWRITE on
+    * merge nights, so the LSM append can't represent them — the
+    * bucketed publish rewrites only the buckets the night's relabels
+    * touch and byte-copies the rest (r12 verdict #1). 32 buckets keeps
+    * the per-touched-bucket fanout at tier/32 while a ≤32-value driver
+    * collect decides the copy set. */
+  private val LabelBuckets = 32
+
   /** Store-served lexical dup-cluster labels. Registered with the
-    * incremental merge: append-only corpus growth refreshes the labels
-    * from only the delta-touching pairs ([[lshComponentsMerge]]). */
+    * BUCKETED incremental merge: append-only corpus growth refreshes
+    * the labels from only the delta-touching pairs
+    * ([[lshComponentsUpserts]]), and the publish rewrites only the
+    * doc_id-buckets those relabels live in. */
   def lshComponents(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.servedIncremental(s, dir, "lsh_components", Seq("documents"),
-      lshComponentsInline, lshComponentsMerge, numFiles = 4, sortKey = "doc_id",
+    DerivedStore.servedIncrementalBucketed(s, dir, "lsh_components",
+      Seq("documents"), lshComponentsInline, lshComponentsUpserts,
+      numBuckets = LabelBuckets, numFiles = 4, sortKey = "doc_id",
       summaryKey = Some("doc_id"))
 
   /** Store-served semantic cluster labels, incrementally refreshed
-    * under append-only embedding growth ([[embComponentsMerge]]) —
+    * under append-only embedding growth ([[embComponentsUpserts]]) —
     * s4's label block and quantization are per-vector, so the same
     * old-pairs-cannot-change property the lexical merge rests on
     * holds here. */
   def embComponents(s: SparkSession, dir: String): DataFrame =
-    DerivedStore.servedIncremental(s, dir, "emb_components", Seq("embeddings"),
-      embComponentsInline, embComponentsMerge, numFiles = 4, sortKey = "doc_id",
+    DerivedStore.servedIncrementalBucketed(s, dir, "emb_components",
+      Seq("embeddings"), embComponentsInline, embComponentsUpserts,
+      numBuckets = LabelBuckets, numFiles = 4, sortKey = "doc_id",
       summaryKey = Some("doc_id"))
 
   /** Incremental connected components under append-only corpus growth.
@@ -83,17 +95,17 @@ object ClusterStore {
     * O(|tier|) relabel join — against the full rebuild's corpus-wide
     * band self-join and a convergence loop shuffling EVERY historical
     * pair per round. */
-  private def lshComponentsMerge(s: SparkSession, dir: String, prev: DataFrame,
-                                 deltas: Map[String, Seq[String]]): DataFrame = {
+  private def lshComponentsUpserts(s: SparkSession, dir: String, prev: DataFrame,
+                                   deltas: Map[String, Seq[String]]): Option[DataFrame] = {
     val paths = deltas.getOrElse("documents", Seq.empty)
-    if (paths.isEmpty) return prev
+    if (paths.isEmpty) return Some(prev.limit(0)) // no delta: nothing changes
     val deltaDocs = s.read.option("basePath", s"$dir/documents.parquet")
       .parquet(paths: _*)
     // merge precondition (BandIndexStore's guard): a re-ingested
     // existing doc_id breaks the old×old-pairs-cannot-change argument
     // the contraction rests on — rebuild instead of mislabeling
     if (DerivedStore.deltaKeysOverlap(prev, deltaDocs, "doc_id"))
-      return lshComponentsInline(s, dir)
+      return None
     val deltaBands = Dedup.bandKeysOf(deltaDocs)
     val allBands = BandIndexStore.corpusIndex(s, dir)
     // d3's pair contract (canonical doc_a < doc_b, distinct), restricted
@@ -108,16 +120,16 @@ object ClusterStore {
       .select(least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
       .distinct()
-    contractedComponents(prev, newPairs)
+    Some(contractedUpserts(prev, newPairs))
   }
 
   /** Semantic twin of [[lshComponentsMerge]]: delta embeddings quantize
     * alone, s4's pair contract restricted to delta-touching pairs, then
     * the same label contraction. */
-  private def embComponentsMerge(s: SparkSession, dir: String, prev: DataFrame,
-                                 deltas: Map[String, Seq[String]]): DataFrame = {
+  private def embComponentsUpserts(s: SparkSession, dir: String, prev: DataFrame,
+                                   deltas: Map[String, Seq[String]]): Option[DataFrame] = {
     val paths = deltas.getOrElse("embeddings", Seq.empty)
-    if (paths.isEmpty) return prev
+    if (paths.isEmpty) return Some(prev.limit(0))
     val deltaRaw = s.read.option("basePath", s"$dir/embeddings.parquet")
       .parquet(paths: _*)
     // same precondition as the lexical merge: a re-ingested vec_id
@@ -126,18 +138,23 @@ object ClusterStore {
     // (doc_id) and the sidecar fast paths stay eligible (r11 review)
     if (DerivedStore.deltaKeysOverlap(
           prev, deltaRaw.select(col("vec_id").as("doc_id")), "doc_id"))
-      return embComponentsInline(s, dir)
+      return None
     val delta = graft.sim.Similarity.quantizedOf(deltaRaw)
-    contractedComponents(prev,
+    Some(contractedUpserts(prev,
       graft.sim.Similarity.neardupPairsTouching(delta,
-        graft.sim.Similarity.quantized(s, dir)))
+        graft.sim.Similarity.quantized(s, dir))))
   }
 
   /** The shared incremental step: contract old components to their
     * label node (the component's min doc_id), run the convergence loop
-    * over only `newPairs` (each touching ≥1 new doc), then relabel. */
-  private def contractedComponents(prev: DataFrame,
-                                   newPairs: DataFrame): DataFrame = {
+    * over only `newPairs` (each touching ≥1 new doc), then emit the
+    * UPSERTS — exactly the rows whose label changes (old docs whose
+    * component was relabeled) plus the rows entering the tier (delta
+    * docs and formerly-singleton old docs). Identity relabels are
+    * filtered so an untouched cluster disturbs no bucket; the bucketed
+    * publish byte-copies everything the upserts don't reach. */
+  private def contractedUpserts(prev: DataFrame,
+                                newPairs: DataFrame): DataFrame = {
     // contract: an endpoint inside an old component participates as its
     // label; singletons and delta docs participate as themselves
     val labA = prev.select(col("doc_id").as("doc_a"), col("component").as("comp_a"))
@@ -148,18 +165,19 @@ object ClusterStore {
         coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
     val relabel = Dedup.components(contracted) // (doc_id=node, component)
-    // old rows follow their (possibly re-labelled) component; nodes that
-    // are NOT old labels — delta docs and formerly-singleton old docs —
-    // enter the tier directly with their new component
+    // old rows follow their re-labelled component — identity mappings
+    // dropped, they change nothing and would only widen the touched
+    // bucket set; relabelMap is delta-sized (components() output over
+    // delta-touching pairs), so the broadcast is bounded by the night
     val relabelMap = relabel
       .select(col("doc_id").as("component"), col("component").as("next_component"))
-    val oldRows = prev.join(broadcast(relabelMap), Seq("component"), "left")
-      .select(col("doc_id"),
-        coalesce(col("next_component"), col("component")).as("component"))
-    // no broadcast hint: |labels| is cluster-count-sized and may not
-    // broadcast at scale; relabel is delta-sized either way
+      .filter(col("component") =!= col("next_component"))
+    val changedOld = prev.join(broadcast(relabelMap), Seq("component"), "inner")
+      .select(col("doc_id"), col("next_component").as("component"))
+    // nodes that are NOT old labels — delta docs and formerly-singleton
+    // old docs — enter the tier directly with their new component
     val labelNodes = prev.select(col("component").as("doc_id")).distinct()
     val directRows = relabel.join(labelNodes, Seq("doc_id"), "left_anti")
-    oldRows.unionByName(directRows)
+    changedOld.unionByName(directRows)
   }
 }

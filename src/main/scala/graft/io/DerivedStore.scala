@@ -89,6 +89,17 @@ object DerivedStore {
   type DeltaMerge =
     (SparkSession, String, DataFrame, Map[String, Seq[String]]) => Option[DataFrame]
 
+  /** A bucketed tier's upsert producer ([[servedIncrementalBucketed]]):
+    * return the COMPLETE replacement rows for every key whose row the
+    * refresh changes or adds (`next == (prev minus upsert keys) ∪
+    * upserts`; deletions are not expressible). Keys are row-identities
+    * under the tier's sortKey, so an upsert's disturbance is confined
+    * to the hash-buckets its keys live in — the publish rewrites ONLY
+    * those buckets and byte-copies the rest. Returning None rejects
+    * the batch (precondition trip) and routes to the full build. */
+  type UpsertMerge =
+    (SparkSession, String, DataFrame, Map[String, Seq[String]]) => Option[DataFrame]
+
   /** Last build THIS THREAD ran: (store name, "full" | "merge") —
     * introspection for specs and the run-log note channel. Thread-local
     * (r11 review): serves are synchronous on the calling thread, and a
@@ -436,7 +447,8 @@ object DerivedStore {
              sources: Seq[String],
              build: (SparkSession, String) => DataFrame,
              numFiles: Int, sortKey: String): DataFrame =
-    servedWith(s, dir, name, sources, build, None, None, numFiles, sortKey, None)
+    servedWith(s, dir, name, sources, build, None, None, None, None, numFiles,
+      sortKey, None)
 
   /** [[served]] plus an append-only fast path: when drift classifies
     * as [[SourceDrift.AppendOnly]], the next version is
@@ -456,8 +468,8 @@ object DerivedStore {
                         merge: Merge,
                         numFiles: Int, sortKey: String,
                         summaryKey: Option[String] = None): DataFrame =
-    servedWith(s, dir, name, sources, build, Some(merge), None, numFiles,
-      sortKey, summaryKey)
+    servedWith(s, dir, name, sources, build, Some(merge), None, None, None,
+      numFiles, sortKey, summaryKey)
 
   /** [[servedIncremental]] with LSM publication for pure-append tiers:
     * on AppendOnly drift the next version is a BYTE-COPY of the served
@@ -484,14 +496,40 @@ object DerivedStore {
                            deltaMerge: DeltaMerge,
                            numFiles: Int, sortKey: String,
                            summaryKey: Option[String] = None): DataFrame =
-    servedWith(s, dir, name, sources, build, None, Some(deltaMerge), numFiles,
-      sortKey, summaryKey)
+    servedWith(s, dir, name, sources, build, None, Some(deltaMerge), None, None,
+      numFiles, sortKey, summaryKey)
+
+  /** [[servedIncremental]] for tiers whose merge REWRITES rows (label/
+    * cluster tiers — the one family the LSM append-only runs cannot
+    * represent): the layout is hash-bucketed on the sortKey
+    * (`b<k>-part-*.parquet`), and an append night rewrites ONLY the
+    * buckets the merge's upserts touch, byte-copying the rest — IO
+    * O(Δ · bucket-fanout) instead of the full-tier range shuffle +
+    * rewrite the plain merge pays (r12 verdict #1). A contracted-label
+    * night touches the few buckets holding relabeled docs; the common
+    * night moves history as bytes. Correctness is the same
+    * merge==rebuild contract: `next == (prev − upsert keys) ∪ upserts`,
+    * spec-pinned row-equal to the full build. A bucket-layout sidecar
+    * (`_buckets`) guards the merge precondition — a changed bucket
+    * count or function routes to the full rebuild, never mis-routes a
+    * key. */
+  def servedIncrementalBucketed(s: SparkSession, dir: String, name: String,
+                                sources: Seq[String],
+                                build: (SparkSession, String) => DataFrame,
+                                upsertMerge: UpsertMerge,
+                                numBuckets: Int,
+                                numFiles: Int, sortKey: String,
+                                summaryKey: Option[String] = None): DataFrame =
+    servedWith(s, dir, name, sources, build, None, None, Some(upsertMerge),
+      Some(numBuckets), numFiles, sortKey, summaryKey)
 
   private def servedWith(s: SparkSession, dir: String, name: String,
                          sources: Seq[String],
                          build: (SparkSession, String) => DataFrame,
                          merge: Option[Merge],
                          deltaMerge: Option[DeltaMerge],
+                         upsertMerge: Option[UpsertMerge],
+                         numBuckets: Option[Int],
                          numFiles: Int, sortKey: String,
                          summaryKey: Option[String]): DataFrame = {
     val store = storePath(dir, name)
@@ -537,7 +575,31 @@ object DerivedStore {
               stageLsm(s, store, v, deltaRows, delta, fp, numFiles, sortKey,
                 summaryKey)
             }
-            lsm.getOrElse {
+            // the bucketed path: an upsert-producing merge confines its
+            // disturbance to the hash-buckets its keys live in, so the
+            // publish rewrites only those buckets (byte-copying the
+            // rest) — the label-tier analogue of the LSM append
+            val bucketed = for {
+              um <- upsertMerge
+              b <- numBuckets
+              (v, delta) <- appendDrift
+              prevDir = new Path(s"$store/v=$v")
+              // layout precondition: prev must be bucketed the same way,
+              // or a copied file's name would lie about its keys
+              if bucketLayoutOf(s, prevDir).contains(b)
+              prev = s.read.parquet(prevDir.toString)
+              upserts <- um(s, dir, prev, delta)
+              // schema evolution cannot ride the byte-copy (the LSM
+              // guard's reasoning): mixed-schema buckets would serve
+              // nondeterministically — route to the full build
+              if sameTierSchema(prev.schema, upserts.schema)
+            } yield {
+              lastBuild = Some(name -> "merge")
+              served = "merge"
+              stageBucketedPatch(s, store, prevDir, upserts, b, fp, numFiles,
+                sortKey, summaryKey)
+            }
+            lsm.orElse(bucketed).getOrElse {
               // a merge may serve ANOTHER tier inside its body (the lsh
               // components merge probes the band-index tier) — the inner
               // serve re-enters the (reentrant) lock and may publish
@@ -550,8 +612,14 @@ object DerivedStore {
                 .getOrElse((build(s, dir), "full"))
               lastBuild = Some(name -> mode)
               served = mode
-              val staging = stageFullLayout(s, store, rows, fp, numFiles,
-                sortKey, summaryKey)
+              val staging = numBuckets match {
+                case Some(b) =>
+                  stageBucketedFull(s, store, rows, b, fp, numFiles, sortKey,
+                    summaryKey)
+                case None =>
+                  stageFullLayout(s, store, rows, fp, numFiles, sortKey,
+                    summaryKey)
+              }
               // an inner re-entrant serve (the build may refresh an
               // upstream LSM tier) must not leak ITS layout mode as
               // this full-layout publish's
@@ -563,7 +631,18 @@ object DerivedStore {
       }
     }
     lastServe = Some(name -> served) // after any inner re-entrant serve
-    s.read.parquet(s"$store/v=$version")
+    val versionDir = s"$store/v=$version"
+    // publish-time stats → optimizer (r12 verdict #4): register the
+    // served version's exact rows/bytes and measured var-width column
+    // widths so TierStatsRule prices scans of it from what the publish
+    // counted, not raw file bytes or default type widths
+    rowStatsOfVersion(s, versionDir).foreach { st =>
+      val vp = new Path(versionDir)
+      graft.plans.TierStatsCatalog.register(
+        hadoopFs(s, vp).makeQualified(vp).toString, st.rows, st.bytes,
+        st.avgLen)
+    }
+    s.read.parquet(versionDir)
   }
 
   /** The classic full-layout staging: one range-sorted write of the
@@ -591,6 +670,231 @@ object DerivedStore {
       // TargetedDelete discovery) prune files without opening
       // parquet footers (r11 verdict #4)
       ZoneMap.write(s, p, sortKey)
+      writeRowStats(s, p)
+    }
+
+  /** Exact stats of a version, recorded at publish so the OPTIMIZER
+    * can consume them (r12 verdict #4): rows from parquet's
+    * metadata-only count over data just written (footer row counts, no
+    * data pages), bytes from the same kind of listing every publish
+    * already does, and — for var-width columns (string/binary/array) —
+    * the measured average width, because rowCount-based estimation
+    * prices unknown columns at DEFAULT widths (a 2KB text at 20 bytes,
+    * an embedding array at its element size), and that underestimate
+    * is the direction that wrongly BROADCASTS a wide tier. One
+    * column-pruned agg pass over data the publish just wrote, the same
+    * discipline as `_keysummary`/`_filemap`. [[statsOfVersion]] reads
+    * it back; `servedWith` registers it in
+    * [[graft.plans.TierStatsCatalog]]. */
+  private val RowStatsFile = "_stats"
+
+  private[graft] final case class TierRowStats(rows: Long, bytes: Long,
+                                               avgLen: Map[String, Long])
+
+  /** Measured average widths of var-width columns, one agg pass; empty
+    * for fixed-width-only schemas (their default widths are exact). */
+  private def varWidthAvgLens(df: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{avg, length, lit, size => asize}
+    val cols = df.schema.fields.collect {
+      case f if f.dataType == StringType || f.dataType == BinaryType =>
+        f.name -> avg(length(col(f.name)))
+      case f @ StructField(_, ArrayType(et, _), _, _) =>
+        f.name -> (avg(asize(col(f.name))) * lit(math.max(1, et.defaultSize)))
+    }
+    if (cols.isEmpty) Map.empty
+    else {
+      val row = df.agg(cols.head._2.as(cols.head._1),
+        cols.tail.map { case (n, e) => e.as(n) }.toSeq: _*).head()
+      cols.indices.flatMap { i =>
+        if (row.isNullAt(i)) None
+        else Some(cols(i)._1 -> math.max(1L, math.ceil(row.getDouble(i)).toLong))
+      }.toMap
+    }
+  }
+
+  private def writeRowStatsRecord(s: SparkSession, dir: String,
+                                  st: TierRowStats): Unit =
+    Sidecar.write(hadoopFs(s, new Path(dir)), new Path(dir, RowStatsFile),
+      (s"${st.rows},${st.bytes}" +:
+        st.avgLen.toSeq.sorted.map { case (c, l) => s"$c\t$l" }).mkString("\n"))
+
+  private def writeRowStats(s: SparkSession, dir: String): Unit = {
+    val df = s.read.parquet(dir)
+    val rows = df.count() // parquet metadata-only
+    val bytes = dataFilesOf(s, new Path(dir)).map(_.getLen).sum
+    writeRowStatsRecord(s, dir, TierRowStats(rows, bytes, varWidthAvgLens(df)))
+  }
+
+  /** The stats a version's publish recorded; None for legacy versions.
+    * Memoized per path — committed version dirs are immutable. */
+  private val rowStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[TierRowStats]]()
+
+  private[graft] def rowStatsOfVersion(s: SparkSession,
+                                       versionDir: String): Option[TierRowStats] =
+    rowStatsMemo.computeIfAbsent(versionDir, { _ =>
+      val p = new Path(versionDir, RowStatsFile)
+      Sidecar.read(hadoopFs(s, p), p).flatMap { txt =>
+        val lines = txt.trim.split("\n")
+        lines.head.split(",") match {
+          case Array(r, b) =>
+            for (rr <- r.toLongOption; bb <- b.toLongOption) yield {
+              val avgs = lines.tail.flatMap(_.split("\t", 2) match {
+                case Array(c, l) => l.toLongOption.map(c -> _)
+                case _ => None
+              }).toMap
+              TierRowStats(rr, bb, avgs)
+            }
+          case _ => None
+        }
+      }
+    })
+
+  private[graft] def statsOfVersion(s: SparkSession,
+                                    versionDir: String): Option[(Long, Long)] =
+    rowStatsOfVersion(s, versionDir).map(st => (st.rows, st.bytes))
+
+  // -------------------------------------------------------------------
+  // Bucketed layout ([[servedIncrementalBucketed]])
+  // -------------------------------------------------------------------
+
+  /** Layout sidecar: bucket count + function id. The merge precondition
+    * reads it back — a prev version bucketed differently (or not at
+    * all) cannot be byte-copied per bucket. */
+  private val BucketsFile = "_buckets"
+
+  /** The stable bucket of a key: Murmur3 (Spark's `hash`) mod B. */
+  private def bucketExpr(sortKey: String, b: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(col(sortKey)),
+      org.apache.spark.sql.functions.lit(b))
+
+  /** Bucket a data file's name declares, None for foreign names. */
+  private def bucketOfFileName(n: String): Option[Int] =
+    if (!n.startsWith("b")) None
+    else {
+      val d = n.drop(1).takeWhile(_.isDigit)
+      if (d.nonEmpty && n.startsWith(s"b$d-")) Some(d.toInt) else None
+    }
+
+  private def bucketLayoutOf(s: SparkSession, versionDir: Path): Option[Int] = {
+    val p = new Path(versionDir, BucketsFile)
+    Sidecar.read(hadoopFs(s, p), p).flatMap(_.trim.split(",") match {
+      case Array(b, "murmur3") => b.toIntOption
+      case _ => None
+    })
+  }
+
+  /** Write `rows` into `destDir` as `b<k>-part-*.parquet` files: tag
+    * with the bucket, shuffle so each task holds contiguous (bucket,
+    * key) runs, write through `partitionBy` (the tag is DIRECTORY-
+    * encoded, so the data files keep the clean tier schema), then move
+    * each bucket dir's files up under bucket-prefixed names. */
+  private def writeBucketFiles(s: SparkSession, rows: DataFrame, destDir: Path,
+                               numBuckets: Int, numTasks: Int,
+                               sortKey: String): Unit = {
+    val tmp = new Path(destDir, ".bucketwrite")
+    val fs = hadoopFs(s, tmp)
+    fs.delete(tmp, true): Unit
+    rows.withColumn("__b", bucketExpr(sortKey, numBuckets))
+      .repartitionByRange(math.max(numBuckets, numTasks),
+        col("__b"), col(sortKey))
+      .sortWithinPartitions(col("__b"), col(sortKey))
+      .write.partitionBy("__b").parquet(tmp.toString)
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { d =>
+      val b = d.getPath.getName.stripPrefix("__b=")
+      fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+          require(fs.rename(f.getPath,
+            new Path(destDir, s"b$b-${f.getPath.getName}")),
+            s"bucket move ${f.getPath} failed")
+        }
+    }
+    fs.delete(tmp, true): Unit
+  }
+
+  /** Full build under the bucketed layout (first publish and every
+    * non-append drift). */
+  private def stageBucketedFull(s: SparkSession, store: String, rows: DataFrame,
+                                numBuckets: Int, fp: String, numFiles: Int,
+                                sortKey: String,
+                                summaryKey: Option[String]): Path =
+    AtomicPublish.stageVersionWith(store) { p =>
+      writeBucketFiles(s, rows, new Path(p), numBuckets,
+        scaledNumFiles(numFiles, fp), sortKey)
+      Sidecar.write(hadoopFs(s, new Path(p)), new Path(p, BucketsFile),
+        s"$numBuckets,murmur3")
+      summaryKey.foreach(k => writeKeySummary(s, p, k))
+      ZoneMap.write(s, p, sortKey)
+      writeRowStats(s, p)
+    }
+
+  /** The bucketed partial rewrite: byte-copy every bucket the upserts
+    * do NOT touch, rewrite only the touched ones as
+    * `(prev bucket rows − upsert keys) ∪ upserts`. Touched buckets are
+    * a ≤ numBuckets driver-side collect; the rewrite reads only the
+    * touched buckets' FILES (by name, no footer opens elsewhere). The
+    * `_filemap` is maintained at delta cost (kept files keep their
+    * entries); `_keysummary`/`_stats` recompute — upserts REWRITE rows,
+    * so no sidecar merge contract holds, and both are single
+    * column-pruned passes over a narrow label tier. */
+  private def stageBucketedPatch(s: SparkSession, store: String, prevDir: Path,
+                                 upserts: DataFrame, numBuckets: Int,
+                                 fp: String, numFiles: Int, sortKey: String,
+                                 summaryKey: Option[String]): Path =
+    AtomicPublish.stageVersionWith(store) { p =>
+      val touched = upserts.select(bucketExpr(sortKey, numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      copyTree(s, prevDir, new Path(p), keep = n =>
+        !n.startsWith("_") && !n.startsWith(".") &&
+          !bucketOfFileName(n).exists(touched.contains))
+      if (touched.nonEmpty) {
+        val touchedFiles = dataFilesOf(s, prevDir)
+          .map(_.getPath)
+          .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
+          .map(_.toString)
+        val prevTouched =
+          if (touchedFiles.isEmpty) None
+          else Some(s.read.parquet(touchedFiles: _*))
+        val rows = prevTouched match {
+          case Some(pt) =>
+            pt.join(upserts.select(sortKey), Seq(sortKey), "left_anti")
+              .unionByName(upserts)
+          case None => upserts
+        }
+        writeBucketFiles(s, rows, new Path(p), numBuckets,
+          math.max(1, touched.size), sortKey)
+      }
+      val pfs = hadoopFs(s, new Path(p))
+      Sidecar.write(pfs, new Path(p, BucketsFile), s"$numBuckets,murmur3")
+      // _filemap at delta cost: kept (byte-copied) files keep their
+      // entries, the rewritten buckets' files get a fresh stats pass
+      val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
+      val keptNames = dataFilesOf(s, new Path(p))
+        .map(_.getPath.getName)
+        .filter(n => !bucketOfFileName(n).exists(touched.contains)).toSet
+      val newFiles = dataFilesOf(s, new Path(p))
+        .map(_.getPath)
+        .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
+        .map(_.toString)
+      val prevManifestDf =
+        if (!hadoopFs(s, prevManifest).exists(prevManifest)) None
+        else Some(s.read.parquet(prevManifest.toString))
+          .filter(m => m.columns.contains("kname") &&
+            m.filter(col("kname") =!= sortKey).isEmpty)
+      prevManifestDf match {
+        case Some(prevRows) =>
+          val kept = prevRows.filter(col("file").isin(keptNames.toSeq: _*))
+          val next =
+            if (newFiles.isEmpty) kept
+            else kept.unionByName(ZoneMap.statsOfFrame(
+              s.read.option("basePath", p).parquet(newFiles: _*), sortKey))
+          next.coalesce(1).write.parquet(s"$p/${ZoneMap.ManifestDir}")
+        case None => ZoneMap.write(s, p, sortKey)
+      }
+      summaryKey.foreach(k => writeKeySummary(s, p, k))
+      writeRowStats(s, p)
     }
 
   /** Which layout the last LSM publish on THIS THREAD took ("append" |
@@ -695,8 +999,31 @@ object DerivedStore {
       // empty delta: the base's sidecars describe the new version too
       copyTree(s, prevDir, new Path(stagingDir),
         keep = n => n == ZoneMap.ManifestDir || n == KeySummaryDir ||
-          n == KeyBloomFile)
+          n == KeyBloomFile || n == RowStatsFile)
       return
+    }
+    // _stats at delta cost: rows ADD unconditionally under the
+    // append-only contract (a metadata-only count over the new runs);
+    // bytes re-listed; avgLens merge as the row-weighted mean, kept
+    // only for columns BOTH sides measured (a schema-evolved column
+    // honestly falls back to its default width). A legacy base without
+    // the sidecar pays one full pass, then stays delta-cost forever.
+    rowStatsOfVersion(s, prevDir.toString) match {
+      case Some(prev) =>
+        val deltaDf = s.read.parquet(newFiles: _*)
+        val deltaN = deltaDf.count()
+        val deltaAvg = varWidthAvgLens(deltaDf)
+        val bytes = dataFilesOf(s, new Path(stagingDir)).map(_.getLen).sum
+        val mergedAvg = prev.avgLen.flatMap { case (c, pl) =>
+          deltaAvg.get(c).map { dl =>
+            val tot = prev.rows + deltaN
+            c -> (if (tot == 0) pl
+                  else (prev.rows * pl + deltaN * dl + tot - 1) / tot)
+          }
+        }
+        writeRowStatsRecord(s, stagingDir,
+          TierRowStats(prev.rows + deltaN, bytes, mergedAvg))
+      case None => writeRowStats(s, stagingDir)
     }
     val newDf = s.read.parquet(newFiles: _*)
     // _filemap: prev entries + the new runs' stats (ranges may overlap

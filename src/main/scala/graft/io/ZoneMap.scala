@@ -92,21 +92,52 @@ object ZoneMap {
     statsOf(s, tableDir, key)
       .coalesce(1).write.mode("overwrite").parquet(s"$tableDir/$ManifestDir")
 
+  /** Per-path manifest memo (r12 verdict #3): a loaded manifest is
+    * cached against a content signature (child name+length+mtime from
+    * the SAME listStatus that replaces the old existence check), so a
+    * repeated keyed read of a version costs one metadata RPC instead
+    * of a driver-side Spark read job. Self-validating: any rewrite of
+    * the manifest — TargetedDelete's swap, syncCorpus's maintenance,
+    * even a foreign process — lands a new part-file name/mtime and
+    * misses the cache, so no mutation site needs to know the cache
+    * exists (path-identity-only memoization could not promise that).
+    * Bounded: manifests are ≤ MaxTierFiles rows and the map clears
+    * itself at the cap — a memo, never a correctness structure. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Manifest)]()
+  private val MemoCap = 512
+
   /** The manifest at `tableDir`, whatever key it summarizes; None when
     * absent or unreadable (a half-written manifest must degrade to the
     * scan path, not fail the read). */
   def manifestOf(s: SparkSession, tableDir: String): Option[Manifest] = {
     val p = new Path(tableDir, ManifestDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else scala.util.Try {
-      val rows = s.read.parquet(p.toString).collect()
-      rows.headOption.map { h =>
-        Manifest(h.getAs[String]("kname"),
-          rows.toSeq.map(r => (r.getAs[String]("file"), r.get(r.fieldIndex("fmin")),
-            r.get(r.fieldIndex("fmax")))))
-      }
-    }.toOption.flatten
+    scala.util.Try {
+      fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(";")
+    }.toOption match {
+      case None => None // dir absent or unlistable: the scan fallback
+      case Some(sig) =>
+        val qp = fs.makeQualified(p).toString
+        Option(memo.get(qp)).collect { case (g, m) if g == sig => m }
+          .orElse {
+            val loaded = scala.util.Try {
+              val rows = s.read.parquet(p.toString).collect()
+              rows.headOption.map { h =>
+                Manifest(h.getAs[String]("kname"),
+                  rows.toSeq.map(r => (r.getAs[String]("file"),
+                    r.get(r.fieldIndex("fmin")), r.get(r.fieldIndex("fmax")))))
+              }
+            }.toOption.flatten
+            loaded.foreach { m =>
+              if (memo.size >= MemoCap) memo.clear()
+              memo.put(qp, (sig, m)): Unit
+            }
+            loaded
+          }
+    }
   }
 
   /** [[manifestOf]] restricted to manifests that summarize `key` — a

@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => TokenIndexSubstitution(session))
+    ext.injectOptimizerRule(session => TierStatsRule(session))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("listagg"),

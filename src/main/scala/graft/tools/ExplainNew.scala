@@ -6,6 +6,8 @@ object ExplainNew {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args) {

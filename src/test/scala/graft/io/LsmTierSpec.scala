@@ -95,6 +95,13 @@ class LsmTierSpec extends SparkSpec {
         s"merged summary range must be exact: $summary vs $trueRange")
       assert(new java.io.File(s"$v2/_keybloom").isFile,
         "the bloom merges (or rebuilds) across the append, never silently drops")
+      // the row-stats sidecar added at delta cost is EXACT (it feeds
+      // the optimizer through TierStatsCatalog, so a lie mis-sizes
+      // joins)
+      assert(DerivedStore.statsOfVersion(spark, v2)
+          .exists(_._1 == served2.count()),
+        s"merged _stats rows must equal the served rows: " +
+          s"${DerivedStore.statsOfVersion(spark, v2)}")
       // and a term lookup through the manifest still answers exactly —
       // including terms that live ONLY in the appended runs
       val newDocId = docs.filter(col("doc_id") % 5 === 1)

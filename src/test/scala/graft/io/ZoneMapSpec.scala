@@ -73,6 +73,35 @@ class ZoneMapSpec extends SparkSpec {
     assert(m.get.candidateFilesForKeys(Seq("")).isEmpty)
   }
 
+  test("a second keyed read serves the manifest from the memo, no parquet re-read; any rewrite revalidates") {
+    val table = s"${tmpDir("zonemap-memo")}/t.parquet"
+    SortedLayout.writeRangeSorted(docs, table, numFiles = 4, col("doc_id"))
+    ZoneMap.write(spark, table, "doc_id")
+    val first = ZoneMap.manifestFor(spark, table, "doc_id")
+    assert(first.nonEmpty)
+
+    // overwrite the manifest's bytes IN PLACE with garbage of the same
+    // length and restore the mtime: the listStatus signature is
+    // unchanged, so a second read that hit parquet would fail to parse
+    // — only the memo can still answer
+    val dir = new java.io.File(s"$table/${ZoneMap.ManifestDir}")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtime = part.lastModified()
+    val garbage = Array.fill[Byte](part.length().toInt)(0x5a)
+    java.nio.file.Files.write(part.toPath, garbage)
+    assert(part.setLastModified(mtime))
+    val second = ZoneMap.manifestFor(spark, table, "doc_id")
+    assert(second.map(_.entries) == first.map(_.entries),
+      "an unchanged signature must serve the memoized manifest without re-reading parquet")
+
+    // any visible change (here: mtime) misses the memo and reloads —
+    // the garbage now surfaces as an unreadable manifest → scan fallback
+    assert(part.setLastModified(mtime + 5000))
+    spark.catalog.clearCache()
+    assert(ZoneMap.manifestFor(spark, table, "doc_id").isEmpty,
+      "a changed signature must revalidate against the real bytes")
+  }
+
   test("TargetedDelete discovers affected files from the manifest and maintains it across the swap") {
     val dir = tmpDir("zonemap-del")
     val table = s"$dir/corpus.parquet"
