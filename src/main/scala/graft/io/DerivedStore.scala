@@ -849,7 +849,14 @@ object DerivedStore {
       copyTree(s, prevDir, new Path(p), keep = n =>
         !n.startsWith("_") && !n.startsWith(".") &&
           !bucketOfFileName(n).exists(touched.contains))
-      if (touched.nonEmpty) {
+      if (touched.isEmpty) {
+        // nothing changed (fingerprint drift without label impact): the
+        // base's sidecars describe the new version verbatim — an empty
+        // delta through the summary merge would null the min/max
+        copyTree(s, prevDir, new Path(p), keep = n =>
+          n == ZoneMap.ManifestDir || n == KeySummaryDir ||
+            n == KeyBloomFile || n == RowStatsFile || n == BucketsFile)
+      } else {
         val touchedFiles = dataFilesOf(s, prevDir)
           .map(_.getPath)
           .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
@@ -865,36 +872,42 @@ object DerivedStore {
         }
         writeBucketFiles(s, rows, new Path(p), numBuckets,
           math.max(1, touched.size), sortKey)
+        val pfs = hadoopFs(s, new Path(p))
+        Sidecar.write(pfs, new Path(p, BucketsFile), s"$numBuckets,murmur3")
+        // _filemap at delta cost: kept (byte-copied) files keep their
+        // entries, the rewritten buckets' files get a fresh stats pass
+        val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
+        val keptNames = dataFilesOf(s, new Path(p))
+          .map(_.getPath.getName)
+          .filter(n => !bucketOfFileName(n).exists(touched.contains)).toSet
+        val newFiles = dataFilesOf(s, new Path(p))
+          .map(_.getPath)
+          .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
+          .map(_.toString)
+        val prevManifestDf =
+          if (!hadoopFs(s, prevManifest).exists(prevManifest)) None
+          else Some(s.read.parquet(prevManifest.toString))
+            .filter(m => m.columns.contains("kname") &&
+              m.filter(col("kname") =!= sortKey).isEmpty)
+        prevManifestDf match {
+          case Some(prevRows) =>
+            val kept = prevRows.filter(col("file").isin(keptNames.toSeq: _*))
+            val next =
+              if (newFiles.isEmpty) kept
+              else kept.unionByName(ZoneMap.statsOfFrame(
+                s.read.option("basePath", p).parquet(newFiles: _*), sortKey))
+            next.coalesce(1).write.parquet(s"$p/${ZoneMap.ManifestDir}")
+          case None => ZoneMap.write(s, p, sortKey)
+        }
+        // _keysummary/_keybloom at delta cost via the LSM merge: safe
+        // for upserts even though they REWRITE rows — keys are never
+        // removed, so min/max only extend; the kcnt overcount (updated
+        // keys counted again) and the bloom superset both err
+        // conservative (an earlier bloom rebuild, a false maybe → the
+        // exact probe), never a wrong disjointness answer
+        summaryKey.foreach(k => mergeKeySummary(s, prevDir, p, k, upserts))
+        writeRowStats(s, p)
       }
-      val pfs = hadoopFs(s, new Path(p))
-      Sidecar.write(pfs, new Path(p, BucketsFile), s"$numBuckets,murmur3")
-      // _filemap at delta cost: kept (byte-copied) files keep their
-      // entries, the rewritten buckets' files get a fresh stats pass
-      val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
-      val keptNames = dataFilesOf(s, new Path(p))
-        .map(_.getPath.getName)
-        .filter(n => !bucketOfFileName(n).exists(touched.contains)).toSet
-      val newFiles = dataFilesOf(s, new Path(p))
-        .map(_.getPath)
-        .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
-        .map(_.toString)
-      val prevManifestDf =
-        if (!hadoopFs(s, prevManifest).exists(prevManifest)) None
-        else Some(s.read.parquet(prevManifest.toString))
-          .filter(m => m.columns.contains("kname") &&
-            m.filter(col("kname") =!= sortKey).isEmpty)
-      prevManifestDf match {
-        case Some(prevRows) =>
-          val kept = prevRows.filter(col("file").isin(keptNames.toSeq: _*))
-          val next =
-            if (newFiles.isEmpty) kept
-            else kept.unionByName(ZoneMap.statsOfFrame(
-              s.read.option("basePath", p).parquet(newFiles: _*), sortKey))
-          next.coalesce(1).write.parquet(s"$p/${ZoneMap.ManifestDir}")
-        case None => ZoneMap.write(s, p, sortKey)
-      }
-      summaryKey.foreach(k => writeKeySummary(s, p, k))
-      writeRowStats(s, p)
     }
 
   /** Which layout the last LSM publish on THIS THREAD took ("append" |

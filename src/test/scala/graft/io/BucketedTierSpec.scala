@@ -108,6 +108,21 @@ class BucketedTierSpec extends SparkSpec {
         s"manifest must cover copied + rewritten files")
       assert(DerivedStore.statsOfVersion(spark, v2).exists(_._1 == c2.size),
         s"_stats must be exact: ${DerivedStore.statsOfVersion(spark, v2)}")
+
+      // the merged _keysummary/_keybloom still gate re-ingestion: a
+      // doc_id that entered THROUGH the bucketed merge (so its key
+      // lives only in the merged sidecars) must route a re-append to
+      // the full rebuild, not a mislabeling merge
+      val reingest = src.withColumn("doc_id", lit(-7L))
+      val stage2 = tmpDir("bucketed-reingest")
+      reingest.coalesce(1).write.parquet(s"$stage2/d")
+      appendParts(s"$stage2/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val c3 = clusters(dir)
+      assert(DerivedStore.lastBuild.contains("lsh_components" -> "full"),
+        s"a re-ingested merged-in key must rebuild: ${DerivedStore.lastBuild}")
+      spark.catalog.clearCache()
+      assert(c3 == inlineClusters(dir))
       docs.unpersist(): Unit
     } finally prevRoot match {
       case Some(v) => sys.props("graft.graphstore.dir") = v
