@@ -692,26 +692,10 @@ object DerivedStore {
                                                avgLen: Map[String, Long])
 
   /** Measured average widths of var-width columns, one agg pass; empty
-    * for fixed-width-only schemas (their default widths are exact). */
-  private def varWidthAvgLens(df: DataFrame): Map[String, Long] = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.functions.{avg, length, lit, size => asize}
-    val cols = df.schema.fields.collect {
-      case f if f.dataType == StringType || f.dataType == BinaryType =>
-        f.name -> avg(length(col(f.name)))
-      case f @ StructField(_, ArrayType(et, _), _, _) =>
-        f.name -> (avg(asize(col(f.name))) * lit(math.max(1, et.defaultSize)))
-    }
-    if (cols.isEmpty) Map.empty
-    else {
-      val row = df.agg(cols.head._2.as(cols.head._1),
-        cols.tail.map { case (n, e) => e.as(n) }.toSeq: _*).head()
-      cols.indices.flatMap { i =>
-        if (row.isNullAt(i)) None
-        else Some(cols(i)._1 -> math.max(1L, math.ceil(row.getDouble(i)).toLong))
-      }.toMap
-    }
-  }
+    * for fixed-width-only schemas (their default widths are exact).
+    * Shared with the raw-table ANALYZE ([[TableStats]]). */
+  private def varWidthAvgLens(df: DataFrame): Map[String, Long] =
+    TableStats.varWidthAvgLens(df)
 
   private def writeRowStatsRecord(s: SparkSession, dir: String,
                                   st: TierRowStats): Unit =
@@ -798,8 +782,7 @@ object DerivedStore {
     val fs = hadoopFs(s, tmp)
     fs.delete(tmp, true): Unit
     rows.withColumn("__b", bucketExpr(sortKey, numBuckets))
-      .repartitionByRange(math.max(numBuckets, numTasks),
-        col("__b"), col(sortKey))
+      .repartitionByRange(math.max(1, numTasks), col("__b"), col(sortKey))
       .sortWithinPartitions(col("__b"), col(sortKey))
       .write.partitionBy("__b").parquet(tmp.toString)
     fs.listStatus(tmp).filter(_.isDirectory).foreach { d =>
@@ -821,8 +804,10 @@ object DerivedStore {
                                 sortKey: String,
                                 summaryKey: Option[String]): Path =
     AtomicPublish.stageVersionWith(store) { p =>
+      // the full layout wants ≥1 task per bucket AND source-scaled task
+      // sizing (a 2TB tier must not funnel through 32 tasks)
       writeBucketFiles(s, rows, new Path(p), numBuckets,
-        scaledNumFiles(numFiles, fp), sortKey)
+        math.max(numBuckets, scaledNumFiles(numFiles, fp)), sortKey)
       Sidecar.write(hadoopFs(s, new Path(p)), new Path(p, BucketsFile),
         s"$numBuckets,murmur3")
       summaryKey.foreach(k => writeKeySummary(s, p, k))
@@ -870,8 +855,15 @@ object DerivedStore {
               .unionByName(upserts)
           case None => upserts
         }
+        // the rewrite is sized by the TOUCHED buckets' bytes (a patch of
+        // 4 buckets in a 2TB tier is ~4 × tier/32, not the whole tier,
+        // and a two-doc night is one task writing ~one file per bucket)
+        val touchedBytes = dataFilesOf(s, prevDir)
+          .filter(st => bucketOfFileName(st.getPath.getName).exists(touched.contains))
+          .map(_.getLen).sum
         writeBucketFiles(s, rows, new Path(p), numBuckets,
-          math.max(1, touched.size), sortKey)
+          math.max(touched.size.toLong,
+            touchedBytes / SourceBytesPerFile).toInt, sortKey)
         val pfs = hadoopFs(s, new Path(p))
         Sidecar.write(pfs, new Path(p, BucketsFile), s"$numBuckets,murmur3")
         // _filemap at delta cost: kept (byte-copied) files keep their

@@ -82,4 +82,28 @@ class TierStatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("TableStats.analyze registers a RAW warehouse table: exact rowCount, measured text width") {
+    val dir = tmpDir("tablestats-src")
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    // before: the scan estimate is file-bytes only, no rowCount
+    val before = spark.read.parquet(s"$dir/documents.parquet")
+      .queryExecution.optimizedPlan.stats
+    assert(before.rowCount.isEmpty, s"unanalyzed scan has no rowCount: $before")
+
+    val (rows, bytes) = graft.io.TableStats.analyze(spark, dir, "documents")
+    assert(rows == 300 && bytes > 0)
+    val after = spark.read.parquet(s"$dir/documents.parquet")
+      .queryExecution.optimizedPlan.stats
+    assert(after.rowCount.contains(BigInt(300)),
+      s"analyzed scan carries the exact rowCount: $after")
+    // the text column is priced at its MEASURED width, so the full-row
+    // estimate tracks the real bytes, not 20B-per-string defaults
+    val trueAvg = docs.agg(avg(length(col("text")))).head().getDouble(0)
+    assert(after.sizeInBytes > BigInt((300 * trueAvg / 2).toLong),
+      s"estimate must reflect the measured text width: ${after.sizeInBytes} " +
+        s"vs true avg text $trueAvg")
+  }
 }
