@@ -825,10 +825,15 @@ object DerivedStore {
     * so no sidecar merge contract holds, and both are single
     * column-pruned passes over a narrow label tier. */
   private def stageBucketedPatch(s: SparkSession, store: String, prevDir: Path,
-                                 upserts: DataFrame, numBuckets: Int,
+                                 upserts0: DataFrame, numBuckets: Int,
                                  fp: String, numFiles: Int, sortKey: String,
-                                 summaryKey: Option[String]): Path =
-    AtomicPublish.stageVersionWith(store) { p =>
+                                 summaryKey: Option[String]): Path = {
+    // the upsert frame is consumed by four actions (touched-bucket
+    // collect, the rewrite, the summary merge, the manifest stats) —
+    // cache it for the staging scope so the label contraction's joins
+    // run once per night, not once per sidecar
+    val upserts = upserts0.persist()
+    try AtomicPublish.stageVersionWith(store) { p =>
       val touched = upserts.select(bucketExpr(sortKey, numBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       copyTree(s, prevDir, new Path(p), keep = n =>
@@ -900,7 +905,8 @@ object DerivedStore {
         summaryKey.foreach(k => mergeKeySummary(s, prevDir, p, k, upserts))
         writeRowStats(s, p)
       }
-    }
+    } finally upserts.unpersist(): Unit
+  }
 
   /** Which layout the last LSM publish on THIS THREAD took ("append" |
     * "rewrite") — spec introspection; thread-local like [[lastBuild]]. */
