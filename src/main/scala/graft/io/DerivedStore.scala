@@ -596,8 +596,8 @@ object DerivedStore {
             } yield {
               lastBuild = Some(name -> "merge")
               served = "merge"
-              stageBucketedPatch(s, store, prevDir, upserts, b, fp, numFiles,
-                sortKey, summaryKey)
+              stageBucketedPatch(s, store, prevDir, upserts, b, sortKey,
+                summaryKey)
             }
             lsm.orElse(bucketed).getOrElse {
               // a merge may serve ANOTHER tier inside its body (the lsh
@@ -711,15 +711,28 @@ object DerivedStore {
   }
 
   /** The stats a version's publish recorded; None for legacy versions.
-    * Memoized per path — committed version dirs are immutable. */
-  private val rowStatsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[TierRowStats]]()
+    * Memoized against the sidecar FILE's (len, mtime) signature — a
+    * committed version dir is immutable, but a long-lived JVM can see
+    * a store wiped and rebuilt at the SAME v=N path (tests do; an
+    * operator reset would), and a path-identity-only memo would then
+    * feed the optimizer the old corpus's row counts (the
+    * wrongly-broadcast direction). One getFileStatus per lookup, the
+    * ZoneMap memo's discipline. */
+  private val rowStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[TierRowStats])]()
 
   private[graft] def rowStatsOfVersion(s: SparkSession,
-                                       versionDir: String): Option[TierRowStats] =
-    rowStatsMemo.computeIfAbsent(versionDir, { _ =>
-      val p = new Path(versionDir, RowStatsFile)
-      Sidecar.read(hadoopFs(s, p), p).flatMap { txt =>
+                                       versionDir: String): Option[TierRowStats] = {
+    val p = new Path(versionDir, RowStatsFile)
+    val fs = hadoopFs(s, p)
+    val sig = scala.util.Try {
+      val st = fs.getFileStatus(p)
+      s"${st.getLen}:${st.getModificationTime}"
+    }.getOrElse("absent")
+    Option(rowStatsMemo.get(versionDir)).collect {
+      case (g, v) if g == sig => v
+    }.getOrElse {
+      val loaded = Sidecar.read(fs, p).flatMap { txt =>
         val lines = txt.trim.split("\n")
         lines.head.split(",") match {
           case Array(r, b) =>
@@ -733,7 +746,10 @@ object DerivedStore {
           case _ => None
         }
       }
-    })
+      rowStatsMemo.put(versionDir, (sig, loaded)): Unit
+      loaded
+    }
+  }
 
   private[graft] def statsOfVersion(s: SparkSession,
                                     versionDir: String): Option[(Long, Long)] =
@@ -785,6 +801,7 @@ object DerivedStore {
       .repartitionByRange(math.max(1, numTasks), col("__b"), col(sortKey))
       .sortWithinPartitions(col("__b"), col(sortKey))
       .write.partitionBy("__b").parquet(tmp.toString)
+    var moved = 0
     fs.listStatus(tmp).filter(_.isDirectory).foreach { d =>
       val b = d.getPath.getName.stripPrefix("__b=")
       fs.listStatus(d.getPath)
@@ -792,9 +809,19 @@ object DerivedStore {
           require(fs.rename(f.getPath,
             new Path(destDir, s"b$b-${f.getPath.getName}")),
             s"bucket move ${f.getPath} failed")
+          moved += 1
         }
     }
     fs.delete(tmp, true): Unit
+    // an EMPTY frame through a dynamic-partition write lands zero data
+    // files (Spark creates them lazily per partition value), which
+    // would leave the staged version schema-less — every later read
+    // (sidecar passes, the serve itself) fails inference. Land one
+    // schema-bearing empty file the way a plain write of an empty
+    // frame does; its non-bucket name reads as "no bucket", which a
+    // later patch correctly byte-copies.
+    if (moved == 0)
+      rows.limit(0).coalesce(1).write.mode("append").parquet(destDir.toString)
   }
 
   /** Full build under the bucketed layout (first publish and every
@@ -826,7 +853,7 @@ object DerivedStore {
     * column-pruned passes over a narrow label tier. */
   private def stageBucketedPatch(s: SparkSession, store: String, prevDir: Path,
                                  upserts0: DataFrame, numBuckets: Int,
-                                 fp: String, numFiles: Int, sortKey: String,
+                                 sortKey: String,
                                  summaryKey: Option[String]): Path = {
     // the upsert frame is consumed by four actions (touched-bucket
     // collect, the rewrite, the summary merge, the manifest stats) —
@@ -836,9 +863,9 @@ object DerivedStore {
     try AtomicPublish.stageVersionWith(store) { p =>
       val touched = upserts.select(bucketExpr(sortKey, numBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
+      def isTouched(n: String) = bucketOfFileName(n).exists(touched.contains)
       copyTree(s, prevDir, new Path(p), keep = n =>
-        !n.startsWith("_") && !n.startsWith(".") &&
-          !bucketOfFileName(n).exists(touched.contains))
+        !n.startsWith("_") && !n.startsWith(".") && !isTouched(n))
       if (touched.isEmpty) {
         // nothing changed (fingerprint drift without label impact): the
         // base's sidecars describe the new version verbatim — an empty
@@ -847,55 +874,32 @@ object DerivedStore {
           n == ZoneMap.ManifestDir || n == KeySummaryDir ||
             n == KeyBloomFile || n == RowStatsFile || n == BucketsFile)
       } else {
-        val touchedFiles = dataFilesOf(s, prevDir)
-          .map(_.getPath)
-          .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
-          .map(_.toString)
-        val prevTouched =
-          if (touchedFiles.isEmpty) None
-          else Some(s.read.parquet(touchedFiles: _*))
-        val rows = prevTouched match {
-          case Some(pt) =>
-            pt.join(upserts.select(sortKey), Seq(sortKey), "left_anti")
-              .unionByName(upserts)
-          case None => upserts
-        }
+        // ONE listing per side feeds the rewrite input, its sizing,
+        // and the manifest bookkeeping
+        val prevData = dataFilesOf(s, prevDir)
+        val prevTouched = prevData.filter(st => isTouched(st.getPath.getName))
+        val rows =
+          if (prevTouched.isEmpty) upserts
+          else s.read.parquet(prevTouched.map(_.getPath.toString): _*)
+            .join(upserts.select(sortKey), Seq(sortKey), "left_anti")
+            .unionByName(upserts)
         // the rewrite is sized by the TOUCHED buckets' bytes (a patch of
         // 4 buckets in a 2TB tier is ~4 × tier/32, not the whole tier,
         // and a two-doc night is one task writing ~one file per bucket)
-        val touchedBytes = dataFilesOf(s, prevDir)
-          .filter(st => bucketOfFileName(st.getPath.getName).exists(touched.contains))
-          .map(_.getLen).sum
+        val touchedBytes = prevTouched.map(_.getLen).sum
         writeBucketFiles(s, rows, new Path(p), numBuckets,
           math.max(touched.size.toLong,
             touchedBytes / SourceBytesPerFile).toInt, sortKey)
-        val pfs = hadoopFs(s, new Path(p))
-        Sidecar.write(pfs, new Path(p, BucketsFile), s"$numBuckets,murmur3")
+        Sidecar.write(hadoopFs(s, new Path(p)), new Path(p, BucketsFile),
+          s"$numBuckets,murmur3")
         // _filemap at delta cost: kept (byte-copied) files keep their
         // entries, the rewritten buckets' files get a fresh stats pass
-        val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
-        val keptNames = dataFilesOf(s, new Path(p))
-          .map(_.getPath.getName)
-          .filter(n => !bucketOfFileName(n).exists(touched.contains)).toSet
-        val newFiles = dataFilesOf(s, new Path(p))
-          .map(_.getPath)
-          .filter(q => bucketOfFileName(q.getName).exists(touched.contains))
-          .map(_.toString)
-        val prevManifestDf =
-          if (!hadoopFs(s, prevManifest).exists(prevManifest)) None
-          else Some(s.read.parquet(prevManifest.toString))
-            .filter(m => m.columns.contains("kname") &&
-              m.filter(col("kname") =!= sortKey).isEmpty)
-        prevManifestDf match {
-          case Some(prevRows) =>
-            val kept = prevRows.filter(col("file").isin(keptNames.toSeq: _*))
-            val next =
-              if (newFiles.isEmpty) kept
-              else kept.unionByName(ZoneMap.statsOfFrame(
-                s.read.option("basePath", p).parquet(newFiles: _*), sortKey))
-            next.coalesce(1).write.parquet(s"$p/${ZoneMap.ManifestDir}")
-          case None => ZoneMap.write(s, p, sortKey)
-        }
+        val stagedData = dataFilesOf(s, new Path(p))
+        ZoneMap.mergeManifest(s, prevDir.toString, p, sortKey,
+          newFiles = stagedData.map(_.getPath)
+            .filter(q => isTouched(q.getName)).map(_.toString),
+          keptNames = Some(stagedData.map(_.getPath.getName)
+            .filterNot(isTouched).toSet))
         // _keysummary/_keybloom at delta cost via the LSM merge: safe
         // for upserts even though they REWRITE rows — keys are never
         // removed, so min/max only extend; the kcnt overcount (updated
@@ -1013,50 +1017,39 @@ object DerivedStore {
           n == KeyBloomFile || n == RowStatsFile)
       return
     }
+    val newDf = s.read.parquet(newFiles: _*) // shared by all three sidecars
     // _stats at delta cost: rows ADD unconditionally under the
     // append-only contract (a metadata-only count over the new runs);
-    // bytes re-listed; avgLens merge as the row-weighted mean, kept
-    // only for columns BOTH sides measured (a schema-evolved column
-    // honestly falls back to its default width). A legacy base without
-    // the sidecar pays one full pass, then stays delta-cost forever.
+    // bytes re-listed; avgLens merge as the row-weighted mean. A legacy
+    // base without the sidecar pays one full pass, then stays
+    // delta-cost forever.
     rowStatsOfVersion(s, prevDir.toString) match {
       case Some(prev) =>
-        val deltaDf = s.read.parquet(newFiles: _*)
-        val deltaN = deltaDf.count()
-        val deltaAvg = varWidthAvgLens(deltaDf)
+        val deltaN = newDf.count()
+        val deltaAvg = varWidthAvgLens(newDf)
         val bytes = dataFilesOf(s, new Path(stagingDir)).map(_.getLen).sum
-        val mergedAvg = prev.avgLen.flatMap { case (c, pl) =>
-          deltaAvg.get(c).map { dl =>
-            val tot = prev.rows + deltaN
-            c -> (if (tot == 0) pl
-                  else (prev.rows * pl + deltaN * dl + tot - 1) / tot)
+        val mergedAvg = prev.avgLen.map { case (c, pl) =>
+          deltaAvg.get(c) match {
+            case Some(dl) =>
+              val tot = prev.rows + deltaN
+              c -> (if (tot == 0) pl
+                    else (prev.rows * pl + deltaN * dl + tot - 1) / tot)
+            // delta measured nothing for this column (all-null night —
+            // schema drift can't reach here, the sameTierSchema guard
+            // routed it to the full build): keep the prev measurement
+            // rather than dropping to the 20B default that wrongly
+            // broadcasts wide payloads
+            case None => c -> pl
           }
         }
         writeRowStatsRecord(s, stagingDir,
           TierRowStats(prev.rows + deltaN, bytes, mergedAvg))
       case None => writeRowStats(s, stagingDir)
     }
-    val newDf = s.read.parquet(newFiles: _*)
     // _filemap: prev entries + the new runs' stats (ranges may overlap
     // the base's — pruning degrades gracefully, never wrongly, until
-    // the major rewrite restores disjointness). A prev manifest keyed
-    // on a DIFFERENT column (sortKey changed between deploys) cannot
-    // be merged — mixed-key entries would mis-prune — so it recomputes
-    // in full, the same kname/ktype discipline the key summary keeps.
-    val prevManifest = new Path(prevDir, ZoneMap.ManifestDir)
-    val prevManifestDf =
-      if (!hadoopFs(s, prevManifest).exists(prevManifest)) None
-      else Some(s.read.parquet(prevManifest.toString))
-        .filter(m => m.columns.contains("kname") &&
-          m.filter(col("kname") =!= sortKey).isEmpty)
-    prevManifestDf match {
-      case Some(prevRows) =>
-        prevRows.unionByName(ZoneMap.statsOfFrame(newDf, sortKey))
-          .coalesce(1).write.parquet(s"$stagingDir/${ZoneMap.ManifestDir}")
-      case None =>
-        // legacy/foreign-key base manifest: one pruned-column pass
-        ZoneMap.write(s, stagingDir, sortKey)
-    }
+    // the major rewrite restores disjointness)
+    ZoneMap.mergeManifest(s, prevDir.toString, stagingDir, sortKey, newFiles)
     summaryKey.foreach(k => mergeKeySummary(s, prevDir, stagingDir, k, newDf))
   }
 

@@ -206,6 +206,14 @@ object TargetedDelete {
       require(fs.rename(ms, new Path(table, ZoneMap.ManifestDir)),
         s"manifest swap $ms failed")
     }
+    // the in-place-mutator discipline extends to every derived copy a
+    // publisher left beside the data: a compacted survivors version
+    // carries a hidden _syncdelta (the rewrite night's exact delta for
+    // syncCorpus) that still holds the just-deleted rows — leaving it
+    // would let the next corpus sync RESURRECT a taken-down doc. Drop
+    // it; sync falls back to the manifest-pruned base scan.
+    fs.delete(new Path(table, graft.streaming.StreamTierIngest.SyncDeltaDir),
+      true): Unit
     Report(rowsDeleted, affectedFiles.length.toLong, filesTotal)
   }
 }

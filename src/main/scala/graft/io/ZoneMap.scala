@@ -145,6 +145,30 @@ object ZoneMap {
   def manifestFor(s: SparkSession, tableDir: String, key: String): Option[Manifest] =
     manifestOf(s, tableDir).filter(_.key == key)
 
+  /** Delta-cost manifest maintenance, shared by every partial publish
+    * (LSM appends, bucketed patches, the stream fold's batch manifest):
+    * next = prev entries — restricted to `keptNames` when given (the
+    * files that moved as bytes) — plus ONE stats pass over `newFiles`.
+    * A prev manifest keyed on a DIFFERENT column cannot be merged
+    * (mixed-key entries would mis-prune), so it recomputes in full —
+    * the kname discipline the key summary keeps. */
+  def mergeManifest(s: SparkSession, prevTableDir: String, destDir: String,
+                    key: String, newFiles: Seq[String],
+                    keptNames: Option[Set[String]] = None): Unit =
+    manifestFor(s, prevTableDir, key) match {
+      case Some(_) =>
+        val prevRows = s.read.parquet(s"$prevTableDir/$ManifestDir")
+        val kept = keptNames.fold(prevRows)(ks =>
+          prevRows.filter(col("file").isin(ks.toSeq: _*)))
+        val next =
+          if (newFiles.isEmpty) kept
+          else kept.unionByName(statsOfFrame(
+            s.read.option("basePath", destDir).parquet(newFiles: _*), key))
+        next.coalesce(1).write.mode("overwrite")
+          .parquet(s"$destDir/$ManifestDir")
+      case None => write(s, destDir, key)
+    }
+
   /** Read `tableDir` pruned to the files that can hold any of `keys`
     * (the caller still applies the exact key predicate — the manifest
     * only shrinks the file set). Falls back to the full footer-pruned

@@ -73,7 +73,9 @@ case class TierStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
               new org.apache.hadoop.fs.Path(root).getName),
             tableType = CatalogTableType.EXTERNAL,
             storage = CatalogStorageFormat.empty.copy(
-              locationUri = Some(new java.net.URI(root))),
+              // Path.toUri encodes URI-illegal characters (spaces, …);
+              // new URI(root) would throw inside the optimizer
+              locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri)),
             schema = fsRel.schema,
             provider = Some("parquet"),
             stats = Some(CatalogStatistics(

@@ -634,7 +634,7 @@ object StreamTierIngest {
     * invisible to every base reader, never byte-copied forward by the
     * next append fold, so each version's copy describes only ITS
     * rewrite. */
-  private[streaming] val SyncDeltaDir = "_syncdelta"
+  private[graft] val SyncDeltaDir = "_syncdelta"
 
   /** [[FoldShape.batchManifest]]'s sidecars, written inside the staged
     * version (r12 verdict #2):
@@ -664,6 +664,8 @@ object StreamTierIngest {
       else None
     prior match {
       case Some(m) =>
+        // O(Δ): the byte-copied base files keep their entries verbatim;
+        // the stats pass runs over the night's new files only
         val priorNames = m.entries.map(_._1).toSet
         val deltaFiles = pfs.listStatus(vp).iterator
           .filter(st => !st.isDirectory)
@@ -672,15 +674,8 @@ object StreamTierIngest {
             val n = q.getName
             !n.startsWith("_") && !n.startsWith(".") && !priorNames.contains(n)
           }.map(_.toString).toList
-        val priorEntries = s.read.parquet(
-          s"${prevPath.get}/${graft.io.ZoneMap.ManifestDir}")
-        val next =
-          if (deltaFiles.isEmpty) priorEntries
-          else priorEntries.unionByName(graft.io.ZoneMap.statsOfFrame(
-            s.read.option("basePath", p).parquet(deltaFiles: _*),
-            "ingest_batch"))
-        next.coalesce(1).write.mode("overwrite")
-          .parquet(s"$p/${graft.io.ZoneMap.ManifestDir}")
+        graft.io.ZoneMap.mergeManifest(s, prevPath.get.toString, p,
+          "ingest_batch", deltaFiles)
       case None =>
         graft.io.ZoneMap.write(s, p, "ingest_batch")
     }
