@@ -152,12 +152,19 @@ object Bench {
     // a failed query reports -1 in `queries` and is excluded from the
     // total (a negative total would under-report every healthy query)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // the stable-tail twin (r13 verdict #8): sum of per-query MEDIANS.
+    // min-basis is the steady-state number; the median basis carries
+    // the dispersion a stolen pass leaves behind, so round-over-round
+    // comparisons on a noisy host stop needing mirror archaeology —
+    // a "regression" whose min sits inside the old min..median band
+    // is drift, not code
+    val totalMedian = medians.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val passesJson = passTotals.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"median":$meds,"passes":$passesJson,"sf":"$sfDir"$failedJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"queries":$qs,"median":$meds,"passes":$passesJson,"sf":"$sfDir"$failedJson}"""
     // Belt-and-braces against any downstream line-capture limit: the
     // identical JSON also lands in a file, uncapped. Path is
     // overridable (it must not assume the /root/repo checkout), and a
@@ -204,7 +211,7 @@ object Bench {
     val spread =
       if (passOk.isEmpty) -1.0 else (passOk.max - passOk.min) / passOk.min
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","grain":"family","nqueries":${results.size},"queries":$famCompact,"passes":$passesJson,"pass_spread":${fmt(spread)},"sf":"$sfDir","detail":"bench_last.json"$failedJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"grain":"family","nqueries":${results.size},"queries":$famCompact,"passes":$passesJson,"pass_spread":${fmt(spread)},"sf":"$sfDir","detail":"bench_last.json"$failedJson}"""
     if (compact.length > 1900)
       System.err.println(
         s"[bench] compact stdout line is ${compact.length} bytes — approaching the driver's 2000-byte capture; shrink keys or precision")

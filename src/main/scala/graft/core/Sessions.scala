@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -28,7 +28,16 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // operational conf overrides without a rebuild, e.g.
+    // GRAFT_EXTRA_CONF="spark.sql.cbo.joinReorder.enabled=true" for a
+    // gated optimizer A/B (semicolon-separated k=v pairs)
+    sys.env.get("GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v): Unit
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -587,6 +587,15 @@ object DerivedStore {
               // layout precondition: prev must be bucketed the same way,
               // or a copied file's name would lie about its keys
               if bucketLayoutOf(s, prevDir).contains(b)
+              // …and every data file must DECLARE its bucket (r13
+              // advice #1): an in-place mutator's rewrite (TargetedDelete
+              // lands `deleted-rewrite-*` names) holds rows the
+              // name-keyed anti-join can't see — a patch would byte-copy
+              // the old rows AND write replacements, duplicating keys
+              // with conflicting labels. A foreign name routes to the
+              // full rebuild; one listing, reused by the patch itself.
+              if dataFilesOf(s, prevDir).forall(st =>
+                bucketOfFileName(st.getPath.getName).isDefined)
               prev = s.read.parquet(prevDir.toString)
               upserts <- um(s, dir, prev, delta)
               // schema evolution cannot ride the byte-copy (the LSM
@@ -638,9 +647,17 @@ object DerivedStore {
     // counted, not raw file bytes or default type widths
     rowStatsOfVersion(s, versionDir).foreach { st =>
       val vp = new Path(versionDir)
+      val fs = hadoopFs(s, vp)
+      // signed with the _stats sidecar's len:mtime (r13 advice #2):
+      // a store wiped and rebuilt at the same v=N path — or a takedown
+      // that dropped the now-stale sidecar — invalidates the entry at
+      // the next plan instead of pricing the old corpus
+      val sigPath = fs.makeQualified(new Path(vp, RowStatsFile)).toString
       graft.plans.TierStatsCatalog.register(
-        hadoopFs(s, vp).makeQualified(vp).toString, st.rows, st.bytes,
-        st.avgLen)
+        fs.makeQualified(vp).toString, st.rows, st.bytes, st.cols,
+        sigPath = sigPath,
+        sig = graft.plans.TierStatsCatalog.sigOf(
+          s.sparkContext.hadoopConfiguration, sigPath))
     }
     s.read.parquet(versionDir)
   }
@@ -678,36 +695,54 @@ object DerivedStore {
     * metadata-only count over data just written (footer row counts, no
     * data pages), bytes from the same kind of listing every publish
     * already does, and — for var-width columns (string/binary/array) —
-    * the measured average width, because rowCount-based estimation
-    * prices unknown columns at DEFAULT widths (a 2KB text at 20 bytes,
-    * an embedding array at its element size), and that underestimate
-    * is the direction that wrongly BROADCASTS a wide tier. One
+    * the measured column profile ([[TableStats.columnProfile]]:
+    * avg/max widths of var-width columns, HLL NDV + null count of
+    * atomic columns), because rowCount-based estimation prices unknown
+    * columns at DEFAULT widths (a 2KB text at 20 bytes — the direction
+    * that wrongly BROADCASTS a wide tier) and join-cardinality
+    * estimation keys on distinctCount (r13 verdict #2). One
     * column-pruned agg pass over data the publish just wrote, the same
     * discipline as `_keysummary`/`_filemap`. [[statsOfVersion]] reads
     * it back; `servedWith` registers it in
-    * [[graft.plans.TierStatsCatalog]]. */
-  private val RowStatsFile = "_stats"
+    * [[graft.plans.TierStatsCatalog]].
+    *
+    * Sidecar format: line 1 `rows,bytes`; one line per profiled column
+    * `name\tavg\tmax\tndv\tnulls\tmin\tmax` with `-` for an unmeasured
+    * field (min/max are numeric-only external strings, so the tab
+    * framing is safe; v1 sidecars carried `name\tavg` only — the
+    * parser accepts both). */
+  private[io] val RowStatsFile = "_stats"
 
   private[graft] final case class TierRowStats(rows: Long, bytes: Long,
-                                               avgLen: Map[String, Long])
+                                               cols: Map[String, graft.plans.ColStat]) {
+    def avgLen: Map[String, Long] =
+      cols.flatMap { case (c, st) => st.avgLen.map(c -> _) }
+  }
 
-  /** Measured average widths of var-width columns, one agg pass; empty
-    * for fixed-width-only schemas (their default widths are exact).
-    * Shared with the raw-table ANALYZE ([[TableStats]]). */
-  private def varWidthAvgLens(df: DataFrame): Map[String, Long] =
-    TableStats.varWidthAvgLens(df)
+  /** Measured per-column profile, one agg pass; empty for
+    * fixed-width-only schemas with no atomic columns. Shared with the
+    * raw-table ANALYZE ([[TableStats]]). */
+  private def columnProfile(df: DataFrame,
+                            rows: Long): Map[String, graft.plans.ColStat] =
+    TableStats.columnProfile(df, rows)
 
   private def writeRowStatsRecord(s: SparkSession, dir: String,
-                                  st: TierRowStats): Unit =
+                                  st: TierRowStats): Unit = {
+    def f(o: Option[Long]) = o.fold("-")(_.toString)
+    def g(o: Option[String]) = o.getOrElse("-")
     Sidecar.write(hadoopFs(s, new Path(dir)), new Path(dir, RowStatsFile),
       (s"${st.rows},${st.bytes}" +:
-        st.avgLen.toSeq.sorted.map { case (c, l) => s"$c\t$l" }).mkString("\n"))
+        st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+          s"$c\t${f(cs.avgLen)}\t${f(cs.maxLen)}\t${f(cs.ndv)}\t${f(cs.nulls)}" +
+            s"\t${g(cs.min)}\t${g(cs.max)}"
+        }).mkString("\n"))
+  }
 
   private def writeRowStats(s: SparkSession, dir: String): Unit = {
     val df = s.read.parquet(dir)
     val rows = df.count() // parquet metadata-only
     val bytes = dataFilesOf(s, new Path(dir)).map(_.getLen).sum
-    writeRowStatsRecord(s, dir, TierRowStats(rows, bytes, varWidthAvgLens(df)))
+    writeRowStatsRecord(s, dir, TierRowStats(rows, bytes, columnProfile(df, rows)))
   }
 
   /** The stats a version's publish recorded; None for legacy versions.
@@ -718,8 +753,8 @@ object DerivedStore {
     * feed the optimizer the old corpus's row counts (the
     * wrongly-broadcast direction). One getFileStatus per lookup, the
     * ZoneMap memo's discipline. */
-  private val rowStatsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Option[TierRowStats])]()
+  private val rowStatsMemo =
+    new graft.core.LruMap[String, (String, Option[TierRowStats])](4096)
 
   private[graft] def rowStatsOfVersion(s: SparkSession,
                                        versionDir: String): Option[TierRowStats] = {
@@ -729,7 +764,7 @@ object DerivedStore {
       val st = fs.getFileStatus(p)
       s"${st.getLen}:${st.getModificationTime}"
     }.getOrElse("absent")
-    Option(rowStatsMemo.get(versionDir)).collect {
+    rowStatsMemo.get(versionDir).collect {
       case (g, v) if g == sig => v
     }.getOrElse {
       val loaded = Sidecar.read(fs, p).flatMap { txt =>
@@ -737,11 +772,22 @@ object DerivedStore {
         lines.head.split(",") match {
           case Array(r, b) =>
             for (rr <- r.toLongOption; bb <- b.toLongOption) yield {
-              val avgs = lines.tail.flatMap(_.split("\t", 2) match {
-                case Array(c, l) => l.toLongOption.map(c -> _)
-                case _ => None
-              }).toMap
-              TierRowStats(rr, bb, avgs)
+              val cols = lines.tail.flatMap { ln =>
+                val parts = ln.split("\t", -1)
+                def opt(i: Int) =
+                  if (i < parts.length) parts(i).toLongOption else None
+                def str(i: Int) =
+                  if (i < parts.length && parts(i) != "-" && parts(i).nonEmpty)
+                    Some(parts(i))
+                  else None
+                if (parts.length >= 2 && parts(0).nonEmpty) {
+                  val cs = graft.plans.ColStat(opt(1), opt(2), opt(3), opt(4),
+                    str(5), str(6))
+                  if (cs == graft.plans.ColStat.empty) None
+                  else Some(parts(0) -> cs)
+                } else None
+              }.toMap
+              TierRowStats(rr, bb, cols)
             }
           case _ => None
         }
@@ -761,8 +807,10 @@ object DerivedStore {
 
   /** Layout sidecar: bucket count + function id. The merge precondition
     * reads it back — a prev version bucketed differently (or not at
-    * all) cannot be byte-copied per bucket. */
-  private val BucketsFile = "_buckets"
+    * all) cannot be byte-copied per bucket. Package-visible so the
+    * in-place mutator ([[TargetedDelete]]) can drop it: its rewrites
+    * land non-bucket file names, making the sidecar a lie. */
+  private[io] val BucketsFile = "_buckets"
 
   /** The stable bucket of a key: Murmur3 (Spark's `hash`) mod B. */
   private def bucketExpr(sortKey: String, b: Int) =
@@ -817,11 +865,20 @@ object DerivedStore {
     // files (Spark creates them lazily per partition value), which
     // would leave the staged version schema-less — every later read
     // (sidecar passes, the serve itself) fails inference. Land one
-    // schema-bearing empty file the way a plain write of an empty
-    // frame does; its non-bucket name reads as "no bucket", which a
-    // later patch correctly byte-copies.
-    if (moved == 0)
-      rows.limit(0).coalesce(1).write.mode("append").parquet(destDir.toString)
+    // schema-bearing empty file under a BUCKET name: the merge
+    // precondition now requires every data file to declare its bucket,
+    // and "all rows (none) hash to bucket 0" is vacuously true, so a
+    // later patch can byte-copy or rewrite it either way.
+    if (moved == 0) {
+      rows.limit(0).coalesce(1).write.parquet(tmp.toString)
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          require(fs.rename(f.getPath,
+            new Path(destDir, s"b0-${f.getPath.getName}")),
+            s"empty-bucket move ${f.getPath} failed")
+        }
+      fs.delete(tmp, true): Unit
+    }
   }
 
   /** Full build under the bucketed layout (first publish and every
@@ -1020,30 +1077,64 @@ object DerivedStore {
     val newDf = s.read.parquet(newFiles: _*) // shared by all three sidecars
     // _stats at delta cost: rows ADD unconditionally under the
     // append-only contract (a metadata-only count over the new runs);
-    // bytes re-listed; avgLens merge as the row-weighted mean. A legacy
-    // base without the sidecar pays one full pass, then stays
+    // bytes re-listed; column profiles merge field-wise (below). A
+    // legacy base without the sidecar pays one full pass, then stays
     // delta-cost forever.
     rowStatsOfVersion(s, prevDir.toString) match {
       case Some(prev) =>
         val deltaN = newDf.count()
-        val deltaAvg = varWidthAvgLens(newDf)
+        val deltaCols = columnProfile(newDf, deltaN)
         val bytes = dataFilesOf(s, new Path(stagingDir)).map(_.getLen).sum
-        val mergedAvg = prev.avgLen.map { case (c, pl) =>
-          deltaAvg.get(c) match {
-            case Some(dl) =>
-              val tot = prev.rows + deltaN
-              c -> (if (tot == 0) pl
-                    else (prev.rows * pl + deltaN * dl + tot - 1) / tot)
-            // delta measured nothing for this column (all-null night —
-            // schema drift can't reach here, the sameTierSchema guard
-            // routed it to the full build): keep the prev measurement
-            // rather than dropping to the 20B default that wrongly
-            // broadcasts wide payloads
-            case None => c -> pl
+        val tot = prev.rows + deltaN
+        val mergedCols = prev.cols.map { case (c, p) =>
+          val d = deltaCols.getOrElse(c, graft.plans.ColStat.empty)
+          // avg: row-weighted mean; a delta that measured nothing for
+          // this column (all-null night — schema drift can't reach
+          // here, the sameTierSchema guard routed it to the full
+          // build) keeps the prev measurement rather than dropping to
+          // the 20B default that wrongly broadcasts wide payloads
+          val avg = (p.avgLen, d.avgLen) match {
+            case (Some(pl), Some(dl)) if tot > 0 =>
+              Some((prev.rows * pl + deltaN * dl + tot - 1) / tot)
+            case (pa, da) => pa.orElse(da)
           }
+          // max: maxima combine exactly under appends
+          val mx = (p.maxLen ++ d.maxLen).reduceOption(_ max _)
+          // NDV cannot merge from two scalars. The summarized key's
+          // values are DISJOINT under the deltaMerge contract (counts
+          // add exactly); any other column keeps the larger side — a
+          // LOWER bound of the true NDV, the conservative direction
+          // for join estimation (an understated NDV overestimates join
+          // output; it never wrongly broadcasts)
+          val disjointKey = c == sortKey || summaryKey.contains(c)
+          val nd = (p.ndv, d.ndv) match {
+            case (Some(a), Some(b)) => Some(if (disjointKey) a + b else a max b)
+            case (a, b) => a.orElse(b)
+          }
+          // nulls add exactly under appends; one absent side degrades
+          // to the other alone (again a conservative lower bound)
+          val nl = (p.nulls, d.nulls) match {
+            case (Some(a), Some(b)) => Some(a + b)
+            case (a, b) => a.orElse(b)
+          }
+          // value bounds widen exactly under appends (numeric external
+          // strings; BigDecimal compare, since "9" < "10" textually
+          // fails). Either side absent → None: a bound that covers only
+          // part of the data would wrongly SHRINK the interval — the
+          // direction join/filter estimation turns into a zero
+          def widen(a: Option[String], b: Option[String],
+                    pick: (BigDecimal, BigDecimal) => BigDecimal) =
+            (a, b) match {
+              case (Some(x), Some(y)) => scala.util.Try(
+                if (pick(BigDecimal(x), BigDecimal(y)) == BigDecimal(x)) x
+                else y).toOption
+              case _ => None
+            }
+          val vmin = widen(p.min, d.min, _ min _)
+          val vmax = widen(p.max, d.max, _ max _)
+          c -> graft.plans.ColStat(avg, mx, nd, nl, vmin, vmax)
         }
-        writeRowStatsRecord(s, stagingDir,
-          TierRowStats(prev.rows + deltaN, bytes, mergedAvg))
+        writeRowStatsRecord(s, stagingDir, TierRowStats(tot, bytes, mergedCols))
       case None => writeRowStats(s, stagingDir)
     }
     // _filemap: prev entries + the new runs' stats (ranges may overlap

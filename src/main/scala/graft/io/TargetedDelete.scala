@@ -214,6 +214,19 @@ object TargetedDelete {
     // it; sync falls back to the manifest-pruned base scan.
     fs.delete(new Path(table, graft.streaming.StreamTierIngest.SyncDeltaDir),
       true): Unit
+    // a bucketed tier's layout sidecar is a lie after this rewrite —
+    // the survivor files land under non-bucket names, so a later
+    // bucketed patch trusting `_buckets` would byte-copy rows its
+    // name-keyed anti-join never saw (r13 advice #1; belt to the merge
+    // precondition's braces, which also rejects foreign names). Drop
+    // it: the next serve routes to the full rebuild, which restores
+    // the layout and a truthful sidecar.
+    fs.delete(new Path(table, DerivedStore.BucketsFile), false): Unit
+    // the publish-time `_stats` sidecar now overcounts the deleted
+    // rows; a dropped sidecar means "no stats" (file-size estimates),
+    // and the signed TierStatsCatalog entry self-evicts at the next
+    // plan because its recorded len:mtime signature no longer matches
+    fs.delete(new Path(table, DerivedStore.RowStatsFile), false): Unit
     Report(rowsDeleted, affectedFiles.length.toLong, filesTotal)
   }
 }

@@ -101,11 +101,11 @@ object ZoneMap {
     * even a foreign process — lands a new part-file name/mtime and
     * misses the cache, so no mutation site needs to know the cache
     * exists (path-identity-only memoization could not promise that).
-    * Bounded: manifests are ≤ MaxTierFiles rows and the map clears
-    * itself at the cap — a memo, never a correctness structure. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Manifest)]()
-  private val MemoCap = 512
+    * Bounded by an LRU (r13 verdict #4: the previous clear-all-at-cap
+    * backstop cold-restarted EVERY table's manifest the moment one
+    * more than the cap was read) — a memo, never a correctness
+    * structure. */
+  private val memo = new graft.core.LruMap[String, (String, Manifest)](512)
 
   /** The manifest at `tableDir`, whatever key it summarizes; None when
     * absent or unreadable (a half-written manifest must degrade to the
@@ -121,7 +121,7 @@ object ZoneMap {
       case None => None // dir absent or unlistable: the scan fallback
       case Some(sig) =>
         val qp = fs.makeQualified(p).toString
-        Option(memo.get(qp)).collect { case (g, m) if g == sig => m }
+        memo.get(qp).collect { case (g, m) if g == sig => m }
           .orElse {
             val loaded = scala.util.Try {
               val rows = s.read.parquet(p.toString).collect()
@@ -131,10 +131,7 @@ object ZoneMap {
                     r.get(r.fieldIndex("fmin")), r.get(r.fieldIndex("fmax")))))
               }
             }.toOption.flatten
-            loaded.foreach { m =>
-              if (memo.size >= MemoCap) memo.clear()
-              memo.put(qp, (sig, m)): Unit
-            }
+            loaded.foreach(m => memo.put(qp, (sig, m)))
             loaded
           }
     }

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
@@ -9,34 +7,83 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-/** Registry mapping a published tier VERSION directory (qualified URI
-  * string) to the exact (rowCount, sizeInBytes) its publish recorded in
-  * the `_stats` sidecar. `DerivedStore` registers every version it
-  * serves; [[TierStatsRule]] feeds the numbers to Catalyst.
+/** One column's measured statistics, as a stats producer recorded them
+  * (`TableStats.columnProfile`, a tier publish's `_stats` sidecar):
+  * avg/max byte widths for var-width columns (the default-width
+  * mispricing fix), NDV + null count for atomic columns (what
+  * join-cardinality estimation keys on), and value min/max for NUMERIC
+  * columns in `CatalogColumnStat`'s external-string form — required,
+  * not decorative: Spark's `JoinEstimation` intersects the two key
+  * sides' `ValueInterval`s before applying the NDV formula, and a
+  * numeric column without min/max becomes a `NullValueInterval` that
+  * intersects NOTHING, zeroing every join estimate through it. Every
+  * field is honest-or-absent (r13 advice: maxLen used to repeat the
+  * AVERAGE — a lie a future estimator could trust). */
+final case class ColStat(avgLen: Option[Long], maxLen: Option[Long],
+                         ndv: Option[Long], nulls: Option[Long],
+                         min: Option[String] = None,
+                         max: Option[String] = None)
+
+object ColStat {
+  val empty: ColStat = ColStat(None, None, None, None, None, None)
+}
+
+/** Registry mapping a stats-carrying scan root (qualified URI string —
+  * a published tier VERSION dir, or a raw warehouse table dir) to the
+  * exact (rowCount, sizeInBytes, column profile) its producer measured.
+  * `DerivedStore` registers every version it serves from its `_stats`
+  * sidecar; `TableStats.analyze` registers raw tables;
+  * [[TierStatsRule]] feeds the numbers to Catalyst.
   *
-  * Version dirs are immutable once committed (OCC publish + vacuum
-  * deletes whole dirs), so entries never go stale — a superseded
-  * version simply stops being scanned. Bounded by the number of
-  * distinct versions a JVM serves; cleared wholesale at a cap as a
-  * leak backstop. */
+  * Staleness: version dirs are immutable once committed, BUT a
+  * long-lived JVM can see a store wiped and rebuilt at the same v=N
+  * path, and raw tables are reloaded in place — so every entry carries
+  * a content signature (len:mtime of the `_stats` sidecar for tiers,
+  * mtime of the table dir for raw tables) and [[TierStatsRule]]
+  * revalidates it with ONE getFileStatus before trusting the numbers
+  * (r13 advice #2: a path-keyed entry with no signature fed the old
+  * corpus's row count to any scan planned between the wipe and the
+  * next serve — the wrongly-broadcast direction). Bounded by an LRU
+  * (r13 verdict #4: the previous clear-ALL-at-cap backstop
+  * cold-restarted every tier's stats the moment one more than the cap
+  * was served). */
 object TierStatsCatalog {
-  /** rows, bytes, and measured avg widths of var-width columns — the
-    * widths matter because default-width pricing UNDERESTIMATES wide
-    * payloads (string=20B, array=element size), the direction that
-    * wrongly broadcasts. */
-  final case class Entry(rows: Long, bytes: Long, avgLen: Map[String, Long])
+  final case class Entry(rows: Long, bytes: Long, cols: Map[String, ColStat],
+                         sigPath: String, sig: String)
 
-  private val byDir = new ConcurrentHashMap[String, Entry]()
-  private val Cap = 4096
+  private val byDir = new graft.core.LruMap[String, Entry](4096)
 
-  def register(versionDir: String, rows: Long, bytes: Long,
-               avgLen: Map[String, Long] = Map.empty): Unit = {
-    if (byDir.size >= Cap) byDir.clear()
-    byDir.put(versionDir, Entry(rows, bytes, avgLen)): Unit
-  }
+  /** Content signature of `path`: len:mtime for files; for directories
+    * mtime alone (a dir's length is filesystem-defined noise, but its
+    * mtime moves whenever a child is added or removed — i.e. whenever a
+    * Spark writer rewrites the table). "absent" for a missing path, so
+    * a deleted sidecar invalidates rather than matches. */
+  def sigOf(conf: org.apache.hadoop.conf.Configuration, path: String): String =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      if (st.isDirectory) s"dir:${st.getModificationTime}"
+      else s"${st.getLen}:${st.getModificationTime}"
+    }.getOrElse("absent")
 
-  private[plans] def lookup(versionDir: String): Option[Entry] =
-    Option(byDir.get(versionDir))
+  def register(scanRoot: String, rows: Long, bytes: Long,
+               cols: Map[String, ColStat] = Map.empty,
+               sigPath: String = "", sig: String = ""): Unit =
+    byDir.put(scanRoot, Entry(rows, bytes, cols, sigPath, sig))
+
+  /** The entry for `scanRoot`, revalidated against its recorded content
+    * signature (one metadata RPC); a stale entry is evicted and the
+    * scan falls back to file-size estimation until the next
+    * register. An unsigned entry (legacy producer) is trusted as-is. */
+  private[plans] def lookupValid(conf: org.apache.hadoop.conf.Configuration,
+                                 scanRoot: String): Option[Entry] =
+    byDir.get(scanRoot).flatMap { e =>
+      if (e.sig.isEmpty || sigOf(conf, e.sigPath) == e.sig) Some(e)
+      else { byDir.remove(scanRoot); None }
+    }
+
+  private[graft] def lookup(scanRoot: String): Option[Entry] =
+    byDir.get(scanRoot)
 
   private[graft] def clear(): Unit = byDir.clear()
 }
@@ -52,8 +99,12 @@ object TierStatsCatalog {
   * the bytes land on the key's side of the ratio), but with a rowCount
   * the stats visitor prices the projected columns directly —
   * `rows × width(key)` — and a dim-sized join side flips to broadcast.
-  * Requires `spark.sql.cbo.planStats.enabled` (set in the engine's
-  * sessions): rowCount-based estimation without full CBO join reorder.
+  * Column stats ride along (r13 verdict #2): measured avg/max widths
+  * fix the sizing, NDV + null count feed `JoinEstimation`'s
+  * `rows₁·rows₂ / max(ndv₁, ndv₂)` cardinality formula, so estimates
+  * THROUGH a join stop being ratio guesses. Requires
+  * `spark.sql.cbo.planStats.enabled` (set in the engine's sessions):
+  * rowCount-based estimation without full CBO join reorder.
   *
   * Idempotent and convergent under the fixed-point optimizer batch: a
   * relation that already carries a catalogTable is never rewritten. */
@@ -62,11 +113,18 @@ case class TierStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
     case lr @ LogicalRelation(fsRel: HadoopFsRelation, _, None, _, _)
         if fsRel.location.rootPaths.length == 1 =>
       val root = fsRel.location.rootPaths.head.toString
-      TierStatsCatalog.lookup(root) match {
+      TierStatsCatalog.lookupValid(
+        session.sparkContext.hadoopConfiguration, root) match {
         case Some(e) =>
-          val colStats = e.avgLen.collect {
-            case (name, len) if fsRel.schema.fieldNames.contains(name) =>
-              name -> CatalogColumnStat(avgLen = Some(len), maxLen = Some(len))
+          val colStats = e.cols.collect {
+            case (name, cs) if fsRel.schema.fieldNames.contains(name) =>
+              name -> CatalogColumnStat(
+                distinctCount = cs.ndv.map(BigInt(_)),
+                min = cs.min,
+                max = cs.max,
+                nullCount = cs.nulls.map(BigInt(_)),
+                avgLen = cs.avgLen,
+                maxLen = cs.maxLen)
           }
           val ct = CatalogTable(
             identifier = TableIdentifier(

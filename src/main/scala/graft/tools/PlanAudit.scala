@@ -143,6 +143,15 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-plan-audit")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // GRAFT_ANALYZE=1 audits the nightly-pipeline world: raw tables
+    // carry exact rowCount/NDV stats (TierRefresh's analyze_raw step),
+    // the precondition for estimation-driven plan changes — pair with
+    // GRAFT_EXTRA_CONF to audit a candidate optimizer flag
+    if (sys.env.get("GRAFT_ANALYZE").contains("1"))
+      graft.core.Tables.all.foreach { t =>
+        try graft.io.TableStats.analyze(spark, sfDir, t): Unit
+        catch { case _: Throwable => () }
+      }
     var flags = 0
     for ((name, fn) <- graft.queries.Registry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sfDir)

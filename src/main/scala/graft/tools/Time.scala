@@ -15,9 +15,10 @@ object Time {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, rest @ _*) = args
     val cold = rest.contains("-cold")
-    val names = rest.filterNot(_ == "-cold")
+    val analyze = rest.contains("-analyze")
+    val names = rest.filterNot(f => f == "-cold" || f == "-analyze")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,8 +31,23 @@ object Time {
       // match Bench: without this the 100-entry generated-class cache
       // makes timings include Janino recompiles Bench won't pay
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    // same operational override hook as Sessions.local — the conf A/B
+    // lever (e.g. GRAFT_EXTRA_CONF="spark.sql.cbo.joinReorder.enabled=true")
+    sys.env.get("GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v): Unit
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // `-analyze` reproduces the nightly-pipeline world (TierRefresh's
+    // analyze_raw step): raw tables carry exact rowCount/NDV, which is
+    // the precondition for CBO join-reorder to consider them at all
+    if (analyze) graft.core.Tables.all.foreach { t =>
+      try graft.io.TableStats.analyze(spark, sfDir, t): Unit
+      catch { case _: Throwable => () }
+    }
     val sel = graft.SparkEntry.queries.filter(kv => names.contains(kv._1)).toSeq.sortBy(_._1)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -129,4 +129,99 @@ class BucketedTierSpec extends SparkSpec {
       case None => sys.props.remove("graft.graphstore.dir"): Unit
     }
   }
+
+  test("takedown ON a bucketed tier: _buckets dropped, next night full-rebuilds coherently") {
+    val dir = tmpDir("buckettd-src")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("buckettd-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      val c1 = clusters(dir)
+      val v1 = versionDir(dir)
+
+      // the direct takedown (r13 verdict #6): TargetedDelete mutates
+      // the SERVED version in place — its rewrites land non-bucket
+      // names, so every `_buckets`-dependent structure must go with it
+      val gone = c1.head._1
+      val td = TargetedDelete.deleteIds(spark, v1, "doc_id", Seq(gone))
+      assert(td.rowsDeleted == 1, s"tier takedown: $td")
+      assert(!new java.io.File(v1, DerivedStore.BucketsFile).exists(),
+        "_buckets must not survive an in-place rewrite it makes untrue")
+      assert(!new java.io.File(v1, DerivedStore.RowStatsFile).exists(),
+        "_stats overcounts the deleted rows and must be dropped")
+      spark.catalog.clearCache()
+      assert(!clusters(dir).exists(_._1 == gone),
+        "the served tier must forget the taken-down doc immediately")
+
+      // next append night: with the layout sidecar gone the merge
+      // precondition fails and the night pays ONE full rebuild — never
+      // a patch that byte-copies deleted-rewrite files around the
+      // upsert anti-join (duplicate keys with conflicting labels)
+      val member = c1.maxBy(_._1)._1
+      val delta = docs.filter(col("doc_id") === member)
+        .withColumn("doc_id", col("doc_id") + 9000001L)
+      val stage = tmpDir("buckettd-delta")
+      delta.coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val c2 = clusters(dir)
+      assert(DerivedStore.lastBuild.contains("lsh_components" -> "full"),
+        s"post-takedown night must route to full: ${DerivedStore.lastBuild}")
+      spark.catalog.clearCache()
+      assert(c2 == inlineClusters(dir),
+        "post-takedown serve must equal the inline rebuild")
+      val served = graft.dedup.ClusterStore.lshComponents(spark, dir)
+      assert(served.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+        "no duplicate keys may survive the takedown-then-refresh cycle")
+      // and the rebuild restored a truthful bucketed layout
+      val v2 = versionDir(dir)
+      assert(v2 != v1 && new java.io.File(v2, DerivedStore.BucketsFile).exists())
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
+
+  test("a foreign-named data file defeats the byte-copy precondition even with _buckets intact") {
+    val dir = tmpDir("bucketrogue-src")
+    val prevRoot = sys.props.get("graft.graphstore.dir")
+    sys.props("graft.graphstore.dir") = tmpDir("bucketrogue-store")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents").cache()
+      writeTable(docs.filter(col("doc_id") % 2 === 0), dir, "documents")
+      val c1 = clusters(dir)
+      val v1 = versionDir(dir)
+
+      // a writer that is NOT TargetedDelete lands a row-free but
+      // foreign-NAMED file while _buckets survives — the r13-advice
+      // scenario where name-trusting membership would go wrong
+      val stage0 = tmpDir("bucketrogue-empty")
+      spark.read.parquet(v1).limit(0).coalesce(1)
+        .write.parquet(s"$stage0/e")
+      val part = new java.io.File(s"$stage0/e").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.move(part.toPath, Paths.get(v1).resolve("rogue-part-0.parquet"))
+      assert(new java.io.File(v1, DerivedStore.BucketsFile).exists())
+
+      val member = c1.maxBy(_._1)._1
+      val delta = docs.filter(col("doc_id") === member)
+        .withColumn("doc_id", col("doc_id") + 9000001L)
+      val stage = tmpDir("bucketrogue-delta")
+      delta.coalesce(1).write.parquet(s"$stage/d")
+      appendParts(s"$stage/d", s"$dir/documents.parquet")
+      DerivedStore.lastBuild = None
+      val c2 = clusters(dir)
+      assert(DerivedStore.lastBuild.contains("lsh_components" -> "full"),
+        s"a file that does not declare its bucket must force the full " +
+          s"rebuild: ${DerivedStore.lastBuild}")
+      spark.catalog.clearCache()
+      assert(c2 == inlineClusters(dir))
+      docs.unpersist(): Unit
+    } finally prevRoot match {
+      case Some(v) => sys.props("graft.graphstore.dir") = v
+      case None => sys.props.remove("graft.graphstore.dir"): Unit
+    }
+  }
 }

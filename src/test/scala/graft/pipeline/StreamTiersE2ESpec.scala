@@ -43,7 +43,10 @@ class StreamTiersE2ESpec extends SparkSpec {
       // night 1: the standing tiers build from the pre-stream corpus
       val n1 = TierRefresh.refresh(spark, dir, night1, runLog)
       assert(n1.forall(_.status == Pipeline.Succeeded), s"night 1: $n1")
-      assert(n1.forall(_.note == "mode=full v=1"), s"night 1 builds all: $n1")
+      assert(n1.filterNot(_.job == "analyze_raw")
+        .forall(_.note == "mode=full v=1"), s"night 1 builds all: $n1")
+      assert(n1.find(_.job == "analyze_raw").exists(_.note == "tables=4/10"),
+        s"the raw-table analyze leads the night: $n1")
 
       // the ingest gate, bootstrapped from the SAME corpus the tiers
       // serve (content-keyed: a re-crawl of a corpus doc is a dup)
@@ -88,7 +91,7 @@ class StreamTiersE2ESpec extends SparkSpec {
       mergedJobs.foreach(j => assert(notes(j) == "mode=merge v=2",
         s"$j must merge the synced delta: $notes"))
       val streamJobs = Set("stream_band_fold", "stream_surv_fold", "stream_corpus_sync")
-      (notes.keySet -- mergedJobs -- streamJobs).foreach(j =>
+      (notes.keySet -- mergedJobs -- streamJobs - "analyze_raw").foreach(j =>
         assert(notes(j) == "mode=noop v=1",
           s"$j must not move on a documents-only night: $notes"))
       // (the gate's own FIRST folds are mode=full by definition — the
@@ -109,7 +112,8 @@ class StreamTiersE2ESpec extends SparkSpec {
       // night 3, nothing new: the whole cascade is a no-op
       val n3 = Pipeline.run(spark, nightJobs, night1.plusDays(2), runLog)
       assert(n3.forall(r => r.status == Pipeline.Succeeded &&
-        (r.note == "noop" || r.note == "mode=noop v=2" || r.note == "mode=noop v=1")),
+        (r.note == "noop" || r.note == "mode=noop v=2" ||
+          r.note == "mode=noop v=1" || r.note.startsWith("tables="))),
         s"an unchanged night re-publishes nothing: ${n3.map(r => r.job -> r.note)}")
       docs.unpersist(): Unit
     } finally prevRoot match {

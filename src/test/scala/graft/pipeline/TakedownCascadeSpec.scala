@@ -65,7 +65,7 @@ class TakedownCascadeSpec extends SparkSpec {
       val notes2 = n2.map(r => r.job -> r.note).toMap
       docTiers.foreach(j => assert(notes2(j) == "mode=full v=2",
         s"$j must pay the takedown rebuild exactly once: $notes2"))
-      (notes2.keySet -- docTiers).foreach(j =>
+      (notes2.keySet -- docTiers - "analyze_raw").foreach(j =>
         assert(notes2(j) == "mode=noop v=1",
           s"$j must not move on a documents-only takedown: $notes2"))
 

@@ -45,10 +45,38 @@ class TierRefreshSpec extends SparkSpec {
         writeTable(Tables.load(spark, sfDir, t), dir, t)
 
       val n1 = TierRefresh.refresh(spark, dir, night1, runLog)
-      assert(n1.size == 9)
+      assert(n1.size == 10)
       assert(n1.forall(_.status == Pipeline.Succeeded),
         s"night 1 must be all green: $n1")
       assert(n1.forall(_.rows > 0), "every tier carries rows")
+
+      // the analyze step ran first and registered every PRESENT raw
+      // table (r13 verdict #1): a post-night scan of a raw table
+      // carries its exact rowCount — the wiring that used to exist
+      // only in TierStatsSpec's direct call
+      for (t <- Seq("documents", "embeddings", "lineitem", "orders")) {
+        val st = spark.read.parquet(s"$dir/$t.parquet")
+          .queryExecution.optimizedPlan.stats
+        assert(st.rowCount.isDefined,
+          s"nightly analyze must register raw table $t: $st")
+      }
+      // and the stats change PLANS: a projected raw-documents scan is
+      // rowCount-priced (a few KB), so it broadcasts under a threshold
+      // its compressed file bytes alone would exceed
+      val docBytes = new java.io.File(s"$dir/documents.parquet")
+        .listFiles().filter(f => !f.getName.startsWith("_")).map(_.length).sum
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          math.max(docBytes / 2, 8 * 1024))
+        val dim = spark.range(2000000).toDF("doc_id")
+        val plan = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id").join(dim, "doc_id")
+          .queryExecution.sparkPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"analyzed raw scan must be rowCount-priced into a broadcast:\n$plan")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
 
       // night 2, no source movement: every serve is a fingerprint hit
       DerivedStore.lastBuild = None
@@ -81,25 +109,31 @@ class TierRefreshSpec extends SparkSpec {
         !builds.contains("emb_components") && !builds.contains("pq_index"),
         s"tiers not derived from documents must not rebuild: $builds")
 
-      // run-log: one row per tier per night (9 jobs x 3 nights + the
-      // 9 single-job night-3 runs counted above = rows land per run)
+      // run-log: one row per job per night (10 jobs x 3 nights; the
+      // night-3 single-job runs land their own rows per run)
       val log = spark.read.parquet(runLog)
-      assert(log.count() == 9L * 3)
+      assert(log.count() == 10L * 3)
       assert(log.filter(col("success_yn") =!= "Y").count() == 0)
 
       // every row carries HOW the tier was served (mode + version) in
       // its note slot — the nightly operator's "merge, v=2" at a
-      // glance (r10 verdict #4)
+      // glance (r10 verdict #4); the analyze job reports its table
+      // coverage the same way (4 of the 10 warehouse tables exist in
+      // this fixture)
       def notes(dt: String): Map[String, String] = log
         .filter(col("bat_dt") === dt).collect()
         .map(r => r.getAs[String]("job_nm") -> r.getAs[String]("error_msg")).toMap
-      val night1Notes = notes("20260811")
+      def tierNotes(dt: String): Map[String, String] =
+        notes(dt).filterNot(_._1 == "analyze_raw")
+      assert(notes("20260811")("analyze_raw") == "tables=4/10",
+        s"""analyze row: ${notes("20260811")}""")
+      val night1Notes = tierNotes("20260811")
       assert(night1Notes.size == 9 && night1Notes.values.forall(_ == "mode=full v=1"),
         s"first night builds everything: $night1Notes")
-      val night2Notes = notes("20260812")
+      val night2Notes = tierNotes("20260812")
       assert(night2Notes.values.forall(_ == "mode=noop v=1"),
         s"an unchanged night serves fingerprint hits: $night2Notes")
-      val night3Notes = notes("20260813")
+      val night3Notes = tierNotes("20260813")
       val mergedJobs = Set("tokens_tier", "shingle_tier", "band_index_tier",
         "lsh_components_tier", "media_ann_tier")
       assert(mergedJobs.forall(j => night3Notes(j) == "mode=merge v=2"),

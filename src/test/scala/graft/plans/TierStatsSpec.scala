@@ -83,6 +83,76 @@ class TierStatsSpec extends SparkSpec {
     }
   }
 
+  test("NDV feeds join-cardinality estimation: the join's row estimate matches the ndv formula") {
+    val dir = tmpDir("ndv-src")
+    // fact: 3000 rows over 100 distinct keys; dim: 100 distinct keys
+    spark.range(3000).select((col("id") % 100).as("k"), col("id").as("v"))
+      .coalesce(1).write.parquet(s"$dir/fact.parquet")
+    spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      .coalesce(1).write.parquet(s"$dir/dim.parquet")
+    val (fr, _) = graft.io.TableStats.analyze(spark, dir, "fact")
+    val (dr, _) = graft.io.TableStats.analyze(spark, dir, "dim")
+
+    def entryOf(t: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val q = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+      TierStatsCatalog.lookup(q).getOrElse(fail(s"no entry for $t"))
+    }
+    val fNdv = entryOf("fact").cols("k").ndv
+      .getOrElse(fail("fact.k must carry NDV"))
+    val dNdv = entryOf("dim").cols("k").ndv
+      .getOrElse(fail("dim.k must carry NDV"))
+
+    // JoinEstimation's equi-join formula: T(A⋈B) = T(A)·T(B) / max(ndv)
+    // — computed from the SAME numbers the rule attached, so the assert
+    // checks the plumbing end-to-end without trusting HLL to be exact
+    val nd = BigInt(math.max(fNdv, dNdv))
+    val expected = (BigInt(fr) * BigInt(dr) + nd - 1) / nd
+    val joined = spark.read.parquet(s"$dir/fact.parquet")
+      .join(spark.read.parquet(s"$dir/dim.parquet"), "k")
+    val est = joined.queryExecution.optimizedPlan.stats.rowCount
+    assert(est.contains(expected),
+      s"join row estimate must come from the registered NDV " +
+        s"(rows $fr×$dr, ndv $fNdv/$dNdv → $expected): got $est")
+  }
+
+  test("column profile is honest: maxLen is a real maximum, ndv ≤ rows, nulls counted") {
+    val dir = tmpDir("honest-src")
+    spark.createDataFrame(
+      Seq(("a", Some(1L)), ("bbbb", None), ("cc", Some(2L)), ("cc", Some(2L))))
+      .toDF("s", "n").coalesce(1).write.parquet(s"$dir/t.parquet")
+    val (rows, _) = graft.io.TableStats.analyze(spark, dir, "t")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/t.parquet")
+    val q = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    val e = TierStatsCatalog.lookup(q).getOrElse(fail("no entry"))
+    val sCol = e.cols("s")
+    assert(sCol.maxLen.contains(4L),
+      s"maxLen must be the real max(length), not the average: $sCol")
+    assert(sCol.avgLen.exists(a => a >= 2 && a <= 3), s"ceil(avg 9/4): $sCol")
+    assert(sCol.ndv.exists(n => n >= 1 && n <= rows), s"ndv clamped to rows: $sCol")
+    assert(e.cols("n").nulls.contains(1L), s"null count measured: ${e.cols("n")}")
+  }
+
+  test("a table reloaded at the same path invalidates its entry: signature revalidation") {
+    val dir = tmpDir("stale-src")
+    spark.range(500).toDF("id").coalesce(1).write.parquet(s"$dir/t.parquet")
+    graft.io.TableStats.analyze(spark, dir, "t")
+    val before = spark.read.parquet(s"$dir/t.parquet")
+      .queryExecution.optimizedPlan.stats
+    assert(before.rowCount.contains(BigInt(500)))
+    Thread.sleep(5) // ensure the rewrite lands a distinct mtime
+    spark.range(900).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // no re-analyze: the rule's signature check must evict the stale
+    // entry rather than price the new corpus with the old rowCount
+    val after = spark.read.parquet(s"$dir/t.parquet")
+      .queryExecution.optimizedPlan.stats
+    assert(after.rowCount.isEmpty,
+      s"stale entry must be evicted at plan time: $after")
+  }
+
   test("TableStats.analyze registers a RAW warehouse table: exact rowCount, measured text width") {
     val dir = tmpDir("tablestats-src")
     val docs = Tables.load(spark, sfDir, "documents").limit(300)
