@@ -48,6 +48,16 @@ object TableStats {
     (rows, bytes)
   }
 
+  /** Bulk [[analyze]] over the warehouse's tables, skipping absent or
+    * unreadable ones — the nightly `analyze_raw` body and the plan
+    * tools' `GRAFT_ANALYZE=1` world share it. Returns the analyzed
+    * table names. */
+  def analyzeAll(s: SparkSession, dir: String,
+                 tables: Seq[String] = graft.core.Tables.all): Seq[String] =
+    tables.filter { t =>
+      scala.util.Try(analyze(s, dir, t)).isSuccess
+    }
+
   /** Measured per-column profile, one agg pass:
     *  - avg/max byte widths for var-width columns (string/binary by
     *    length, arrays by size × element width) — the columns whose
@@ -78,10 +88,17 @@ object TableStats {
         case _ => Nil
       }
       // "atomic" by exclusion — AtomicType itself is sql-private; the
-      // containers, NULL, and intervals are what HLL can't hash
+      // containers, NULL, and intervals are what HLL can't hash.
+      // TimestampNTZ is measurable but must NOT carry stats: Spark
+      // 4.1.2's FilterEstimation.evaluateBinary match covers
+      // NumericType/Date/Timestamp/Boolean/String/Binary only, so a
+      // stats-bearing NTZ column under a comparison predicate throws
+      // MatchError inside planning (verified against this container's
+      // spark-catalyst). No stats → FilterEstimation skips the column.
       val atomic = f.dataType match {
         case _: ArrayType | _: MapType | _: StructType => false
-        case NullType | CalendarIntervalType => false
+        case NullType | CalendarIntervalType | TimestampNTZType => false
+        case _: YearMonthIntervalType | _: DayTimeIntervalType => false
         case _ => true
       }
       val counts = if (!atomic) Nil else Seq(

@@ -10,6 +10,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(cores = 8, appName = "graft-explain")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // GRAFT_ANALYZE=1: explain under the nightly-analyzed world (raw
+    // tables carry rowCount/NDV); pair with GRAFT_EXTRA_CONF for
+    // optimizer-flag plan diffs
+    if (sys.env.get("GRAFT_ANALYZE").contains("1"))
+      graft.io.TableStats.analyzeAll(spark, sfDir): Unit
     val names = if (args.length > 1) args.drop(1).toSeq
                 else graft.queries.Registry.queries.keys.toSeq.sorted
     for (n <- names) {

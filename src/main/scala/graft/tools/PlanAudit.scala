@@ -148,10 +148,7 @@ object PlanAudit {
     // the precondition for estimation-driven plan changes — pair with
     // GRAFT_EXTRA_CONF to audit a candidate optimizer flag
     if (sys.env.get("GRAFT_ANALYZE").contains("1"))
-      graft.core.Tables.all.foreach { t =>
-        try graft.io.TableStats.analyze(spark, sfDir, t): Unit
-        catch { case _: Throwable => () }
-      }
+      graft.io.TableStats.analyzeAll(spark, sfDir): Unit
     var flags = 0
     for ((name, fn) <- graft.queries.Registry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sfDir)

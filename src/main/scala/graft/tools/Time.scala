@@ -44,10 +44,7 @@ object Time {
     // `-analyze` reproduces the nightly-pipeline world (TierRefresh's
     // analyze_raw step): raw tables carry exact rowCount/NDV, which is
     // the precondition for CBO join-reorder to consider them at all
-    if (analyze) graft.core.Tables.all.foreach { t =>
-      try graft.io.TableStats.analyze(spark, sfDir, t): Unit
-      catch { case _: Throwable => () }
-    }
+    if (analyze) graft.io.TableStats.analyzeAll(spark, sfDir): Unit
     val sel = graft.SparkEntry.queries.filter(kv => names.contains(kv._1)).toSeq.sortBy(_._1)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
