@@ -28,17 +28,22 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    // operational conf overrides without a rebuild, e.g.
-    // GRAFT_EXTRA_CONF="spark.sql.cbo.joinReorder.enabled=true" for a
-    // gated optimizer A/B (semicolon-separated k=v pairs)
+    val spark = applyExtraConf(builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Operational conf overrides without a rebuild:
+    * `GRAFT_EXTRA_CONF="spark.sql.cbo.joinReorder.enabled=true"`
+    * (semicolon-separated k=v pairs) — the gated optimizer-A/B lever,
+    * shared by every session builder that honors it. */
+  def applyExtraConf(builder: SparkSession.Builder): SparkSession.Builder = {
     sys.env.get("GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v): Unit
       }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
+    builder
   }
 }

@@ -714,10 +714,7 @@ object DerivedStore {
   private[io] val RowStatsFile = "_stats"
 
   private[graft] final case class TierRowStats(rows: Long, bytes: Long,
-                                               cols: Map[String, graft.plans.ColStat]) {
-    def avgLen: Map[String, Long] =
-      cols.flatMap { case (c, st) => st.avgLen.map(c -> _) }
-  }
+                                               cols: Map[String, graft.plans.ColStat])
 
   /** Measured per-column profile, one agg pass; empty for
     * fixed-width-only schemas with no atomic columns. Shared with the
@@ -1086,54 +1083,70 @@ object DerivedStore {
         val deltaCols = columnProfile(newDf, deltaN)
         val bytes = dataFilesOf(s, new Path(stagingDir)).map(_.getLen).sum
         val tot = prev.rows + deltaN
-        val mergedCols = prev.cols.map { case (c, p) =>
-          val d = deltaCols.getOrElse(c, graft.plans.ColStat.empty)
-          // avg: row-weighted mean; a delta that measured nothing for
-          // this column (all-null night — schema drift can't reach
-          // here, the sameTierSchema guard routed it to the full
-          // build) keeps the prev measurement rather than dropping to
-          // the 20B default that wrongly broadcasts wide payloads
-          val avg = (p.avgLen, d.avgLen) match {
-            case (Some(pl), Some(dl)) if tot > 0 =>
-              Some((prev.rows * pl + deltaN * dl + tot - 1) / tot)
-            case (pa, da) => pa.orElse(da)
-          }
-          // max: maxima combine exactly under appends
-          val mx = (p.maxLen ++ d.maxLen).reduceOption(_ max _)
-          // NDV cannot merge from two scalars. The summarized key's
-          // values are DISJOINT under the deltaMerge contract (counts
-          // add exactly); any other column keeps the larger side — a
-          // LOWER bound of the true NDV, the conservative direction
-          // for join estimation (an understated NDV overestimates join
-          // output; it never wrongly broadcasts)
-          val disjointKey = c == sortKey || summaryKey.contains(c)
-          val nd = (p.ndv, d.ndv) match {
-            case (Some(a), Some(b)) => Some(if (disjointKey) a + b else a max b)
-            case (a, b) => a.orElse(b)
-          }
-          // nulls add exactly under appends; one absent side degrades
-          // to the other alone (again a conservative lower bound)
-          val nl = (p.nulls, d.nulls) match {
-            case (Some(a), Some(b)) => Some(a + b)
-            case (a, b) => a.orElse(b)
-          }
-          // value bounds widen exactly under appends (numeric external
-          // strings; BigDecimal compare, since "9" < "10" textually
-          // fails). Either side absent → None: a bound that covers only
-          // part of the data would wrongly SHRINK the interval — the
-          // direction join/filter estimation turns into a zero
-          def widen(a: Option[String], b: Option[String],
-                    pick: (BigDecimal, BigDecimal) => BigDecimal) =
-            (a, b) match {
-              case (Some(x), Some(y)) => scala.util.Try(
-                if (pick(BigDecimal(x), BigDecimal(y)) == BigDecimal(x)) x
-                else y).toOption
-              case _ => None
+        // merge grain (r14 review): a row-free delta (appended files,
+        // zero rows) adds NO values, so prev's profile stays exact; a
+        // row-free BASE means the delta IS the tier, so its profile is
+        // exact. Otherwise merge field-wise over prev's columns —
+        // columns only the delta measured (a legacy avg-only base) are
+        // OMITTED, not taken: a delta-grain width or interval presented
+        // as tier-grain would understate widths (the wrongly-broadcast
+        // direction) and SHRINK value intervals (the false-disjoint
+        // zero-estimate direction); they refresh at the next rewrite.
+        val mergedCols: Map[String, graft.plans.ColStat] =
+          if (deltaN == 0) prev.cols
+          else if (prev.rows == 0) deltaCols
+          else prev.cols.map { case (c, p) =>
+            val d = deltaCols.getOrElse(c, graft.plans.ColStat.empty)
+            // field absences on the DELTA side mean "no measurable
+            // values added" (an all-null column, a non-finite float
+            // aggregate — schema drift can't reach here, the
+            // sameTierSchema guard routed it to the full build): prev's
+            // measurement still covers every measured value, so keep
+            // it rather than dropping to defaults. Absences on the
+            // PREV side stay absent — see the grain note above.
+            val avg = (p.avgLen, d.avgLen) match {
+              case (Some(pl), Some(dl)) =>
+                Some((prev.rows * pl + deltaN * dl + tot - 1) / tot)
+              case (pa, _) => pa
             }
-          val vmin = widen(p.min, d.min, _ min _)
-          val vmax = widen(p.max, d.max, _ max _)
-          c -> graft.plans.ColStat(avg, mx, nd, nl, vmin, vmax)
-        }
+            val mx = (p.maxLen, d.maxLen) match {
+              case (Some(a), Some(b)) => Some(a max b)
+              case (pa, _) => pa
+            }
+            // NDV cannot merge from two scalars. ONLY the summarized
+            // key's values are DISJOINT under the deltaMerge contract
+            // (counts add exactly); every other column — including the
+            // sort key, whose values recur across append nights in the
+            // token/band tiers — keeps the larger side, a LOWER bound
+            // of the true NDV: the conservative direction for join
+            // estimation (an understated NDV overestimates join
+            // output; an overstated one under-estimates and wrongly
+            // broadcasts, compounding every night it is summed)
+            val disjointKey = summaryKey.contains(c)
+            val nd = (p.ndv, d.ndv) match {
+              case (Some(a), Some(b)) => Some(if (disjointKey) a + b else a max b)
+              case (pa, _) => pa
+            }
+            // nulls add exactly under appends
+            val nl = (p.nulls, d.nulls) match {
+              case (Some(a), Some(b)) => Some(a + b)
+              case (pa, _) => pa
+            }
+            // value bounds widen exactly under appends (numeric
+            // external strings; BigDecimal compare, since "9" < "10"
+            // textually fails); an unparseable bound drops both sides
+            def widen(a: Option[String], b: Option[String],
+                      pick: (BigDecimal, BigDecimal) => BigDecimal) =
+              (a, b) match {
+                case (Some(x), Some(y)) => scala.util.Try(
+                  if (pick(BigDecimal(x), BigDecimal(y)) == BigDecimal(x)) x
+                  else y).toOption
+                case (pa, _) => pa
+              }
+            val vmin = widen(p.min, d.min, _ min _)
+            val vmax = widen(p.max, d.max, _ max _)
+            c -> graft.plans.ColStat(avg, mx, nd, nl, vmin, vmax)
+          }
         writeRowStatsRecord(s, stagingDir, TierRowStats(tot, bytes, mergedCols))
       case None => writeRowStats(s, stagingDir)
     }

@@ -30,6 +30,13 @@ object TableStats {
   def analyze(s: SparkSession, dir: String, table: String): (Long, Long) = {
     val path = new Path(s"$dir/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(path).toString
+    // signature FIRST, stats second: a reload landing mid-analyze then
+    // fails the next plan's revalidation (pre-reload signature vs
+    // post-reload listing) instead of signing post-reload over numbers
+    // counted pre-reload
+    val sig = graft.plans.TierStatsCatalog.sigOf(
+      s.sparkContext.hadoopConfiguration, qualified)
     val df = s.read.parquet(path.toString)
     val rows = df.count() // metadata-only for parquet
     val it = fs.listFiles(path, true)
@@ -39,23 +46,20 @@ object TableStats {
       val n = f.getPath.getName
       if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
     }
-    val qualified = fs.makeQualified(path).toString
     graft.plans.TierStatsCatalog.register(
       qualified, rows, bytes, columnProfile(df, rows),
-      sigPath = qualified,
-      sig = graft.plans.TierStatsCatalog.sigOf(
-        s.sparkContext.hadoopConfiguration, qualified))
+      sigPath = qualified, sig = sig)
     (rows, bytes)
   }
 
   /** Bulk [[analyze]] over the warehouse's tables, skipping absent or
-    * unreadable ones — the nightly `analyze_raw` body and the plan
-    * tools' `GRAFT_ANALYZE=1` world share it. Returns the analyzed
-    * table names. */
+    * unreadable ones (stats must never fail a night) — the nightly
+    * `analyze_raw` body and the plan tools' `GRAFT_ANALYZE=1` world
+    * share it. Returns (table, rows) per analyzed table. */
   def analyzeAll(s: SparkSession, dir: String,
-                 tables: Seq[String] = graft.core.Tables.all): Seq[String] =
-    tables.filter { t =>
-      scala.util.Try(analyze(s, dir, t)).isSuccess
+                 tables: Seq[String] = graft.core.Tables.all): Seq[(String, Long)] =
+    tables.flatMap { t =>
+      scala.util.Try(analyze(s, dir, t)).toOption.map { case (r, _) => t -> r }
     }
 
   /** Measured per-column profile, one agg pass:

@@ -70,13 +70,9 @@ object TierRefresh {
   def analyzeJob(sfDir: String,
                  tables: Seq[String] = graft.core.Tables.all): Job =
     Job("analyze_raw", "warehouse.stats")((s, _) => {
-      val fs = new org.apache.hadoop.fs.Path(sfDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val present = tables.filter(t =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")))
-      val rows = present.map(t => graft.io.TableStats.analyze(s, sfDir, t)._1)
-      Pipeline.jobNote = Some(s"tables=${present.size}/${tables.size}")
-      rows.sum
+      val analyzed = graft.io.TableStats.analyzeAll(s, sfDir, tables)
+      Pipeline.jobNote = Some(s"tables=${analyzed.size}/${tables.size}")
+      analyzed.map(_._2).sum
     })
 
   /** One job per standing tier, dependency-ordered; the raw-table

@@ -54,16 +54,25 @@ object TierStatsCatalog {
   private val byDir = new graft.core.LruMap[String, Entry](4096)
 
   /** Content signature of `path`: len:mtime for files; for directories
-    * mtime alone (a dir's length is filesystem-defined noise, but its
-    * mtime moves whenever a child is added or removed — i.e. whenever a
-    * Spark writer rewrites the table). "absent" for a missing path, so
-    * a deleted sidecar invalidates rather than matches. */
+    * a hash over the one-level child listing's (name, len, mtime) —
+    * dir mtime alone misses a loader that rewrites file CONTENTS under
+    * the same names (`cp` over part files, rsync --inplace), which
+    * changes each FILE's len/mtime but not the dir's (r14 review).
+    * One listStatus per registered raw-table scan per plan; the raw
+    * warehouse layout is flat, so the one-level listing sees every
+    * data file. "absent" for a missing path, so a deleted sidecar
+    * invalidates rather than matches. */
   def sigOf(conf: org.apache.hadoop.conf.Configuration, path: String): String =
     scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      if (st.isDirectory) s"dir:${st.getModificationTime}"
-      else s"${st.getLen}:${st.getModificationTime}"
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        val entries = fs.listStatus(p).map(e =>
+          s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
+        s"dir:${entries.length}:${scala.util.hashing.MurmurHash3
+          .orderedHash(entries.sorted.toSeq)}"
+      } else s"${st.getLen}:${st.getModificationTime}"
     }.getOrElse("absent")
 
   def register(scanRoot: String, rows: Long, bytes: Long,
@@ -118,8 +127,24 @@ case class TierStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Some(e) =>
           val colStats = e.cols.collect {
             case (name, cs) if fsRel.schema.fieldNames.contains(name) =>
+              // NDV is attached only when the interval story is sound:
+              // JoinEstimation guards on count stats alone and then
+              // intersects ValueIntervals, and a non-string column
+              // WITH distinctCount but WITHOUT min/max becomes a
+              // NullValueInterval that intersects nothing — the join
+              // estimate collapses to zero and broadcasts the world.
+              // String/Binary get a DefaultValueInterval (intersects
+              // everything), so their NDV is safe bound-less. An NDV
+              // withheld here still lives in the sidecar; it simply
+              // waits for bounds (a Date/Timestamp key today, a
+              // merge-degraded numeric) before steering cardinality.
+              import org.apache.spark.sql.types.{BinaryType, StringType}
+              val boundless = fsRel.schema(name).dataType match {
+                case StringType | BinaryType => false
+                case _ => cs.min.isEmpty || cs.max.isEmpty
+              }
               name -> CatalogColumnStat(
-                distinctCount = cs.ndv.map(BigInt(_)),
+                distinctCount = if (boundless) None else cs.ndv.map(BigInt(_)),
                 min = cs.min,
                 max = cs.max,
                 nullCount = cs.nulls.map(BigInt(_)),

@@ -31,15 +31,7 @@ object Time {
       // match Bench: without this the 100-entry generated-class cache
       // makes timings include Janino recompiles Bench won't pay
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-    // same operational override hook as Sessions.local — the conf A/B
-    // lever (e.g. GRAFT_EXTRA_CONF="spark.sql.cbo.joinReorder.enabled=true")
-    sys.env.get("GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v): Unit
-      }
-    val spark = builder.getOrCreate()
+    val spark = graft.core.Sessions.applyExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // `-analyze` reproduces the nightly-pipeline world (TierRefresh's
     // analyze_raw step): raw tables carry exact rowCount/NDV, which is

@@ -135,6 +135,58 @@ class TierStatsSpec extends SparkSpec {
     assert(e.cols("n").nulls.contains(1L), s"null count measured: ${e.cols("n")}")
   }
 
+  test("NDV without value bounds is withheld at attach: no zero join estimates") {
+    val dir = tmpDir("boundless-src")
+    spark.range(1000).select((col("id") % 50).as("k"))
+      .coalesce(1).write.parquet(s"$dir/t.parquet")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/t.parquet")
+    val q = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    // a merge-degraded entry: NDV survives, bounds don't — attaching
+    // this distinctCount would make the numeric key a NullValueInterval
+    // and the join estimate zero (the broadcast-the-world direction)
+    TierStatsCatalog.register(q, 1000, 4096,
+      Map("k" -> ColStat(None, None, ndv = Some(50), nulls = Some(0))))
+    val dim = spark.range(50).toDF("k")
+    val est = spark.read.parquet(s"$dir/t.parquet").join(dim, "k")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(!est.contains(BigInt(0)),
+      s"a bound-less NDV must not zero the join estimate: $est")
+  }
+
+  test("a same-name in-place file rewrite invalidates a raw-table entry") {
+    val dir = tmpDir("inplace-src")
+    spark.range(400).toDF("id").coalesce(1).write.parquet(s"$dir/t.parquet")
+    graft.io.TableStats.analyze(spark, dir, "t")
+    assert(spark.read.parquet(s"$dir/t.parquet")
+      .queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(400)))
+    // rewrite file CONTENTS keeping every name (cp-over-part-files /
+    // rsync --inplace): dir mtime may not move, but the listing-grain
+    // signature sees the children's len/mtime change
+    val d = new java.io.File(s"$dir/t.parquet")
+    val stage = tmpDir("inplace-stage")
+    spark.range(900).toDF("id").coalesce(1).write.parquet(s"$stage/t2")
+    val newPart = new java.io.File(s"$stage/t2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val oldParts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+    Thread.sleep(5)
+    oldParts.foreach(f => java.nio.file.Files.copy(newPart.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    // the local FS's hidden .crc sidecars still checksum the OLD
+    // bytes; drop them so the read reflects the rewrite (a reader
+    // concern — the signature must catch the rewrite regardless)
+    d.listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(f => f.delete(): Unit)
+    // Spark's shared file-status cache still holds the old length;
+    // refresh it (a reader's concern — the stats catalog must catch
+    // the rewrite on its own via the listing-grain signature)
+    spark.catalog.refreshByPath(s"$dir/t.parquet")
+    val after = spark.read.parquet(s"$dir/t.parquet")
+      .queryExecution.optimizedPlan.stats
+    assert(!after.rowCount.contains(BigInt(400)),
+      s"same-name content rewrite must evict the stale entry: $after")
+  }
+
   test("a table reloaded at the same path invalidates its entry: signature revalidation") {
     val dir = tmpDir("stale-src")
     spark.range(500).toDF("id").coalesce(1).write.parquet(s"$dir/t.parquet")
