@@ -102,6 +102,28 @@ class LsmTierSpec extends SparkSpec {
           .exists(_._1 == served2.count()),
         s"merged _stats rows must equal the served rows: " +
           s"${DerivedStore.statsOfVersion(spark, v2)}")
+      // the merged column profile stays HONEST (r14 review): the
+      // summary key (doc_id — disjoint across deltas by contract) sums
+      // its NDVs, so it tracks the true count; the SORT key (term —
+      // vocabularies overlap heavily across nights) must NOT sum, or
+      // the overstatement compounds every append (the under-estimate-
+      // and-broadcast direction). Bounds widen exactly.
+      val prof = DerivedStore.rowStatsOfVersion(spark, v2)
+        .getOrElse(fail("merged _stats must parse")).cols
+      val trueTerms = served2.select("term").distinct().count()
+      val trueDocs = served2.select("doc_id").distinct().count()
+      assert(prof("term").ndv.exists(_ <= (trueTerms * 115) / 100),
+        s"term NDV must stay a bound, not a compounding sum: " +
+          s"${prof("term").ndv} vs true $trueTerms")
+      assert(prof("doc_id").ndv.exists(n =>
+        n >= (trueDocs * 88) / 100 && n <= (trueDocs * 112) / 100),
+        s"summary-key NDV sums disjoint deltas: ${prof("doc_id").ndv} " +
+          s"vs true $trueDocs")
+      assert(prof("doc_id").min.map(BigDecimal(_)).contains(
+          BigDecimal(trueRange.getLong(0))) &&
+        prof("doc_id").max.map(BigDecimal(_)).contains(
+          BigDecimal(trueRange.getLong(1))),
+        s"merged value bounds are exact: ${prof("doc_id")}")
       // and a term lookup through the manifest still answers exactly —
       // including terms that live ONLY in the appended runs
       val newDocId = docs.filter(col("doc_id") % 5 === 1)
