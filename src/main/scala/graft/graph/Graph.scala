@@ -179,18 +179,29 @@ object Graph {
     */
   val g3BfsHops: Q = (s, dir) => {
     // persisted: each of the 3 unrolled rounds joins the same edges
-    // (served from the materialized purchase tier — range-sorted on
-    // cust, so a seed-filtered frontier read prunes files)
+    // (served from the materialized purchase tier). Frontier joins are
+    // PINNED to shuffle_hash (g9's measurement-honesty rule): at small
+    // SFs the planner would broadcast the 10×-smaller EDGE table — a
+    // plan the 100 TB cluster can never run (edges are corpus-sized) —
+    // which made the measured shuffle-growth exponent read the plan
+    // CLIFF (2.15 across sf0.01→sf0.1) instead of the production
+    // plan's linear growth; pinned, the exponent is 1.08 and the SHJ
+    // is ~10% faster than the r13 SMJ at sf0.1 (no edge sorts). Build
+    // side = the frontier: bounded by the node population, the side a
+    // distributed BFS step hashes per partition. (A cust-keyed cached
+    // layout was measured and REJECTED: -cold rebuilds the cache every
+    // run, and paying the repartition inside the clock cost 1.8× at
+    // sf0.1 for one saved 13 MB exchange.)
     val edges = GraphStore.purchaseEdges(s, dir).registerCache()
     val seeds = Tables.load(s, dir, "customer")
       .filter(col("c_nationkey") === 0)
       .select(col("c_custkey").as("node"), lit(0).as("dist"))
     // alternate sides: d0 custs -> d1 supps -> d2 custs -> d3 supps
-    val d1 = edges.join(seeds, col("cust") === col("node"))
+    val d1 = edges.join(seeds.hint("shuffle_hash"), col("cust") === col("node"))
       .select(col("supp").as("node")).distinct().withColumn("dist", lit(1))
-    val d2 = edges.join(d1, col("supp") === col("node"))
+    val d2 = edges.join(d1.hint("shuffle_hash"), col("supp") === col("node"))
       .select(col("cust").as("node")).distinct().withColumn("dist", lit(2))
-    val d3 = edges.join(d2, col("cust") === col("node"))
+    val d3 = edges.join(d2.hint("shuffle_hash"), col("cust") === col("node"))
       .select(col("supp").as("node")).distinct().withColumn("dist", lit(3))
     seeds.unionByName(d1).unionByName(d2).unionByName(d3)
       .groupBy("node").agg(min("dist").as("hops"))

@@ -603,13 +603,22 @@ object Keywords {
       .withColumn("grp",
         concat_ws(":", col("run"),
           ((row_number().over(byRun) - 1) / 3).cast("int")))
+    // both doc-grain stat joins PINNED to shuffle_hash (g9's
+    // measurement-honesty rule): every side is doc-keyed and
+    // data-sized, so the production plan at any scale is a
+    // co-hash-partitioned join — but at small SFs the planner
+    // broadcast whichever side's estimate dipped under 10 MB, and the
+    // sf0.01→sf0.1 shuffle-growth exponent read that plan CLIFF (1.85)
+    // instead of the doc-keyed plan's linear growth. Build side = the
+    // grouped stats frame (plen / wstats), the strictly-smaller
+    // aggregate of the probe side.
     val plen = pw.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"))
-    val withLen = pw.join(plen, Seq("doc_id", "grp"))
+    val withLen = pw.join(plen.hint("shuffle_hash"), Seq("doc_id", "grp"))
     val wstats = withLen.groupBy("doc_id", "w")
       .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       .select(col("doc_id"), col("w"),
         expr("deg * 1000000 div freq").as("w_score_micro"))
-    val phrases = withLen.join(wstats, Seq("doc_id", "w"))
+    val phrases = withLen.join(wstats.hint("shuffle_hash"), Seq("doc_id", "w"))
       .groupBy("doc_id", "grp")
       .agg(
         expr("concat_ws(' ', transform(array_sort(collect_list(struct(i, w))), x -> x.w))")

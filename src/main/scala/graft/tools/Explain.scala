@@ -15,11 +15,17 @@ object Explain {
     // optimizer-flag plan diffs
     if (sys.env.get("GRAFT_ANALYZE").contains("1"))
       graft.io.TableStats.analyzeAll(spark, sfDir): Unit
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // `-cost` prints the optimized logical plan with per-node row/size
+    // estimates (the inputs to every broadcast/SMJ decision) instead of
+    // the formatted physical plan
+    val rest = args.drop(1).toSeq
+    val mode = if (rest.contains("-cost")) "cost" else "formatted"
+    val names0 = rest.filterNot(_ == "-cost")
+    val names = if (names0.nonEmpty) names0
                 else graft.queries.Registry.queries.keys.toSeq.sorted
     for (n <- names) {
       println(s"\n======== $n ========")
-      graft.queries.Registry.queries(n)(spark, sfDir).explain("formatted")
+      graft.queries.Registry.queries(n)(spark, sfDir).explain(mode)
     }
     spark.stop()
   }
