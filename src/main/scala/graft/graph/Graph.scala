@@ -488,7 +488,12 @@ object Graph {
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy("p")))
       .filter(col("deg") <= HubCap)
-      .withColumn("w_micro", expr("1000000 div deg"))
+      // int, not long: w_micro ≤ 10⁶ by construction (deg ≥ 1), and
+      // every wedge row ships it through the hash(u) exchange — the
+      // narrower type is free shuffle bytes (guide §2.3); sum(int)
+      // still aggregates into a BIGINT, so the output schema and the
+      // oracle hash are unchanged
+      .withColumn("w_micro", expr("cast(1000000 div deg as int)"))
       .registerCache()
     val w = Window.partitionBy("u")
       .orderBy(col("ra_micro").desc, col("v"))

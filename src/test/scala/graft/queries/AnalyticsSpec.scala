@@ -7,14 +7,30 @@ import graft.core.Tables
 
 class AnalyticsSpec extends SparkSpec {
 
-  test("q85 pins its recursion bound on a child session, not the caller's") {
-    val df = graft.queries.Registry.queries("q85_hierarchy_rollup")(spark, sfDir)
-    df.count(): Unit
-    assert(df.sparkSession.conf.get("spark.sql.cteRecursionLevelLimit").toInt >= 200,
-      "q85 must declare its own recursion bound, not ride the silent default")
-    assert(df.sparkSession ne spark, "the bound must live on q85's own session")
-    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit").toInt == 100,
-      "the caller's session must not inherit the relaxed bound (round-8 advice)")
+  test("q85's closed-form ancestor explode matches the recursive CTE row-for-row") {
+    // r14 replaced the UnionLoop recursion (one sequential job per
+    // level) with the halving chain's closed form; this pins the
+    // equivalence against REAL recursion semantics in-engine (the
+    // DuckDB oracle re-proves it cross-engine on every driver run)
+    val got = graft.queries.Registry.queries("q85_hierarchy_rollup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    Tables.load(sq, sfDir, "documents")
+      .selectExpr("doc_id",
+        "size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')) AS n_tokens")
+      .createOrReplaceTempView("q85_ref_docs")
+    val ref = sq.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT doc_id, doc_id AS ancestor, n_tokens FROM q85_ref_docs
+        UNION ALL
+        SELECT doc_id, ancestor DIV 2 AS ancestor, n_tokens
+        FROM anc WHERE ancestor > 0)
+      SELECT ancestor AS category, count(*) AS n_desc_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS subtree_tokens
+      FROM anc GROUP BY ancestor""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
   }
 
   test("q34 cube emits all four grouping sets; grand total matches table count") {
