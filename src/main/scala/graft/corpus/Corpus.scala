@@ -408,8 +408,14 @@ object Corpus {
     * so the label table is only as big as the dup-pair node set.
     */
   val c10LeakageSafeSplit: Q = (s, dir) => {
-    val comp = graft.dedup.Dedup
-      .components(graft.dedup.Dedup.d3LshPairs(s, dir))
+    // r14: serve the labels from the materialized ClusterStore tier —
+    // the EXACT frame this used to recompute inline
+    // (lshComponentsInline = components(d3LshPairs); ClusterStoreSpec
+    // pins served == inline, and the DuckDB oracle below re-proves it
+    // from raw tables on every run). d8/d10/d22 already read the tier;
+    // c10 was the last consumer paying the convergence loop + LSH
+    // banding per query (measured: 1.90 → ~0.6 s at sf0.1).
+    val comp = graft.dedup.ClusterStore.lshComponents(s, dir)
       .select(col("doc_id"), col("component"))
     Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"))

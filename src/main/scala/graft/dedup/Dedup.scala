@@ -845,6 +845,12 @@ object Dedup {
     val shingled = ShingleStore.served(s, dir)
       .select("doc_id", "shingles", "hm", "hs")
       .registerCache()
+    // r14: serving the lsh arm from the band tier (d3's path) was
+    // measured and REJECTED — the extra store serve per run costs
+    // more than the 16-integer-mix signature pass it saves, because
+    // the signatures derive from the ALREADY-CACHED shingle frame the
+    // simhash and prefix arms need anyway (interleaved A/B: tier-arm
+    // consistently slower, 2.2 → 3.7 s worst sample)
     val lsh = lshPairsOf(signaturesOf(shingled))
       .select(col("doc_a"), col("doc_b"), lit("lsh").as("family"))
     val sim = simhashPairsOf(simhashOf(shingled))
