@@ -1088,8 +1088,13 @@ object Analytics {
     // it hits 0, so the ancestor set is exactly
     // `shiftright(doc_id, k)` for k = 0..length(bin(doc_id)) (for
     // doc_id > 0; bin-length = floor(log₂)+1, and one step past it
-    // lands the final 0 row the recursion also emits; doc_id = 0 is
-    // its own single anchor row). One explode + one grouped aggregate
+    // lands the final 0 row the recursion also emits; doc_id <= 0 is
+    // its own single anchor row — the `<=` guard matters: bin() of a
+    // NEGATIVE long is 64 two's-complement chars, which would explode
+    // 65 rows where the recursion's `WHERE ancestor > 0` emits one,
+    // so non-positive ids are pinned to k = 0 to match the recursion
+    // on the full int64 domain, not just the corpus's doc_id >= 0).
+    // One explode + one grouped aggregate
     // — a single pass, no recursion limit, no per-level jobs
     // (measured: 35 jobs → 3, 1.9s → 0.6s at sf0.1). The DuckDB
     // oracle below STAYS the recursive CTE, so the closed form is
@@ -1099,7 +1104,7 @@ object Analytics {
       .selectExpr("doc_id",
         "size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')) AS n_tokens")
       .selectExpr("doc_id", "n_tokens",
-        "explode(sequence(0, if(doc_id = 0, 0, length(bin(doc_id))))) AS k")
+        "explode(sequence(0, if(doc_id <= 0, 0, length(bin(doc_id))))) AS k")
       .selectExpr("shiftright(doc_id, k) AS category", "n_tokens")
       .groupBy("category")
       .agg(count(lit(1)).as("n_desc_docs"),

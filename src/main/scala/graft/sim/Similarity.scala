@@ -1452,11 +1452,17 @@ object Similarity {
       .select("query_id", "vec_id", "simq", "qv", "n2")
   }
 
-  val s15MmrRerank: Q = (s, dir) => {
+  val s15MmrRerank: Q = (s, dir) =>
     // no cache: the collapsed plan reads the candidate frame exactly
     // once (the old unrolled form read it from the pair grid and all
     // three steps — that is what the registerCache existed for)
-    val cands = s15Cands(s, dir)
+    s15MmrSelect(s15Cands(s, dir))
+
+  /** The collapsed greedy-MMR selection over a candidate frame
+    * (query_id, vec_id, simq, qv, n2) — package-visible so
+    * MmrRerankSpec can drive it with degenerate (<3-candidate)
+    * groups the production candidate generator never produces. */
+  private[graft] def s15MmrSelect(cands: DataFrame): DataFrame = {
     // r14 optimization: the greedy horizon is 3 over a 10-candidate
     // set that is entirely QUERY-LOCAL, so the whole selection — the
     // pair-similarity grid, the three anti-join/redundancy/rank-1
@@ -1481,9 +1487,14 @@ object Similarity {
     // tie-break in the unrolled form
     val byMmr = "(l, r) -> if(l.score > r.score, -1," +
       " if(l.score < r.score, 1, if(l.vec_id < r.vec_id, -1, 1)))"
+    // get(), not [0]: ANSI mode (Spark 4 default) makes [0] THROW on
+    // an empty array, so a query group that runs out of candidates
+    // (rem2/rem3 empty) would crash the query instead of reaching the
+    // null-filter below; get() returns NULL there, which is exactly
+    // the "anti-join ran dry" degrade the unrolled form had
     def pickBest(from: String, score: String) =
-      s"array_sort(transform($from, c -> struct(c.vec_id as vec_id," +
-        s" $score as score, c.qv as qv, c.n2 as n2)), $byMmr)[0]"
+      s"get(array_sort(transform($from, c -> struct(c.vec_id as vec_id," +
+        s" $score as score, c.qv as qv, c.n2 as n2)), $byMmr), 0)"
     cands.groupBy("query_id")
       .agg(collect_list(struct(col("vec_id"), col("simq"), col("qv"),
         col("n2"))).as("cs"))

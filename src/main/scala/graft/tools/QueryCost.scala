@@ -55,14 +55,21 @@ object QueryCost {
         val t0 = System.nanoTime()
         run()
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; give the scheduler
-        // listener a beat, then snapshot counters for the timed run only
-        Thread.sleep(300)
+        // listener events drain asynchronously; settle until the
+        // counters go quiescent (ScaleProbe's discipline — a fixed
+        // sleep under-counts on a loaded host), then snapshot
+        val settleDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = (-1, -1, -1)
+        while ({
+          val now = (jobs.get, stages.get, tasks.get)
+          val settling = now != last
+          last = now
+          settling && System.nanoTime() < settleDeadline
+        }) Thread.sleep(200)
         val (nj, ns, nt) = (jobs.get, stages.get, tasks.get)
         release()
-        // byte-profiled run second, on the frame's OWN session (q85
-        // builds on s.newSession() — a parent-session listener reads 0
-        // and waits out the whole settle deadline)
+        // byte-profiled run second (separate run: the byte listener's
+        // settle loop must stay off the timed run's clock)
         val bytes = ScaleProbe.shuffleBytesOf(fn(spark, sfDir))
         println(f"$n%-28s $sec%8.3f ${bytes / 1e6}%8.2f $nj%5d $ns%7d $nt%6d")
       } catch {

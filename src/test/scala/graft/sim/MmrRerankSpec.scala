@@ -66,4 +66,29 @@ class MmrRerankSpec extends SparkSpec {
     assert(got == ref)
     assert(got.nonEmpty)
   }
+
+  test("groups with <3 candidates emit only the picks they have (ANSI-safe)") {
+    // The production candidate generator always yields 10 per query;
+    // this pins the degenerate path the r15 advice flagged: under
+    // ANSI mode (Spark 4 default) the old `array_sort(...)[0]` THREW
+    // on an empty remainder array instead of reaching the null-filter.
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      // query 1: two candidates — sel3's remainder is EMPTY
+      (1L, 10L, 900000L, Array(1L, 0L), 1L),
+      (1L, 11L, 800000L, Array(0L, 1L), 1L),
+      // query 2: one candidate — sel2 and sel3 both run dry
+      (2L, 20L, 700000L, Array(1L, 1L), 2L))
+      .toDF("query_id", "vec_id", "simq", "qv", "n2")
+    val got = Similarity.s15MmrSelect(cands)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // query 1 emits exactly ranks 1-2, query 2 exactly rank 1 — no
+    // crash, no null picks
+    assert(got.map(t => (t._1, t._3)) == Set((1L, 1), (1L, 2), (2L, 1)))
+    assert(got.filter(_._1 == 1L).map(_._2) == Set(10L, 11L))
+    assert(got.filter(_._1 == 2L).map(_._2) == Set(20L))
+  }
 }
