@@ -337,26 +337,48 @@ object Graph {
     val edges = GraphStore.purchaseEdges(s, dir)
       .select(col("cust").as("src"), col("supp").as("dst"))
       .registerCache()
-    var hubs = edges.select(col("src").as("node")).distinct()
-      .withColumn("hub_micro", lit(1000000L))
-    var auths: DataFrame = null
-    for (_ <- 1 to 2) {
+    def normalize(raw: DataFrame, key: String, rawCol: String,
+                  outCol: String): DataFrame = {
+      val maxCol = rawCol + "_max"
+      raw.crossJoin(broadcast(raw.agg(max(rawCol).as(maxCol))))
+        .select(col(key).as("node"),
+          expr(s"($rawCol * 1000000) div $maxCol").as(outCol))
+    }
+    // round-1 authority pass collapsed algebraically (guide §1.2 "fix
+    // the distributed algorithm"): h0 is the CONSTANT 10⁶ on every
+    // distinct src, and each edge's src is in that set by
+    // construction, so a1_raw = Σ_{src→dst} h0(src) = 10⁶·indeg(dst).
+    // The unrolled form paid a distinct + an edges⋈h0 join (r15
+    // JobTrace: 5 AQE stage-jobs) to compute a degree count; the
+    // oracle SQL below KEEPS the join form, so the algebra is
+    // re-proven cross-engine on every correctness run.
+    var araw = edges.groupBy("dst")
+      .agg((count(lit(1)) * lit(1000000L)).as("a_raw"))
+      .registerCache()
+    var auths = normalize(araw, "dst", "a_raw", "auth_micro")
+    var hubs: DataFrame = null
+    for (r <- 1 to 2) {
       // each half-round's raw-sum frame feeds BOTH its one-row max and
       // the normalized scores; uncached, every reuse re-runs the whole
       // upstream chain and the recomputation DOUBLES per half-round —
       // 2^4 plan blow-up over 2 rounds (measured: 18s -> ~1s at sf0.1)
-      val araw = edges.join(hubs, col("src") === col("node"))
-        .groupBy("dst").agg(sum("hub_micro").as("a_raw"))
-        .registerCache()
-      auths = araw.crossJoin(broadcast(araw.agg(max("a_raw").as("a_max"))))
-        .select(col("dst").as("node"),
-          expr("(a_raw * 1000000) div a_max").as("auth_micro"))
-      val hraw = edges.join(auths, col("dst") === col("node"))
+      // shuffle_hash pin, g3/g9's scale-honesty rule: with round 1
+      // collapsed the rank side estimates small enough at bench SFs
+      // that the planner BROADCASTS it — but ranks are node-grain
+      // (10⁸⁺ at 100 TB), so that plan cannot exist at scale and the
+      // measured cost would be a small-SF artifact. Pinned, the rank
+      // side hash-builds per partition (never sorts, never
+      // broadcasts); r15 A/B vs the unrolled form: 2.76 vs 2.96 s.
+      val hraw = edges.join(auths.hint("shuffle_hash"), col("dst") === col("node"))
         .groupBy("src").agg(sum("auth_micro").as("h_raw"))
         .registerCache()
-      hubs = hraw.crossJoin(broadcast(hraw.agg(max("h_raw").as("h_max"))))
-        .select(col("src").as("node"),
-          expr("(h_raw * 1000000) div h_max").as("hub_micro"))
+      hubs = normalize(hraw, "src", "h_raw", "hub_micro")
+      if (r < 2) {
+        araw = edges.join(hubs.hint("shuffle_hash"), col("src") === col("node"))
+          .groupBy("dst").agg(sum("hub_micro").as("a_raw"))
+          .registerCache()
+        auths = normalize(araw, "dst", "a_raw", "auth_micro")
+      }
     }
     hubs.select(col("node"), col("hub_micro").as("score_micro"),
         lit("hub").as("role"))
