@@ -1620,23 +1620,39 @@ object Dedup {
     */
   val d27LshTuning: Q = (s, dir) => {
     val sig = signatures(s, dir).registerCache()
-    def pairsFor(nBands: Int): DataFrame = {
+    // r15 optimization (guide §2.4 "remove shuffles outright"): the
+    // three tuning arms used to run three SEPARATE bounded-bucket
+    // self-joins over the same signature frame — 3 × (2 band-frame
+    // exchanges + join + distinct), 30 AQE stage-jobs at sf0.1.
+    // Folding the config INTO the bucket key — one exploded
+    // (n_bands, band_idx, band_hash, doc_id) frame — makes it ONE
+    // self-join on (n_bands, band_idx, band_hash): configs can never
+    // match each other (n_bands differs in the equi-key), so the
+    // matched pair set is row-identical to the 3-arm union, and the
+    // per-config distinct becomes one distinct over (n_bands, pair).
+    // The DuckDB oracle KEEPS the three-CTE union form, re-proving
+    // the fold cross-engine on every correctness run.
+    val bandStructs = Seq(2, 4, 8).flatMap { nBands =>
       val rsize = NumHashes / nBands
-      val bandCols = (0 until nBands).map { b =>
-        md5(concat_ws("|", (0 until rsize).map(r => col(mhCol(b * rsize + r))): _*))
+      (0 until nBands).map { b =>
+        struct(lit(nBands.toLong).as("n_bands"), lit(b).as("band_idx"),
+          md5(concat_ws("|", (0 until rsize).map(r => col(mhCol(b * rsize + r))): _*))
+            .as("band_hash"))
       }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .withColumn("n_bands", lit(nBands.toLong))
     }
-    val tagged = Seq(2, 4, 8).map(pairsFor).reduce(_ unionByName _).registerCache()
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("k"))
+      .select(col("doc_id"), col("k.n_bands").as("n_bands"),
+        col("k.band_idx").as("band_idx"), col("k.band_hash").as("band_hash"))
+    val tagged = bands.as("a")
+      .join(bands.as("b"),
+        col("a.n_bands") === col("b.n_bands") &&
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_bands").as("n_bands"))
+      .distinct()
+      .registerCache()
     val uniq = tagged.select("doc_a", "doc_b").distinct()
     val docs = ShingleStore.served(s, dir)
       .select("doc_id", "shingles").registerCache()
