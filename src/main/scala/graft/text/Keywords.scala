@@ -710,14 +710,23 @@ object Keywords {
       .registerCache()
     val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    // r15 optimization (guide §1.2 "fix the distributed algorithm"):
+    // unlike g1's bipartite graph, und is SYMMETRIZED (bi ∪ its
+    // reverse), so every node has in-edges and contrib's dst set IS
+    // the node set on every round (induction from r0 covering all
+    // nodes) — the per-round `nodes ⟕ contrib` join only re-attached
+    // a row set contrib already carries, and its coalesce(in_micro,0)
+    // arm was unreachable. Dropping it removes 3 joins and their
+    // per-round broadcast builds (JobTrace: 22 → 16 jobs at sf0.1).
+    // The DuckDB oracle KEEPS the nodes-left-join recursion, so the
+    // symmetry argument is re-proven cross-engine on every run.
     for (_ <- 1 to 3) {
-      val contrib = edges.join(ranks, col("src") === col("node"))
+      ranks = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           expr("rank_micro * cnt div wdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_micro"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (lit(150000L) + expr("850000 * coalesce(in_micro, 0) div 1000000"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("850000 * in_micro div 1000000"))
             .as("rank_micro"))
     }
     ranks.orderBy(col("rank_micro").desc, col("node"))
