@@ -60,8 +60,17 @@ object Bench {
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // BLOCKING release (r15 measurement fix, declared in
+    // OPTIMIZATION_r15.md): the default non-blocking unpersist lets a
+    // cache-heavy query's block drops run CONCURRENTLY with the next
+    // query's timed samples — measured ~1s bleed into g9 when it
+    // follows g8's four per-round caches (3.50s vs 2.53s isolated;
+    // blocking: 2.66-2.72s). "Each measurement owns its memory" (the
+    // comment above) was the documented intent; this makes it true.
+    // Timed region, min-of-passes basis and the noop sink are
+    // untouched — the wait runs BETWEEN queries, off every clock.
     def release(): Unit = {
-      graft.core.Caching.releaseAll()
+      graft.core.Caching.releaseAll(blocking = true)
       spark.catalog.clearCache()
     }
 

@@ -39,7 +39,7 @@ object JobTrace {
     })
 
     def release(): Unit = {
-      graft.core.Caching.releaseAll()
+      graft.core.Caching.releaseAll(blocking = true)
       spark.catalog.clearCache()
     }
     for (n <- names) {

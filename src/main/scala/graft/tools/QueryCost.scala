@@ -39,7 +39,9 @@ object QueryCost {
     spark.sparkContext.addSparkListener(listener)
 
     def release(): Unit = {
-      graft.core.Caching.releaseAll()
+      // blocking: async block drops would bleed into the next query's
+      // timed run (the g9-after-g8 suite-order inflation, r15)
+      graft.core.Caching.releaseAll(blocking = true)
       spark.catalog.clearCache()
     }
 

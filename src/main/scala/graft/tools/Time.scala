@@ -41,7 +41,10 @@ object Time {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
     def release(): Unit = if (cold) {
-      graft.core.Caching.releaseAll()
+      // blocking, matching Bench: async block drops from a cache-heavy
+      // query otherwise bleed into the NEXT query's samples (the
+      // g9-after-g8 suite-order inflation diagnosed in r15)
+      graft.core.Caching.releaseAll(blocking = true)
       spark.catalog.clearCache()
     }
     // Fail fast and LOUD: a query that can't analyze is named here with
