@@ -590,11 +590,17 @@ object Corpus {
     val trainSh = docs.filter(col("bucket") < 900).select("sh").distinct()
     val evalSh = docs.filter(col("bucket") >= 950)
       .select(col("doc_id").as("eval_doc"), col("sh"))
-    val hits = evalSh.join(trainSh, Seq("sh"), "left_semi")
-      .groupBy("eval_doc").agg(count(lit(1)).as("n_contaminated"))
-    evalSh.groupBy("eval_doc").agg(count(lit(1)).as("n_shingles"))
-      .join(hits, Seq("eval_doc"), "left_outer")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+    // r15 (guide §2.4): one pass over the eval side instead of two —
+    // trainSh is DISTINCT on the join key, so a left join has fan-out
+    // exactly 1 per eval shingle and a presence flag reproduces the
+    // old semi-join's hit count while count(*) is n_shingles; the
+    // separate per-doc total, the second eval exchange and the
+    // hits⟕totals reattach join all collapse into ONE aggregate.
+    // The DuckDB oracle keeps the two-CTE semi-join form.
+    evalSh.join(trainSh.withColumn("hit", lit(1L)), Seq("sh"), "left_outer")
+      .groupBy("eval_doc")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
       .withColumn("contamination_bp",
         expr("(10000 * n_contaminated) div n_shingles"))
   }
@@ -917,12 +923,18 @@ object Corpus {
     * both map-side combine. No pairs, no windows over the corpus.
     */
   val c17EffectiveMix: Q = (s, dir) => {
+    // cached (r15, guide §2.4): d feeds the kept path (keyed
+    // content_hash) AND the raw path (keyed source) — two different
+    // exchange keys, so Catalyst plans two independent scans and the
+    // regexp tokenize + md5 over every document ran TWICE; the cache
+    // holds only the four narrow derived columns, never the text
     val d = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         expr("size(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '))")
           .as("n_tokens"),
         md5(regexp_replace(lower(trim(col("text"))), " +", " "))
           .as("content_hash"))
+      .registerCache()
     val kept = d
       .groupBy("content_hash")
       .agg(expr("min_by(named_struct('source', source, 'n_tokens', n_tokens), doc_id)")

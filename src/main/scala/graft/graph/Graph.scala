@@ -516,6 +516,13 @@ object Graph {
       // still aggregates into a BIGINT, so the output schema and the
       // oracle hash are unchanged
       .withColumn("w_micro", expr("cast(1000000 div deg as int)"))
+      // r15: an explicit pre-cache repartition(p) was A/B'd to try to
+      // elide the two hash(p) re-exchanges the self-join plans ABOVE
+      // this cache (~16 MB): CollapseRepartition removes it (the deg
+      // window already establishes hash(p)) and the plan is
+      // byte-identical — Spark 4.1.2 re-exchanges over AQE'd cached
+      // plans regardless (r14's verified engine limitation). Revisit
+      // on a Spark upgrade, not with more layout attempts here.
       .registerCache()
     val w = Window.partitionBy("u")
       .orderBy(col("ra_micro").desc, col("v"))
