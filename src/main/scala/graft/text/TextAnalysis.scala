@@ -363,13 +363,28 @@ object TextAnalysis {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    grams
-      .join(bi, Seq("w1", "w2"))
+    // r15 restructure (guide §2.3 "shuffle fewer bytes" + §3
+    // scale-honesty): the old shape joined the GRAM STREAM to bi on
+    // (w1,w2) and then AGAIN to uni on w1 — two corpus-grain
+    // exchanges — and at sf0.1 the planner even BROADCAST the
+    // gram-grain join result (BuildLeft), a plan that cannot exist at
+    // 100 TB. The smoothed log-prob depends only on the BIGRAM TYPE,
+    // so fold uni and V into the count table first (bigram-type-grain
+    // join, w1-keyed) and attach the finished lp_micro to the stream
+    // with ONE (w1,w2) join: the token stream is exchanged once, not
+    // twice. shuffle_hash pin on that join for the same reason as
+    // g3/g5/g9: the lp table is corpus-sized (bigram types), so the
+    // production plan shuffles — a small-SF broadcast would hide the
+    // join's true exchange. The DuckDB oracle keeps the two-join
+    // per-occurrence form, re-proving the regroup cross-engine.
+    val lp = bi
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("lp_micro", expr(
+      .select(col("w1"), col("w2"), expr(
         "cast(round(1e6 * (ln(cast(c12 + 1 as double))" +
-        " - ln(cast(c1 + v as double)))) as bigint)"))
+        " - ln(cast(c1 + v as double)))) as bigint)").as("lp_micro"))
+    grams
+      .join(lp.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
            sum("lp_micro").as("sum_lp_micro"))
