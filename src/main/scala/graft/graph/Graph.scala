@@ -60,18 +60,32 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .registerCache()
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to Rounds) {
-      val contrib = edges
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          (col("rank_micro") / col("outdeg")).cast("long").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_micro"))
+    // round-1 contribution collapsed algebraically (r15, g5's rule):
+    // r0 ranks are the CONSTANT 10⁶ on every node and outdeg rides
+    // the edge row, so contrib₁ = Σ_{src→dst} (10⁶ div outdeg(src))
+    // needs no join — the edges⋈ranks₀ equi-join the unrolled form
+    // paid attached a value every edge already carries. The nodes ⟕
+    // reattach join STAYS every round (unlike k9): the graph is
+    // bipartite, customers never appear as dst, and their in_micro
+    // really is the coalesce(0) arm. Oracle SQL keeps the r0 join
+    // form, re-proving the algebra cross-engine on every run.
+    var contrib = edges
+      .select(col("dst"),
+        (lit(1000000L) / col("outdeg")).cast("long").as("c"))
+      .groupBy("dst").agg(sum("c").as("in_micro"))
+    var ranks: DataFrame = null
+    for (r <- 1 to Rounds) {
       ranks = nodes
         .join(contrib, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(Base) + (lit(Damping) * coalesce(col("in_micro"), lit(0L))
             / lit(1000000L)).cast("long")).as("rank_micro"))
+      if (r < Rounds)
+        contrib = edges
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            (col("rank_micro") / col("outdeg")).cast("long").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_micro"))
     }
     ranks.select(col("node"), col("rank_micro"),
       (col("node") >= SuppOffset).as("is_supplier"))
