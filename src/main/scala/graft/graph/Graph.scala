@@ -590,24 +590,36 @@ object Graph {
     */
   private val CoreK = 5
   val g8Kcore: Q = (s, dir) => {
-    var edges = GraphStore.purchaseEdges(s, dir).registerCache()
-    for (_ <- 1 to 3) {
-      val custKeep = edges.groupBy("cust").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= CoreK).select("cust")
-      val suppKeep = edges.groupBy("supp").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= CoreK).select("supp")
-      // cache EVERY round's surviving edge set: round r+1 reads its
-      // predecessor three times (two degree aggs + the semi-join
-      // base), so an uncached intermediate recomputes its whole
-      // lineage 3× per round — the 3² blow-up g5's half-round caches
-      // fixed in r6 (18s → 1.6s there; 12s → ~2s here).
+    // r15 restructure (guide §2.4): each peel round used to run two
+    // degree AGGREGATES plus two SEMI-JOINS back onto the edge set —
+    // four edge-grain exchanges per round and a cache per round so
+    // the three reads of the predecessor didn't recompute lineage
+    // (26 AQE stage-jobs at sf0.1). Both gates are expressible as
+    // keyed WINDOW counts over the same snapshot — count over
+    // hash(cust), count over hash(supp), one conjunctive filter —
+    // which is TWO exchanges per round, reads the predecessor exactly
+    // once (no per-round cache), and keeps the peel semantics
+    // bit-identical (both degrees come from the same pre-filter
+    // snapshot, exactly as the two semi-joins did). Round 1 is free:
+    // the tier already denormalizes full-set degrees (cust_deg /
+    // supp_deg are count-over-the-same-window at build time), so the
+    // first peel is a filter on the cached tier columns with no
+    // exchange at all. The DuckDB oracle keeps the HAVING+IN CTE
+    // rounds, re-proving each rewrite cross-engine on every run.
+    val tier = GraphStore.purchaseEdges(s, dir).registerCache()
+    var edges = tier
+      .filter(col("cust_deg") >= CoreK && col("supp_deg") >= CoreK)
+      .select("cust", "supp")
+    for (_ <- 2 to 3) {
       edges = edges
-        .join(custKeep, Seq("cust"), "left_semi")
-        .join(suppKeep, Seq("supp"), "left_semi")
-        .registerCache()
+        .withColumn("cd", count(lit(1)).over(Window.partitionBy("cust")))
+        .withColumn("sd", count(lit(1)).over(Window.partitionBy("supp")))
+        .filter(col("cd") >= CoreK && col("sd") >= CoreK)
+        .select("cust", "supp")
     }
-    edges.select(col("cust").as("node"), lit("cust").as("side"))
-      .unionByName(edges.select(col("supp").as("node"), lit("supp").as("side")))
+    val e3 = edges.registerCache()
+    e3.select(col("cust").as("node"), lit("cust").as("side"))
+      .unionByName(e3.select(col("supp").as("node"), lit("supp").as("side")))
       .groupBy("node", "side").agg(count(lit(1)).as("degree"))
   }
 
